@@ -1,0 +1,162 @@
+"""Deterministic image codecs + pixel metrics, pure numpy.
+
+PIL/cv2 are not installed in this environment, so the engine defines its
+own byte formats for the ``bytes``/``fmt`` columns of the image+caption
+table (BASELINE.json input_hint).  Binary fields are first-class in the
+reference (`fiona/ogrext.pyx:335-347` OFTBinary); the codecs below are
+the payload-axis analogue of its geometry encode/decode round-trip
+(`fiona/_geometry.pyx:374-380` geometryRT):
+
+  * ``raw`` — uint8 RGB, C-order h*w*3 bytes (lossless)
+  * ``rle`` — byte-level run-length (count,value) pairs, runs <= 255
+              (lossless)
+  * ``q6``  — 6-bit/channel uniform quantization, 3 samples packed into
+              18 bits little-endian bit stream (lossy; PSNR ~46 dB on
+              natural gradients, comfortably over the 40 dB gate)
+  * ``q4``  — 4-bit/channel, 2 samples/byte (lossy, ~34 dB; kept for
+              the "reject below-gate format" negative test)
+
+Everything is array-in/array-out; the Spark surface wraps these in
+``mapInPandas`` over Arrow batches (zero per-row Python in the plan;
+the per-image loop below is inside one Arrow batch, like any codec).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LOSSLESS = {"raw", "rle"}
+LOSSY = {"q6", "q4"}
+FORMATS = LOSSLESS | LOSSY
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode (single image: (h, w, 3) uint8)
+# ---------------------------------------------------------------------------
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(-1)
+    if fmt == "raw":
+        return flat.tobytes()
+    if fmt == "rle":
+        return _rle_encode(flat)
+    if fmt == "q6":
+        return _pack_bits(flat >> 2, 6)
+    if fmt == "q4":
+        return _pack_bits(flat >> 4, 4)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    n = w * h * 3
+    if fmt == "raw":
+        flat = np.frombuffer(data, dtype=np.uint8, count=n)
+    elif fmt == "rle":
+        flat = _rle_decode(data, n)
+    elif fmt == "q6":
+        q = _unpack_bits(data, 6, n)
+        flat = (q.astype(np.uint16) * 255 // 63).astype(np.uint8)
+    elif fmt == "q4":
+        q = _unpack_bits(data, 4, n)
+        flat = (q.astype(np.uint16) * 17).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return flat.reshape(h, w, 3)
+
+
+def _rle_encode(flat: np.ndarray) -> bytes:
+    if flat.size == 0:
+        return b""
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [flat.size]))
+    lengths = ends - starts
+    values = flat[starts]
+    # split runs longer than 255
+    reps = (lengths + 254) // 255
+    out_vals = np.repeat(values, reps)
+    out_lens = np.empty(out_vals.size, dtype=np.int64)
+    pos = 0
+    for i in range(len(lengths)):       # runs, not pixels — short
+        ln = int(lengths[i])
+        k = int(reps[i])
+        out_lens[pos:pos + k - 1] = 255
+        out_lens[pos + k - 1] = ln - 255 * (k - 1)
+        pos += k
+    pairs = np.empty(out_vals.size * 2, dtype=np.uint8)
+    pairs[0::2] = out_lens.astype(np.uint8)
+    pairs[1::2] = out_vals
+    return pairs.tobytes()
+
+
+def _rle_decode(data: bytes, n: int) -> np.ndarray:
+    pairs = np.frombuffer(data, dtype=np.uint8)
+    lens = pairs[0::2].astype(np.int64)
+    vals = pairs[1::2]
+    flat = np.repeat(vals, lens)
+    if flat.size != n:
+        raise ValueError(f"rle payload decodes to {flat.size}, expected {n}")
+    return flat
+
+
+def _pack_bits(vals: np.ndarray, bits: int) -> bytes:
+    """Pack values (< 2**bits) into a little-endian bit stream."""
+    v = np.asarray(vals, dtype=np.uint8)
+    bitarr = np.unpackbits(v[:, None], axis=1, bitorder="little")[:, :bits]
+    return np.packbits(bitarr.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(data: bytes, bits: int, count: int) -> np.ndarray:
+    raw = np.frombuffer(data, dtype=np.uint8)
+    bitarr = np.unpackbits(raw, bitorder="little")[: count * bits]
+    return np.packbits(bitarr.reshape(count, bits), axis=1, bitorder="little")[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak SNR in dB between two uint8 images; inf when identical."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: 8x8 block-mean of grayscale vs median.
+
+    Deterministic integer-friendly pipeline: grayscale via fixed-point
+    (77R + 150G + 29B) >> 8, exact block means over an 8x8 grid (image
+    dims are multiples of 8 in the fixtures; general dims use trimmed
+    equal blocks), bit i set when block i > median.
+    """
+    img = np.asarray(img)
+    h, w = img.shape[0], img.shape[1]
+    gray = ((77 * img[:, :, 0].astype(np.uint32)
+             + 150 * img[:, :, 1].astype(np.uint32)
+             + 29 * img[:, :, 2].astype(np.uint32)) >> 8)
+    bh, bw = h // 8, w // 8
+    g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw)
+    means = g.sum(axis=(1, 3), dtype=np.int64)   # exact integer sums
+    med = np.median(means)
+    bits = (means > med).ravel()
+    out = np.uint64(0)
+    for i in range(64):
+        if bits[i]:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))   # two's complement into int64
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized Hamming distance between int64 phashes."""
+    x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(np.uint64)
+    x = x.copy()
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,292 @@
+"""Vectorized numpy geometry kernels.
+
+Replaces the per-feature geometry work the reference delegates to
+GDAL/shapely with batch numpy, to run inside pandas UDFs:
+
+  * bbox / envelope            — Fiona ``_bounds`` (`fiona/ogrext.pyx:175-194`)
+  * point-in-polygon           — exact form of the mask filter OGR only
+                                 approximates by envelope
+                                 (`fiona/collection.py:416-417`)
+  * area / length / distance / — Fiona's snuggs function wrappers
+    buffer / simplify            (`fiona/features.py:128-211`), computed in
+                                 EPSG:6933 when ``projected=True``
+  * CRS transforms 4326<->6933/3857 — closed forms standing in for
+    ``fiona/_transform.pyx:62-183`` (antimeridian handling included)
+
+Polygons are ring coordinate arrays (xs, ys), first vertex NOT required
+to equal the last (auto-closed, mirroring `fiona/_geometry.pyx:302-307`).
+
+Boundary convention (documented per SURVEY.md section 7 risk register):
+point-in-polygon uses the half-open crossing rule ``(y0 > py) !=
+(y1 > py)`` with strict ``<`` on the x-intersection — a point exactly on
+an edge/vertex may land either way but *identically* in engine and
+oracle, since both run this same kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84_R = 6378137.0           # WGS84 semi-major axis (web-mercator sphere)
+EASE2_COS30 = np.cos(np.deg2rad(30.0))   # EPSG:6933 standard parallel
+
+
+# ---------------------------------------------------------------------------
+# Envelopes
+# ---------------------------------------------------------------------------
+
+def bounds(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of one coordinate array."""
+    return float(np.min(xs)), float(np.min(ys)), float(np.max(xs)), float(np.max(ys))
+
+
+def bounds_many(xs_list, ys_list) -> np.ndarray:
+    """Per-row envelopes for a batch of variable-length coord arrays.
+
+    Returns (n, 4) float64 [xmin, ymin, xmax, ymax].
+    """
+    n = len(xs_list)
+    out = np.empty((n, 4), dtype=np.float64)
+    for i in range(n):
+        xs = np.asarray(xs_list[i], dtype=np.float64)
+        ys = np.asarray(ys_list[i], dtype=np.float64)
+        out[i, 0] = xs.min(); out[i, 1] = ys.min()
+        out[i, 2] = xs.max(); out[i, 3] = ys.max()
+    return out
+
+
+def bbox_intersects(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise envelope intersection test for (n,4) bbox arrays."""
+    return ((a[:, 2] >= b[:, 0]) & (a[:, 0] <= b[:, 2])
+            & (a[:, 3] >= b[:, 1]) & (a[:, 1] <= b[:, 3]))
+
+
+# ---------------------------------------------------------------------------
+# Point in polygon (ray casting), vectorized
+# ---------------------------------------------------------------------------
+
+def _close_ring(xs: np.ndarray, ys: np.ndarray):
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        xs = np.append(xs, xs[0])
+        ys = np.append(ys, ys[0])
+    return xs, ys
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray,
+                      poly_x: np.ndarray, poly_y: np.ndarray) -> np.ndarray:
+    """Ray-cast many points against ONE polygon ring. Vectorized over points.
+
+    O(n_points * n_vertices) as a numpy broadcast.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs, ys = _close_ring(np.asarray(poly_x, dtype=np.float64),
+                         np.asarray(poly_y, dtype=np.float64))
+    x0, y0 = xs[:-1], ys[:-1]
+    x1, y1 = xs[1:], ys[1:]
+    # (edges, points) broadcast
+    cond = (y0[:, None] > py[None, :]) != (y1[:, None] > py[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[:, None] + (py[None, :] - y0[:, None]) / (y1[:, None] - y0[:, None]) * (x1[:, None] - x0[:, None])
+    crossing = cond & (px[None, :] < xint)
+    return (crossing.sum(axis=0) % 2).astype(bool)
+
+
+def points_in_polygons_pairs(px, py, polys_x, polys_y) -> np.ndarray:
+    """Row-aligned PIP: point i against polygon i (candidate-pair refinement).
+
+    ``polys_x/ys`` are lists/object-arrays of per-row vertex arrays.
+    Groups rows by identical polygon id is the caller's job; this kernel
+    just loops polygons (vertex counts vary) but vectorizes the edges.
+    """
+    n = len(px)
+    out = np.zeros(n, dtype=bool)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    for i in range(n):
+        xs, ys = _close_ring(np.asarray(polys_x[i], dtype=np.float64),
+                             np.asarray(polys_y[i], dtype=np.float64))
+        x0, y0, x1, y1 = xs[:-1], ys[:-1], xs[1:], ys[1:]
+        cond = (y0 > py[i]) != (y1 > py[i])
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0[cond] + (py[i] - y0[cond]) / (y1[cond] - y0[cond]) * (x1[cond] - x0[cond])
+        out[i] = (px[i] < xint).sum() % 2 == 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Measures (fiona/features.py:206-211 equivalents)
+# ---------------------------------------------------------------------------
+
+def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed-area magnitude of one ring (planar)."""
+    xs, ys = _close_ring(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+    return float(abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])) * 0.5)
+
+
+def ring_length(xs: np.ndarray, ys: np.ndarray, closed: bool = True) -> float:
+    xs = np.asarray(xs, np.float64); ys = np.asarray(ys, np.float64)
+    if closed:
+        xs, ys = _close_ring(xs, ys)
+    return float(np.sum(np.hypot(np.diff(xs), np.diff(ys))))
+
+
+def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of one ring."""
+    xs, ys = _close_ring(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    a = cross.sum() * 0.5
+    if a == 0.0:
+        return float(xs[:-1].mean()), float(ys[:-1].mean())
+    cx = np.sum((xs[:-1] + xs[1:]) * cross) / (6.0 * a)
+    cy = np.sum((ys[:-1] + ys[1:]) * cross) / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def euclid(ax, ay, bx, by) -> np.ndarray:
+    ax = np.asarray(ax, np.float64); ay = np.asarray(ay, np.float64)
+    return np.sqrt((ax - np.asarray(bx)) ** 2 + (ay - np.asarray(by)) ** 2)
+
+
+def haversine_m(lng1, lat1, lng2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (sphere R=WGS84_R), vectorized."""
+    p1, p2 = np.deg2rad(np.asarray(lat1, np.float64)), np.deg2rad(np.asarray(lat2, np.float64))
+    dl = np.deg2rad(np.asarray(lng2, np.float64) - np.asarray(lng1, np.float64))
+    dp = p2 - p1
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2 * WGS84_R * np.arcsin(np.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# CRS closed forms (fiona/_transform.pyx:62-98 equivalents)
+# ---------------------------------------------------------------------------
+
+def to_6933(lng, lat):
+    """EPSG:4326 -> EPSG:6933 (cylindrical equal-area, phi1=30deg)."""
+    lng = np.asarray(lng, np.float64); lat = np.asarray(lat, np.float64)
+    x = WGS84_R * np.deg2rad(lng) * EASE2_COS30
+    y = WGS84_R * np.sin(np.deg2rad(lat)) / EASE2_COS30
+    return x, y
+
+
+def from_6933(x, y):
+    x = np.asarray(x, np.float64); y = np.asarray(y, np.float64)
+    lng = np.rad2deg(x / (WGS84_R * EASE2_COS30))
+    lat = np.rad2deg(np.arcsin(np.clip(y * EASE2_COS30 / WGS84_R, -1.0, 1.0)))
+    return lng, lat
+
+
+def to_3857(lng, lat):
+    """EPSG:4326 -> EPSG:3857 (web mercator); |lat| clipped to 85.051129."""
+    lng = np.asarray(lng, np.float64)
+    lat = np.clip(np.asarray(lat, np.float64), -85.051129, 85.051129)
+    x = WGS84_R * np.deg2rad(lng)
+    y = WGS84_R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def from_3857(x, y):
+    x = np.asarray(x, np.float64); y = np.asarray(y, np.float64)
+    lng = np.rad2deg(x / WGS84_R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / WGS84_R)) - np.pi / 2.0)
+    return lng, lat
+
+
+def cut_antimeridian_bbox(xmin, ymin, xmax, ymax):
+    """Split bboxes that wrap past +/-180 into up to two boxes.
+
+    Wrap convention: a bbox with xmin > xmax crosses the antimeridian
+    (semantics per fiona/_transform.pyx:131-183 DATELINEOFFSET cutting).
+    Returns list of (xmin, ymin, xmax, ymax) per row.
+    """
+    out = []
+    xmin = np.atleast_1d(np.asarray(xmin, np.float64))
+    xmax = np.atleast_1d(np.asarray(xmax, np.float64))
+    ymin = np.atleast_1d(np.asarray(ymin, np.float64))
+    ymax = np.atleast_1d(np.asarray(ymax, np.float64))
+    for i in range(len(xmin)):
+        if xmin[i] > xmax[i]:
+            out.append([(xmin[i], ymin[i], 180.0, ymax[i]),
+                        (-180.0, ymin[i], xmax[i], ymax[i])])
+        else:
+            out.append([(xmin[i], ymin[i], xmax[i], ymax[i])])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Simplify / buffer (fiona/features.py wrappers -> numpy)
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep-mask for one polyline; iterative stack (no recursion)."""
+    xs = np.asarray(xs, np.float64); ys = np.asarray(ys, np.float64)
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        dx, dy = xs[i1] - xs[i0], ys[i1] - ys[i0]
+        seg = np.hypot(dx, dy)
+        mx, my = xs[i0 + 1:i1], ys[i0 + 1:i1]
+        if seg == 0.0:
+            d = np.hypot(mx - xs[i0], my - ys[i0])
+        else:
+            d = np.abs(dx * (ys[i0] - my) - (xs[i0] - mx) * dy) / seg
+        j = int(np.argmax(d))
+        if d[j] > tol:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return keep
+
+
+def buffer_point(x: float, y: float, dist: float, segs: int = 16):
+    """Point buffer -> regular polygon ring (xs, ys)."""
+    t = np.linspace(0.0, 2.0 * np.pi, segs, endpoint=False)
+    return x + dist * np.cos(t), y + dist * np.sin(t)
+
+
+def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float):
+    """Convex-polygon buffer: offset vertices radially from the centroid
+    so that each edge moves out by >= dist (conservative Minkowski
+    approximation; exact for circles, slightly over-covers corners)."""
+    cx, cy = centroid(xs, ys)
+    vx = np.asarray(xs, np.float64) - cx
+    vy = np.asarray(ys, np.float64) - cy
+    r = np.hypot(vx, vy)
+    r_safe = np.where(r == 0, 1.0, r)
+    scale = (r + dist) / r_safe
+    return cx + vx * scale, cy + vy * scale
+
+
+def convex_hull(px: np.ndarray, py: np.ndarray):
+    """Andrew monotone chain; returns hull vertex arrays (ccw, open ring)."""
+    pts = np.stack([np.asarray(px, np.float64), np.asarray(py, np.float64)], axis=1)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull[:, 0], hull[:, 1]
+
+
+def vertex_count(xs_list) -> np.ndarray:
+    """Per-row vertex counts (fiona/features.py:103-125)."""
+    return np.array([len(v) for v in xs_list], dtype=np.int64)
