@@ -72,17 +72,16 @@ def _rle_encode(flat: np.ndarray) -> bytes:
     ends = np.concatenate((change, [flat.size]))
     lengths = ends - starts
     values = flat[starts]
-    # split runs longer than 255
-    reps = (lengths + 254) // 255
-    out_vals = np.repeat(values, reps)
-    out_lens = np.empty(out_vals.size, dtype=np.int64)
-    pos = 0
-    for i in range(len(lengths)):       # runs, not pixels — short
-        ln = int(lengths[i])
-        k = int(reps[i])
-        out_lens[pos:pos + k - 1] = 255
-        out_lens[pos + k - 1] = ln - 255 * (k - 1)
-        pos += k
+    # split runs longer than 255 (fully vectorized: noisy images have
+    # ~1 run per pixel, so a per-run Python loop would dominate)
+    if (lengths <= 255).all():
+        out_lens, out_vals = lengths, values
+    else:
+        reps = (lengths + 254) // 255
+        out_vals = np.repeat(values, reps)
+        out_lens = np.full(out_vals.size, 255, dtype=np.int64)
+        ends = np.cumsum(reps) - 1
+        out_lens[ends] = lengths - 255 * (reps - 1)
     pairs = np.empty(out_vals.size * 2, dtype=np.uint8)
     pairs[0::2] = out_lens.astype(np.uint8)
     pairs[1::2] = out_vals

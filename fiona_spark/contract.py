@@ -1,0 +1,657 @@
+"""Driver-contract queries + DuckDB oracles (SURVEY.md section 2 coverage).
+
+Every entry here is one operator from the inventory, expressed twice:
+ * ``QUERIES[name]``: (spark, sf_dir) -> DataFrame — the engine path,
+   DataFrame API + fiona_spark operators;
+ * ``ORACLES[name]``: ANSI SQL for DuckDB over the same parquet views —
+   an independent computation of the same result.
+
+Determinism rules (see fiona_spark/functions/derived.py): shared
+integer-modular arithmetic, no transcendentals, decimal casts for money
+aggregates, integer-quantized dot products, ranks instead of raw float
+distances in outputs.  Column names are aliased identically on both
+sides (the driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from . import cells, fixtures
+from .functions import derived
+from .operators import aggregates, filters, spatial
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# 1. Fiona-parity scan/filter/project operators (SURVEY.md section 2.2)
+# ===========================================================================
+
+@register("bbox_filter", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT image_id FROM pts
+WHERE xmax >= -20.0 AND xmin <= 40.0 AND ymax >= -10.0 AND ymin <= 30.0
+""")
+def q_bbox_filter(spark, sf_dir):
+    """Collection.filter(bbox=) envelope test (fiona/ogrext.pyx:1818-1820)."""
+    pts = derived.pts_df(spark, sf_dir)
+    return filters.filter_bbox(pts, (-20.0, -10.0, 40.0, 30.0)).select("image_id")
+
+
+@register("where_filter", """
+SELECT o_orderkey FROM orders
+WHERE o_orderpriority LIKE '1-%' AND o_totalprice > 150000.0
+""")
+def q_where_filter(spark, sf_dir):
+    """OGR-SQL WHERE pushdown (fiona/ogrext.pyx:1830-1840)."""
+    orders = _t(spark, sf_dir, "orders")
+    return filters.filter_where(
+        orders, "o_orderpriority LIKE '1-%' AND o_totalprice > 150000.0"
+    ).select("o_orderkey")
+
+
+@register("bbox_where", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT p.image_id FROM pts p JOIN orders o ON p.image_id = o.o_orderkey
+WHERE p.xmax >= -20.0 AND p.xmin <= 40.0 AND p.ymax >= -10.0 AND p.ymin <= 30.0
+  AND o.o_orderstatus = 'F'
+""")
+def q_bbox_where(spark, sf_dir):
+    """Combined bbox+where (tests/test_collection.py:411-415 pattern)."""
+    pts = derived.pts_df(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("image_id"),
+                                                "o_orderstatus")
+    j = filters.filter_bbox(pts, (-20.0, -10.0, 40.0, 30.0)).join(orders, "image_id")
+    return filters.filter_where(j, "o_orderstatus = 'F'").select("image_id")
+
+
+@register("slice_step", """
+WITH r AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+           FROM orders)
+SELECT o_orderkey FROM r WHERE rn >= 100 AND rn < 1000 AND (rn - 100) % 7 = 0
+""")
+def q_slice_step(spark, sf_dir):
+    """slice(start, stop, step) (fiona/ogrext.pyx:1852-1910)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return filters.slice_rows(orders, 100, 1000, 7, "o_orderkey").select("o_orderkey")
+
+
+@register("fid_access", """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+""")
+def q_fid_access(spark, sf_dir):
+    """Random access by FID (fiona/collection.py:506-533)."""
+    orders = _t(spark, sf_dir, "orders")
+    fid = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    return filters.get_fid(orders, fid, "o_orderkey").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register("calc_column", """
+SELECT o_orderkey,
+       concat(o_orderstatus, '-', CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)) AS o_class
+FROM orders
+""")
+def q_calc_column(spark, sf_dir):
+    """fio calc computed property (fiona/fio/calc.py:19-63)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = filters.calc(
+        orders, "o_class",
+        "concat(o_orderstatus, '-', CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS STRING))")
+    return out.select("o_orderkey", "o_class")
+
+
+@register("keys_projection", """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0
+""")
+def q_keys_projection(spark, sf_dir):
+    """keys() iterator = id projection with column pruning
+    (fiona/collection.py:439-513; pruning ogrext.pyx:895-922)."""
+    orders = _t(spark, sf_dir, "orders")
+    return filters.ignore_fields(
+        filters.filter_where(orders, "o_totalprice > 300000.0"), include=["o_orderkey"])
+
+
+# ===========================================================================
+# 2. Aggregates (SURVEY.md section 2.4)
+# ===========================================================================
+
+@register("count_table", "SELECT count(*) AS n FROM lineitem")
+def q_count_table(spark, sf_dir):
+    """len(collection) (fiona/collection.py:583-590)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("extent_pts", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT min(xmin) AS xmin, min(ymin) AS ymin, max(xmax) AS xmax, max(ymax) AS ymax
+FROM pts
+""")
+def q_extent_pts(spark, sf_dir):
+    """Layer extent (fiona/ogrext.pyx:1145-1155 OGR_L_GetExtent)."""
+    return aggregates.extent(derived.pts_df(spark, sf_dir))
+
+
+@register("bounds_grouped", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT o.o_orderpriority,
+       min(p.xmin) AS xmin, min(p.ymin) AS ymin,
+       max(p.xmax) AS xmax, max(p.ymax) AS ymax
+FROM pts p JOIN orders o ON p.image_id = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q_bounds_grouped(spark, sf_dir):
+    """fio bounds grouped min/max (fiona/fio/bounds.py:44-89)."""
+    pts = derived.pts_df(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("image_id"), "o_orderpriority")
+    return aggregates.bounds_grouped(pts.join(orders, "image_id"), ["o_orderpriority"])
+
+
+@register("distinct_flags", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def q_distinct_flags(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("union_cat", """
+SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+""")
+def q_union_cat(spark, sf_dir):
+    """fio cat concat of datasets (fiona/fio/cat.py:63-139)."""
+    a = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    b = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return a.unionByName(b)
+
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1(spark, sf_dir):
+    """Relational completeness demo: grouped multi-agg.  Money sums go
+    through DECIMAL so they are order-independent (doubles are not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("topk_per_group", """
+WITH r AS (SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+SELECT o_orderpriority, o_orderkey, rnk FROM r WHERE rnk <= 5
+""")
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return (orders.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("o_orderpriority", "o_orderkey", "rnk"))
+
+
+@register("window_tumbling", """
+SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) / 1000000 AS win_start,
+       event_type,
+       count(*) AS n, min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY 1, 2
+""")
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 10-min window agg over the events table — the batch
+    form of the streaming window (SURVEY.md section 2.9); integer-us
+    arithmetic so engine and oracle bucket identically."""
+    ev = _t(spark, sf_dir, "events")
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast interprets them as UTC — matching DuckDB's naive epoch_us
+    return (ev.withColumn(
+        "win_start",
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) "
+               "- unix_micros(CAST(ts AS TIMESTAMP)) % 600000000) / 1000000"))
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+
+
+# ===========================================================================
+# 3. Cell index / tiling (north_rule * operators)
+# ===========================================================================
+
+TILE_RES = 12
+COARSE_RES = 5
+
+
+@register("tile_assign", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT image_id, {cells.cell_id_sql('lng', 'lat', TILE_RES)} AS cell FROM pts
+""")
+def q_tile_assign(spark, sf_dir):
+    """H3/S2-style tile assignment of each point (north_star)."""
+    pts = derived.pts_df(spark, sf_dir)
+    return spatial.with_point_cell(pts, TILE_RES).select("image_id", "cell")
+
+
+@register("tile_parent", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT image_id,
+       {cells.cell_id_sql('lng', 'lat', TILE_RES)} AS cell,
+       {cells.cell_id_sql('lng', 'lat', COARSE_RES)} AS parent_cell
+FROM pts
+""")
+def q_tile_parent(spark, sf_dir):
+    """Hierarchy property: parent(cell, steps) == cell at coarser res.
+    The engine derives the parent FROM the fine cell id (numpy kernel),
+    the oracle recomputes it from coordinates — they must agree."""
+    pts = derived.pts_df(spark, sf_dir)
+    fine = spatial.with_point_cell(pts, TILE_RES)
+
+    @F.pandas_udf(T.LongType())
+    def parent_udf(c: pd.Series) -> pd.Series:
+        return pd.Series(cells.parent(c.to_numpy(np.int64), TILE_RES - COARSE_RES))
+
+    return fine.select("image_id", "cell",
+                       parent_udf("cell").alias("parent_cell"))
+
+
+@register("covering_count", f"""
+WITH zn AS ({derived.ZONES_CTE})
+SELECT zone_key,
+       ({cells.grid_x_sql('xmax', 8)} - {cells.grid_x_sql('xmin', 8)} + 1)
+     * ({cells.grid_y_sql('ymax', 8)} - {cells.grid_y_sql('ymin', 8)} + 1) AS n_cells
+FROM zn
+""")
+def q_covering_count(spark, sf_dir):
+    """cells_covering cardinality (engine enumerates, oracle closed-form)."""
+    zn = derived.zones_rect_df(spark, sf_dir)
+    cov = spatial.with_covering_cells(zn.select("zone_key", "xmin", "ymin", "xmax", "ymax"), 8)
+    return cov.groupBy("zone_key").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+@register("hot_cells", f"""
+WITH pts AS ({derived.PTS_CTE}),
+c AS (SELECT {cells.cell_id_sql('lng', 'lat', 3)} AS cell FROM pts)
+SELECT cell, count(*) AS n FROM c GROUP BY cell
+HAVING count(*) > (SELECT count(*) FROM orders) / 100
+""")
+def q_hot_cells(spark, sf_dir):
+    """Skew detector: per-cell histogram, threshold relative to total
+    (SURVEY.md section 2.4 per-cell stats -> salting decision)."""
+    pts = derived.pts_df(spark, sf_dir)
+    total = _t(spark, sf_dir, "orders").count()
+    p = spatial.with_point_cell(pts, 3)
+    return (p.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > total / 100))
+
+
+# ===========================================================================
+# 4. Spatial joins (SURVEY.md section 2.3, all * north_rule operators)
+# ===========================================================================
+
+@register("cell_equijoin", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE})
+SELECT p.image_id, z.zone_key
+FROM (SELECT image_id, {cells.cell_id_sql('lng', 'lat', COARSE_RES)} AS cell FROM pts) p
+JOIN (SELECT zone_key, {cells.cell_id_sql('clng', 'clat', COARSE_RES)} AS cell FROM zn) z
+USING (cell)
+""")
+def q_cell_equijoin(spark, sf_dir):
+    """Spatial equi-join on shared cell id — the set-oriented form of
+    per-polygon filter(bbox=) (fiona/ogrext.pyx:1818-1820)."""
+    pts = spatial.with_point_cell(derived.pts_df(spark, sf_dir), COARSE_RES)
+    zn = spatial.with_point_cell(derived.zones_rect_df(spark, sf_dir), COARSE_RES,
+                                 "clng", "clat")
+    return (pts.select("image_id", "cell")
+            .join(F.broadcast(zn.select("zone_key", "cell")), "cell")
+            .select("image_id", "zone_key"))
+
+
+@register("pip_join_rects", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE})
+SELECT p.image_id, z.zone_key
+FROM pts p JOIN zn z
+  ON p.lng >= z.xmin AND p.lng < z.xmax AND p.lat >= z.ymin AND p.lat < z.ymax
+""")
+def q_pip_join_rects(spark, sf_dir):
+    """Exact point-in-polygon join, polygon side = rectangles whose SQL
+    truth is the half-open containment test (the engine's ray-cast is
+    half-open on rectangles: [xmin,xmax) x [ymin,ymax))."""
+    pts = derived.pts_df(spark, sf_dir)
+    zn = derived.zones_rect_df(spark, sf_dir)
+    return spatial.pip_join(pts, zn, res=6, point_cols=("image_id",),
+                            zone_cols=("zone_key",))
+
+
+@register("range_join", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE})
+SELECT p.image_id, z.zone_key
+FROM pts p JOIN zn z
+  ON p.xmax >= z.xmin AND p.xmin <= z.xmax AND p.ymax >= z.ymin AND p.ymin <= z.ymax
+""")
+def q_range_join(spark, sf_dir):
+    """bbox x bbox intersects join with reference-point dedup."""
+    pts = derived.pts_df(spark, sf_dir)
+    zn = derived.zones_rect_df(spark, sf_dir)
+    return spatial.range_join(pts, zn, res=6, a_cols=("image_id",),
+                              b_cols=("zone_key",))
+
+
+@register("knn_join", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE}),
+d AS (SELECT p.image_id, z.zone_key,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY sqrt((p.lng - z.clng) * (p.lng - z.clng)
+                           + (p.lat - z.clat) * (p.lat - z.clat)), z.zone_key
+             ) AS knn_rank
+      FROM pts p CROSS JOIN zn z)
+SELECT image_id, zone_key, knn_rank FROM d WHERE knn_rank <= 3
+""")
+def q_knn_join(spark, sf_dir):
+    """kNN join via cell-disk + exact fallback vs brute-force oracle."""
+    pts = derived.pts_df(spark, sf_dir)
+    zn = derived.zones_rect_df(spark, sf_dir)
+    return spatial.knn_join(pts, zn, k=3, point_key="image_id", zone_key="zone_key")
+
+
+@register("spatial_semi", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE})
+SELECT p.image_id FROM pts p WHERE EXISTS (
+  SELECT 1 FROM zn z
+  WHERE p.lng >= z.xmin AND p.lng < z.xmax AND p.lat >= z.ymin AND p.lat < z.ymax)
+""")
+def q_spatial_semi(spark, sf_dir):
+    pts = derived.pts_df(spark, sf_dir)
+    zn = derived.zones_rect_df(spark, sf_dir)
+    return spatial.spatial_semi_join(pts, zn, res=6, point_cols=("image_id",),
+                                     zone_cols=("zone_key",)).select("image_id")
+
+
+@register("spatial_anti", f"""
+WITH pts AS ({derived.PTS_CTE}), zn AS ({derived.ZONES_CTE})
+SELECT p.image_id FROM pts p WHERE NOT EXISTS (
+  SELECT 1 FROM zn z
+  WHERE p.lng >= z.xmin AND p.lng < z.xmax AND p.lat >= z.ymin AND p.lat < z.ymax)
+""")
+def q_spatial_anti(spark, sf_dir):
+    pts = derived.pts_df(spark, sf_dir)
+    zn = derived.zones_rect_df(spark, sf_dir)
+    return spatial.spatial_anti_join(pts, zn, res=6, point_cols=("image_id",),
+                                     zone_cols=("zone_key",)).select("image_id")
+
+
+# ===========================================================================
+# 5. Canonical image+zone fixtures (input_hint table; real polygons)
+# ===========================================================================
+
+def _canon_paths():
+    return fixtures.ensure_canon()
+
+
+def _canon_pip_sql() -> str:
+    """Point-in-CONVEX-polygon in pure SQL: all edge cross-products
+    non-negative (zones are CCW-convex by construction), with +/-360
+    longitude shifts for antimeridian stradders.  An algorithm
+    deliberately different from the engine's ray-cast — agreement on
+    2000x67 pairs is strong evidence both are right."""
+    def inside(shift):
+        return f"""(len(list_filter(range(1, len(z.xs) + 1), i ->
+          ((z.xs[(i % len(z.xs)) + 1] - z.xs[i]) * (p.lat - z.ys[i])
+           - ((p.lng + {shift}) - z.xs[i]) * (z.ys[(i % len(z.ys)) + 1] - z.ys[i])) < 0.0)) = 0)"""
+    img, zon = _canon_paths()
+    return f"""
+WITH p AS (SELECT image_id, lng, lat FROM read_parquet('{img}')),
+z AS (SELECT zone_id, xs, ys FROM read_parquet('{zon}'))
+SELECT p.image_id, z.zone_id
+FROM p, z
+WHERE {inside('0.0')} OR {inside('360.0')} OR {inside('-360.0')}
+"""
+
+
+@register("pip_images")
+def q_pip_images(spark, sf_dir):
+    """Flagship PIP join on the canonical image+caption fixture."""
+    img, zon = _canon_paths()
+    images = spark.read.parquet(img)
+    zones = spark.read.parquet(zon)
+    return spatial.pip_join(images, zones, res=6)
+
+
+ORACLES["pip_images"] = None  # filled at import bottom (needs paths)
+
+
+@register("knn_images")
+def q_knn_images(spark, sf_dir):
+    img, zon = _canon_paths()
+    return spatial.knn_join(spark.read.parquet(img), spark.read.parquet(zon), k=3)
+
+
+@register("tiles_images")
+def q_tiles_images(spark, sf_dir):
+    """Footprint -> covering-cells tile assignment on the canon fixture
+    (non-wrapping footprints; wrap path covered by pip_images + pytest)."""
+    img, _ = _canon_paths()
+    images = (spark.read.parquet(img)
+              .filter((F.col("xmin") >= -180.0) & (F.col("xmax") <= 180.0)))
+    return (spatial.with_covering_cells(
+        images.select("image_id", "xmin", "ymin", "xmax", "ymax"), 9)
+        .select("image_id", "cell"))
+
+
+@register("extent_images")
+def q_extent_images(spark, sf_dir):
+    img, _ = _canon_paths()
+    return aggregates.extent(spark.read.parquet(img))
+
+
+def _late_oracles():
+    img, zon = _canon_paths()
+    ORACLES["pip_images"] = _canon_pip_sql()
+    ORACLES["knn_images"] = f"""
+WITH p AS (SELECT image_id, lng, lat FROM read_parquet('{img}')),
+z AS (SELECT zone_id, clng, clat FROM read_parquet('{zon}')),
+d AS (SELECT p.image_id, z.zone_id,
+             row_number() OVER (
+               PARTITION BY p.image_id
+               ORDER BY sqrt((p.lng - z.clng) * (p.lng - z.clng)
+                           + (p.lat - z.clat) * (p.lat - z.clat)), z.zone_id
+             ) AS knn_rank
+      FROM p CROSS JOIN z)
+SELECT image_id, zone_id, knn_rank FROM d WHERE knn_rank <= 3
+"""
+    base = 9 * cells.RES_SHIFT
+    n = 1 << 9
+    ORACLES["tiles_images"] = f"""
+WITH i AS (SELECT image_id, xmin, ymin, xmax, ymax FROM read_parquet('{img}')
+           WHERE xmin >= -180.0 AND xmax <= 180.0)
+SELECT image_id,
+       unnest(flatten(list_transform(
+         range({cells.grid_x_sql('xmin', 9)}, {cells.grid_x_sql('xmax', 9)} + 1),
+         xi -> list_transform(
+           range({cells.grid_y_sql('ymin', 9)}, {cells.grid_y_sql('ymax', 9)} + 1),
+           yi -> {base} + yi * {n} + xi)))) AS cell
+FROM i
+"""
+    ORACLES["extent_images"] = f"""
+SELECT min(xmin) AS xmin, min(ymin) AS ymin, max(xmax) AS xmax, max(ymax) AS ymax
+FROM read_parquet('{img}')
+"""
+
+
+# ===========================================================================
+# 6. Text / dedup / similarity (training-data pipeline ops)
+# ===========================================================================
+
+@register("token_count", """
+SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .alias("n_tokens"))
+
+
+@register("quality_score", """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
+FROM documents
+""")
+def q_quality_score(spark, sf_dir):
+    """Text quality features via pure length arithmetic (identical in
+    both engines; no tokenizer divergence possible)."""
+    docs = _t(spark, sf_dir, "documents")
+    no_sp = F.length(F.replace(F.col("text"), F.lit(" ")))
+    n_tok = F.length("text") - no_sp + 1
+    n_the = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        n_the.cast("long").alias("n_the"),
+        (no_sp.cast("double") / n_tok).alias("avg_word_len"))
+
+
+@register("langid_heur", """
+SELECT doc_id,
+       CASE WHEN (length(text) - length(replace(text, ' the ', ''))) / 5 >= 2
+            THEN 'en-like' ELSE 'other' END AS lang_guess
+FROM documents
+""")
+def q_langid_heur(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_the = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    return docs.select(
+        "doc_id",
+        F.when(n_the >= 2, F.lit("en-like")).otherwise(F.lit("other")).alias("lang_guess"))
+
+
+@register("dedup_exact", """
+SELECT substr(text, 1, 30) AS k, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content key: hash-groupBy, keep min id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.substring("text", 1, 30).alias("k"))
+            .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups")))
+
+
+@register("shingle_pairs", """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 150
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM tok WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.ninter,
+       CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+             JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.ninter >= 2
+""")
+def q_shingle_pairs(spark, sf_dir):
+    """n-gram (word 3-shingle) Jaccard near-dup candidate pairs."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 150")
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 3)
+    sh = tok.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 3), "
+            "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a"); b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("ninter"))
+             .filter(F.col("ninter") >= 2))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "ninter",
+                    (F.col("ninter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("ninter"))).alias("jaccard")))
+
+
+@register("embed_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+d AS (SELECT q.qid, c.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1000.0) AS BIGINT)
+                  * CAST(floor(CAST(c.ce[i] AS DOUBLE) * 1000.0) AS BIGINT))) AS BIGINT) AS qdot
+      FROM q CROSS JOIN c),
+r AS (SELECT qid, cid, qdot,
+             row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS rnk
+      FROM d)
+SELECT qid, cid, qdot, rnk FROM r WHERE rnk <= 10
+""")
+def q_embed_topk(spark, sf_dir):
+    """Brute-force similarity top-k over the embedding column.  The dot
+    product is integer-quantized (floor(x*1000)) so the score — and
+    therefore the ranking — is order-independent and bit-identical
+    across engines; JVM-side zip_with/aggregate, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"),
+                                        F.col("embedding").alias("qe"))
+    c = emb.filter("vec_id >= 5").select(F.col("vec_id").alias("cid"),
+                                         F.col("embedding").alias("ce"))
+    qdot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)"
+        " * CAST(floor(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    d = q.crossJoin(F.broadcast(c)).select("qid", "cid", qdot.alias("qdot"))
+    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
+    return (d.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10).select("qid", "cid", "qdot", "rnk"))
+
+
+_late_oracles()

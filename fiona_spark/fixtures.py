@@ -1,0 +1,242 @@
+"""Deterministic synthetic fixtures (FIXTURES.md), generated in-engine.
+
+Two tables, reproducible bit-for-bit from seed=42 at any scale:
+
+* ``images`` — the north-star input (BASELINE.json input_hint):
+  ``(image_id string, bytes binary, w int, h int, fmt string,
+  caption string, phash bigint)`` + derived footprint geometry
+  ``(lng, lat, xmin, ymin, xmax, ymax)``.  Payload bytes are real
+  encoded pixels (fiona_spark.codec formats).  5% of rows are clamped
+  into one hot 1x1-degree cell to exercise skew handling.
+
+* ``zones`` — polygon layer mirroring the reference's canonical
+  ``coutwildrnp.shp`` fixture (67 polygons, 10 properties with Fiona's
+  exact schema strings, `/root/reference/tests/test_collection.py:161-167`):
+  convex polygons (vertices on an ellipse, 8-32 verts), same property
+  names/types, "Mount ..." NAME prefixes so the reference's
+  ``where="NAME LIKE 'Mount%'"`` tests port over; two zones straddle
+  the antimeridian.
+
+Generation is itself a Spark job (``mapInPandas`` over ``spark.range``)
+so the 100 TB-scale story — synthesize/ingest in parallel, never
+through the driver — holds even for fixtures; a single-node pandas path
+shares the same per-row code for oracle use.
+
+Lossy format note: FIXTURES.md sketched ``q4``; 4-bit quantization
+cannot meet the PSNR>=40dB gate (~34dB by construction), so the lossy
+fixture format is ``q6`` (~46dB).  ``q4`` stays in the codec as the
+below-gate negative-test format.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import codec, geom
+
+SEED = 42
+PHI = 137.50776405003785      # golden-angle low-discrepancy steppers
+PHI2 = 73.17234262469423
+ZPHI = 222.49223594996215
+ZPHI2 = 51.7423103442069
+HOT_LNG, HOT_LAT = 10.0, 45.0   # 1x1-degree hot cell (skew injection)
+FMTS = ("raw", "rle", "q6")
+SIZES = np.array([16, 32, 64])
+
+IMAGE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                 "lng", "lat", "xmin", "ymin", "xmax", "ymax"]
+
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+                 "caption string, phash long, lng double, lat double, "
+                 "xmin double, ymin double, xmax double, ymax double")
+
+ZONE_NAMES = ["Rawah", "Comanche Peak", "Neota", "Cache La Poudre", "Indian Peaks",
+              "Sarvis Creek", "Never Summer", "Mount Zirkel", "Byers Peak", "Vasquez Peak"]
+ZONE_STATES = [("CO", "08"), ("UT", "49"), ("WY", "56"), ("NM", "35"), ("AZ", "04")]
+ZONE_AGBUR = ["FS", "BLM", "NPS"]
+
+ZONES_SCHEMA = ("zone_id string, xs array<double>, ys array<double>, "
+                "xmin double, ymin double, xmax double, ymax double, "
+                "clng double, clat double, "
+                "PERIMETER double, FEATURE2 string, NAME string, FEATURE1 string, "
+                "URL string, AGBUR string, AREA double, STATE_FIPS string, "
+                "STATE string, WILDRNP020 long")
+
+
+def n_images(sf: float) -> int:
+    return int(round(sf * 1_000_000))
+
+
+def n_zones(sf: float) -> int:
+    return max(67, int(round(67 * sf * 1000)))
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+def gen_image(i: int) -> dict:
+    """One image row; the single source of truth for row ``i``."""
+    rng = np.random.default_rng(SEED + i)
+    w = int(SIZES[rng.integers(0, 3)])
+    h = int(SIZES[rng.integers(0, 3)])
+    fmt = FMTS[i % 3]
+    cx = rng.uniform(0.2, 1.0, 3)
+    noise = rng.integers(0, 25, (h, w, 3))
+    ramp_x = np.linspace(0.0, 230.0, w)
+    ramp_y = np.linspace(0.0, 230.0, h)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for ch in range(3):
+        img[:, :, ch] = np.clip(
+            ramp_x[None, :] * cx[ch] + ramp_y[:, None] * (1.0 - cx[ch]) + noise[:, :, ch],
+            0, 255)
+    data = codec.encode(img, fmt)
+    # phash over DECODED pixels: lossy rows hash what a reader decodes,
+    # so recomputation from the payload always matches the stored value
+    ph = codec.phash64(codec.decode(data, fmt, w, h))
+    if i % 20 == 0:   # 5% skew: clamp into the hot cell
+        lng = HOT_LNG + (i * PHI) % 1.0
+        lat = HOT_LAT + (i * PHI2) % 1.0
+    else:
+        lng = -180.0 + (i * PHI) % 360.0
+        lat = -60.0 + (i * PHI2) % 120.0
+    half_w = rng.uniform(0.01, 0.5)
+    half_h = rng.uniform(0.01, 0.5)
+    return {
+        "image_id": f"img{i:010d}", "bytes": data, "w": w, "h": h, "fmt": fmt,
+        "caption": f"caption for img{i} class={i % 17}", "phash": ph,
+        "lng": lng, "lat": lat,
+        "xmin": lng - half_w, "ymin": lat - half_h,
+        "xmax": lng + half_w, "ymax": lat + half_h,
+    }
+
+
+def gen_images_pdf(start: int, stop: int) -> pd.DataFrame:
+    rows = [gen_image(i) for i in range(start, stop)]
+    return pd.DataFrame(rows, columns=IMAGE_COLUMNS)
+
+
+def images_df(spark, n: int):
+    """Distributed generation: spark.range -> mapInPandas batches."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame([gen_image(int(i)) for i in ids],
+                               columns=IMAGE_COLUMNS)
+    parts = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# zones
+# ---------------------------------------------------------------------------
+
+def gen_zone(j: int, antimeridian: bool = False) -> dict:
+    rng = np.random.default_rng(10_000_000 + SEED + j)
+    if j == 0:
+        # zone 0 always covers the hot cell: the fixture's skewed 5% of
+        # images have a containing polygon, so the PIP join itself is
+        # skewed (not just the cell histogram)
+        clng, clat = HOT_LNG + 0.5, HOT_LAT + 0.5
+    elif antimeridian:
+        clng = 179.9 if j % 2 == 0 else -179.9
+        clat = -50.0 + (j * ZPHI2) % 100.0
+    else:
+        clng = -180.0 + (j * ZPHI) % 360.0
+        clat = -55.0 + (j * ZPHI2) % 110.0
+    nv = int(rng.integers(8, 33))
+    r1 = 2.0 if j == 0 else rng.uniform(0.3, 3.0)
+    r2 = 2.0 if j == 0 else rng.uniform(0.3, 3.0)
+    angles = np.sort(rng.uniform(0.0, 2.0 * np.pi, nv))
+    xs = clng + r1 * np.cos(angles)     # points on an ellipse => convex
+    ys = np.clip(clat + r2 * np.sin(angles), -89.9, 89.9)
+    name_base = ZONE_NAMES[j % len(ZONE_NAMES)]
+    name = f"Mount {name_base}" if j % 3 == 0 else f"{name_base} Wilderness"
+    state, fips = ZONE_STATES[j % len(ZONE_STATES)]
+    return {
+        "zone_id": f"z{j:06d}",
+        "xs": xs, "ys": ys,
+        "xmin": float(xs.min()), "ymin": float(ys.min()),
+        "xmax": float(xs.max()), "ymax": float(ys.max()),
+        "clng": clng, "clat": clat,
+        "PERIMETER": geom.ring_length(xs, ys),
+        "FEATURE2": None if j % 7 == 0 else "Wilderness",
+        "NAME": name,
+        "FEATURE1": "Wilderness",
+        "URL": f"http://example.com/zone/{j}",
+        "AGBUR": ZONE_AGBUR[j % 3],
+        "AREA": geom.shoelace_area(xs, ys),
+        "STATE_FIPS": fips,
+        "STATE": state,
+        "WILDRNP020": j,
+    }
+
+
+def gen_zones_pdf(n: int) -> pd.DataFrame:
+    # two fixed antimeridian stradders (FIXTURES.md), rest regular
+    rows = [gen_zone(j, antimeridian=(j in (13, 27))) for j in range(n)]
+    return pd.DataFrame(rows)
+
+
+def zones_df(spark, n: int):
+    pdf = gen_zones_pdf(n)
+    return spark.createDataFrame(pdf, schema=ZONES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# parquet cache
+# ---------------------------------------------------------------------------
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".fixtures")
+
+
+def images_path(spark, sf: float, cache_dir: str | None = None) -> str:
+    """Materialize (once) and return the parquet path for images at sf."""
+    d = cache_dir or _CACHE
+    path = os.path.join(d, f"images_sf{sf}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_df(spark, n_images(sf)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def zones_path(spark, sf: float, cache_dir: str | None = None) -> str:
+    d = cache_dir or _CACHE
+    path = os.path.join(d, f"zones_sf{sf}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        zones_df(spark, n_zones(sf)).write.mode("overwrite").parquet(path)
+    return path
+
+
+# Canonical correctness-scale fixtures, written as single parquet files
+# with plain pyarrow (no Spark needed) so BOTH the Spark queries and the
+# DuckDB oracle SQL can read the identical bytes.
+CANON_N_IMAGES = 2000
+CANON_N_ZONES = 67
+
+
+def ensure_canon(cache_dir: str | None = None) -> tuple[str, str]:
+    """Materialize the canonical images/zones fixtures; return paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    img_path = os.path.join(d, "canon_images.parquet")
+    zone_path = os.path.join(d, "canon_zones.parquet")
+    if not os.path.exists(img_path):
+        pdf = gen_images_pdf(0, CANON_N_IMAGES)
+        tmp = img_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, img_path)
+    if not os.path.exists(zone_path):
+        zdf = gen_zones_pdf(CANON_N_ZONES)
+        zdf = zdf.assign(xs=[list(map(float, v)) for v in zdf["xs"]],
+                         ys=[list(map(float, v)) for v in zdf["ys"]])
+        tmp = zone_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(zdf, preserve_index=False), tmp)
+        os.replace(tmp, zone_path)
+    return img_path, zone_path

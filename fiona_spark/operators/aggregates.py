@@ -1,0 +1,99 @@
+"""Aggregate operators: count, extent, grouped bounds, info, reduce.
+
+Set-oriented forms of the reference's layer-level aggregates:
+``len(collection)`` (`fiona/collection.py:583-590`), layer extent
+(`fiona/ogrext.pyx:1145-1155` OGR_L_GetExtent), per-feature bounds
+(`fiona/ogrext.pyx:175-194`), ``fio bounds`` grouped min/max
+(`fiona/fio/bounds.py:44-89`), ``fio info`` summary
+(`fiona/fio/info.py:42-78`), and the ``fio reduce`` dissolve
+(`fiona/features.py:282-316`).
+
+Parquet row-group statistics make count/extent near-metadata-only —
+the Catalyst analogue of OGR's FASTFEATURECOUNT / FASTGETEXTENT
+capability fast paths (`fiona/ogrext.pyx:56-71`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import geom
+from ..errors import ReduceError
+
+
+def count(df: DataFrame) -> int:
+    return df.count()
+
+
+def extent(df: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> DataFrame:
+    """Layer bbox as a single row (xmin, ymin, xmax, ymax)."""
+    x0, y0, x1, y1 = bbox_cols
+    return df.agg(F.min(x0).alias("xmin"), F.min(y0).alias("ymin"),
+                  F.max(x1).alias("xmax"), F.max(y1).alias("ymax"))
+
+
+def bounds_grouped(df: DataFrame, keys, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> DataFrame:
+    """``fio bounds`` without --explode: min/max per group."""
+    x0, y0, x1, y1 = bbox_cols
+    return df.groupBy(*keys).agg(
+        F.min(x0).alias("xmin"), F.min(y0).alias("ymin"),
+        F.max(x1).alias("xmax"), F.max(y1).alias("ymax"))
+
+
+def feature_bounds(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """Per-feature bounds from coordinate arrays (`fiona.bounds`,
+    `fiona/__init__.py:654-659`) — JVM-side array min/max, no UDF."""
+    return (df.withColumn("xmin", F.array_min(xs))
+            .withColumn("ymin", F.array_min(ys))
+            .withColumn("xmax", F.array_max(xs))
+            .withColumn("ymax", F.array_max(ys)))
+
+
+def info(df: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> dict:
+    """``fio info``-style one-record summary: count, bounds, schema."""
+    row = (df.agg(F.count(F.lit(1)).alias("count"),
+                  F.min(bbox_cols[0]).alias("xmin"), F.min(bbox_cols[1]).alias("ymin"),
+                  F.max(bbox_cols[2]).alias("xmax"), F.max(bbox_cols[3]).alias("ymax"))
+           .collect()[0])
+    return {"count": row["count"],
+            "bounds": (row["xmin"], row["ymin"], row["xmax"], row["ymax"]),
+            "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields}}
+
+
+def dissolve_union(df: DataFrame, xs: str = "xs", ys: str = "ys") -> tuple:
+    """``fio reduce '(unary_union c)'`` equivalent: dissolve all polygons
+    to one geometry.
+
+    Two-stage hierarchical union (partial per partition, final on the
+    driver over the few partial hulls) — the treeAggregate shape from
+    SURVEY.md section 2.4.  Uses convex hulls (engine has no general
+    polygon clipper); exactness is asserted for disjoint/convex inputs
+    in tests.  Raises ReduceError on empty input, mirroring the
+    single-value contract (`fiona/features.py:282-316`).
+    """
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
+            py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
+            hx, hy = geom.convex_hull(px, py)
+            yield pd.DataFrame({"hx": [hx.tolist()], "hy": [hy.tolist()]})
+
+    parts = df.select(xs, ys).mapInPandas(partial, "hx array<double>, hy array<double>").collect()
+    if not parts:
+        raise ReduceError("reduce over empty collection")
+    px = np.concatenate([np.asarray(r["hx"]) for r in parts])
+    py = np.concatenate([np.asarray(r["hy"]) for r in parts])
+    return geom.convex_hull(px, py)
+
+
+def collect_geometries(df: DataFrame, keys, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """N geometries -> one GeometryCollection-style row per key
+    (`fiona/features.py:45-58` collect)."""
+    return df.groupBy(*keys).agg(
+        F.collect_list(xs).alias("xs_list"),
+        F.collect_list(ys).alias("ys_list"),
+        F.count(F.lit(1)).alias("n_parts"))

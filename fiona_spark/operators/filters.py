@@ -1,0 +1,135 @@
+"""Scan-side operators: bbox/where/mask filters, slice, FID access.
+
+Set-oriented re-expression of Fiona's ``Collection.filter(bbox=, where=,
+mask=)`` and slicing (`fiona/collection.py:406-437`, iterator window
+`fiona/ogrext.pyx:1852-1978`).  All predicates are plain Catalyst
+expressions so Parquet min/max pushdown and column pruning apply — the
+declarative analogue of OGR's ``SetSpatialFilterRect`` /
+``SetAttributeFilter`` / ``SetIgnoredFields`` pushdowns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .. import geom
+from ..errors import AttributeFilterError
+
+
+def filter_bbox(df: DataFrame, bbox, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> DataFrame:
+    """Keep rows whose envelope intersects (w, s, e, n).
+
+    Envelope-test semantics identical to OGR_L_SetSpatialFilterRect
+    (`fiona/ogrext.pyx:1818-1820`): may overmatch the true geometry,
+    never undermatch.
+    """
+    w, s, e, n = bbox
+    x0, y0, x1, y1 = bbox_cols
+    return df.filter((F.col(x1) >= w) & (F.col(x0) <= e)
+                     & (F.col(y1) >= s) & (F.col(y0) <= n))
+
+
+def filter_point_bbox(df: DataFrame, bbox, lng: str = "lng", lat: str = "lat") -> DataFrame:
+    """bbox filter for point features (degenerate envelopes)."""
+    w, s, e, n = bbox
+    return df.filter((F.col(lng) >= w) & (F.col(lng) <= e)
+                     & (F.col(lat) >= s) & (F.col(lat) <= n))
+
+
+def filter_where(df: DataFrame, where: str) -> DataFrame:
+    """SQL WHERE-string filter.
+
+    Spark SQL is a superset of the OGR SQL WHERE dialect Fiona passes
+    through (`fiona/ogrext.pyx:1830-1840`).  Invalid expressions raise
+    AttributeFilterError, mirroring Fiona's error contract
+    (`fiona/collection.py:431-436`).
+    """
+    try:
+        cond = F.expr(where)
+        return df.filter(cond)
+    except Exception as exc:  # Spark raises ParseException subclasses
+        raise AttributeFilterError(f"invalid where clause: {where!r}: {exc}") from exc
+
+
+def filter_mask(df: DataFrame, mask_xs, mask_ys, lng: str = "lng", lat: str = "lat",
+                exact: bool = False) -> DataFrame:
+    """Filter by an arbitrary polygon.
+
+    ``exact=False`` reproduces the reference's documented behavior —
+    "may be inaccurate: worst case the geometry's envelope is used"
+    (`fiona/collection.py:416-417`).  ``exact=True`` refines with the
+    vectorized PIP kernel (envelope prefilter first, so the UDF only
+    sees candidates).
+    """
+    xs = np.asarray(mask_xs, np.float64)
+    ys = np.asarray(mask_ys, np.float64)
+    env = filter_point_bbox(df, (xs.min(), ys.min(), xs.max(), ys.max()), lng, lat)
+    if not exact:
+        return env
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(px: pd.Series, py: pd.Series) -> pd.Series:
+        return pd.Series(geom.points_in_polygon(px.to_numpy(np.float64),
+                                                py.to_numpy(np.float64), xs, ys))
+
+    return env.filter(pip(lng, lat))
+
+
+def slice_rows(df: DataFrame, start=None, stop=None, step=None,
+               order_by: str = "id") -> DataFrame:
+    """Deterministic slice with start/stop/step.
+
+    Fiona slices the driver's FID order (`fiona/ogrext.pyx:1852-1910`);
+    a distributed table has no storage order, so the contract here is
+    an explicit ``order_by`` column.  Negative indices require a total
+    count — same as the reference's force-count for negative slices
+    (`fiona/ogrext.pyx:1862-1877`).
+    """
+    step = 1 if step is None else int(step)
+    if step <= 0:
+        raise ValueError("only positive step supported in set-oriented slicing")
+    start_i = 0 if start is None else int(start)
+    stop_i = stop if stop is None else int(stop)
+    if start_i < 0 or (stop_i is not None and stop_i < 0):
+        total = df.count()
+        if start_i < 0:
+            start_i = max(0, total + start_i)
+        if stop_i is not None and stop_i < 0:
+            stop_i = total + stop_i
+    w = Window.orderBy(order_by)
+    out = df.withColumn("_rn", F.row_number().over(w) - 1)
+    cond = (F.col("_rn") >= start_i) & (((F.col("_rn") - start_i) % step) == 0)
+    if stop_i is not None:
+        cond = cond & (F.col("_rn") < stop_i)
+    return out.filter(cond).drop("_rn")
+
+
+def get_fid(df: DataFrame, fid, id_col: str = "id") -> DataFrame:
+    """Random access by FID (`fiona/collection.py:506-533`)."""
+    return df.filter(F.col(id_col) == fid)
+
+
+def contains_fid(df: DataFrame, fid, id_col: str = "id") -> bool:
+    """``fid in collection`` (`fiona/ogrext.pyx:1164-1230`)."""
+    return df.filter(F.col(id_col) == fid).limit(1).count() > 0
+
+
+def calc(df: DataFrame, name: str, expr: str, overwrite: bool = False) -> DataFrame:
+    """``fio calc``: add a computed property; refuse silent overwrite
+    unless flagged (`fiona/fio/calc.py:19-63`)."""
+    if name in df.columns and not overwrite:
+        raise ValueError(f"column {name!r} exists; pass overwrite=True (fio calc contract)")
+    return df.withColumn(name, F.expr(expr))
+
+
+def ignore_fields(df: DataFrame, ignore=None, include=None) -> DataFrame:
+    """Column pruning pushdown (`fiona/ogrext.pyx:895-922`): Catalyst
+    prunes the parquet scan to the selected columns."""
+    if include is not None:
+        return df.select(*include)
+    if ignore:
+        keep = [c for c in df.columns if c not in set(ignore)]
+        return df.select(*keep)
+    return df

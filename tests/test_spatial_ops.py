@@ -1,0 +1,273 @@
+"""Spatial operators vs eager numpy oracles (Fiona featureRT analogue:
+same kernels run single-node in pandas, SURVEY.md section 5.3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fiona_spark import cells, fixtures, geom
+from fiona_spark.operators import aggregates, filters, spatial
+
+N_IMG = 400
+N_ZONES = 45
+RES = 6
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return fixtures.gen_images_pdf(0, N_IMG)
+
+
+@pytest.fixture(scope="module")
+def zones_pdf():
+    return fixtures.gen_zones_pdf(N_ZONES)
+
+
+@pytest.fixture(scope="module")
+def images(spark, images_pdf):
+    return spark.createDataFrame(images_pdf, schema=fixtures.IMAGES_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def zones(spark, zones_pdf):
+    return spark.createDataFrame(zones_pdf, schema=fixtures.ZONES_SCHEMA).cache()
+
+
+def _pip_oracle(images_pdf, zones_pdf):
+    """Brute-force point-in-polygon pairs with antimeridian wrap."""
+    out = set()
+    px = images_pdf.lng.to_numpy()
+    py = images_pdf.lat.to_numpy()
+    for z in zones_pdf.itertuples(index=False):
+        xs = np.asarray(z.xs); ys = np.asarray(z.ys)
+        inside = np.zeros(len(px), dtype=bool)
+        for shift in (0.0, 360.0, -360.0):
+            inside |= geom.points_in_polygon(px + shift, py, xs, ys)
+        for i in np.flatnonzero(inside):
+            out.add((images_pdf.image_id.iloc[i], z.zone_id))
+    return out
+
+
+def test_pip_join_matches_oracle(spark, images, zones, images_pdf, zones_pdf):
+    got = set(map(tuple, spatial.pip_join(images, zones, res=RES)
+                  .collect()))
+    exp = _pip_oracle(images_pdf, zones_pdf)
+    assert got == exp
+    assert len(exp) > 20  # non-trivial overlap in the fixture
+
+
+def test_pip_join_salted_same_result(spark, images, zones, images_pdf, zones_pdf):
+    got = set(map(tuple, spatial.pip_join(images, zones, res=RES,
+                                          broadcast_zones=False, salt=4,
+                                          hot_threshold=5).collect()))
+    assert got == _pip_oracle(images_pdf, zones_pdf)
+
+
+def test_semi_anti_partition(spark, images, zones):
+    n_semi = spatial.spatial_semi_join(images, zones, res=RES).count()
+    n_anti = spatial.spatial_anti_join(images, zones, res=RES).count()
+    assert n_semi + n_anti == N_IMG
+    assert 0 < n_semi < N_IMG
+
+
+def test_range_join_matches_oracle(spark, images, zones, images_pdf, zones_pdf):
+    got = spatial.range_join(images, zones, res=RES).collect()
+    got_set = set(map(tuple, got))
+    # reference-point dedup must produce NO duplicates
+    assert len(got) == len(got_set)
+    exp = set()
+    for img in images_pdf.itertuples(index=False):
+        for z in zones_pdf.itertuples(index=False):
+            if (img.xmax >= z.xmin and img.xmin <= z.xmax
+                    and img.ymax >= z.ymin and img.ymin <= z.ymax):
+                exp.add((img.image_id, z.zone_id))
+    assert got_set == exp
+
+
+def test_knn_matches_bruteforce(spark, images, zones, images_pdf, zones_pdf):
+    k = 3
+    got = spatial.knn_join(images, zones, k=k).toPandas()
+    exp_rows = set()
+    for img in images_pdf.itertuples(index=False):
+        d = np.sqrt((img.lng - zones_pdf.clng.to_numpy()) ** 2
+                    + (img.lat - zones_pdf.clat.to_numpy()) ** 2)
+        order = np.lexsort((zones_pdf.zone_id.to_numpy(), d))
+        for rank, j in enumerate(order[:k], start=1):
+            exp_rows.add((img.image_id, zones_pdf.zone_id.iloc[j], rank))
+    assert set(map(tuple, got.itertuples(index=False))) == exp_rows
+    assert len(got) == N_IMG * k
+
+
+def test_with_point_cell_matches_numpy(spark, images, images_pdf):
+    got = (spatial.with_point_cell(images, 9).orderBy("image_id")
+           .select("cell").toPandas()["cell"].to_numpy())
+    exp = cells.cell_id(images_pdf.lng.to_numpy(), images_pdf.lat.to_numpy(), 9)
+    assert (got == exp).all()
+
+
+def test_covering_cells_roundtrip(spark, zones, zones_pdf):
+    got = (spatial.with_covering_cells(zones.select("zone_id", "xmin", "ymin", "xmax", "ymax"), 6)
+           .groupBy("zone_id").count().orderBy("zone_id").toPandas())
+    for _, r in got.iterrows():
+        j = int(r.zone_id[1:])
+        z = zones_pdf.iloc[j]
+        if z.xmax > 180.0 or z.xmin < -180.0:
+            continue  # wrapped zones covered by dedicated test
+        exp = cells.covering_counts(np.array([z.xmin]), np.array([z.ymin]),
+                                    np.array([z.xmax]), np.array([z.ymax]), 6)[0]
+        assert r["count"] == exp
+
+
+def test_antimeridian_zone_joins_wrapped_points(spark, zones):
+    # points just west of +180 and just east of -180 + the two stradders
+    pdf = pd.DataFrame({"image_id": ["pE", "pW"], "lng": [179.95, -179.95],
+                        "lat": [0.0, 0.0]})
+    # place test points at the stradders' actual latitudes
+    zp = fixtures.gen_zones_pdf(28)
+    straddlers = zp[zp.zone_id.isin(["z000013", "z000027"])]
+    pts = []
+    for z in straddlers.itertuples(index=False):
+        pts.append({"image_id": "c" + z.zone_id, "lng": 179.99 if z.clng > 0 else -179.99,
+                    "lat": z.clat})
+    test_points = pd.DataFrame(pts)
+    import pyspark.sql.types as T  # noqa
+    points = spark.createDataFrame(test_points, schema="image_id string, lng double, lat double")
+    got = set(map(tuple, spatial.pip_join(points, zones, res=RES).collect()))
+    exp = _pip_oracle(test_points, zp)
+    assert got == exp
+    assert len(exp) >= 1  # a point right at the stradder's center latitude hits it
+
+
+def test_hot_cells_detects_fixture_skew(spark, images):
+    p = spatial.with_point_cell(images, RES)
+    hot = spatial.hot_cells(p, threshold=N_IMG // 25).collect()
+    hot_ids = {r["cell"] for r in hot}
+    expected_hot = cells.cell_id([fixtures.HOT_LNG + 0.5], [fixtures.HOT_LAT + 0.5], RES)[0]
+    assert expected_hot in hot_ids
+
+
+def test_block_tiles(spark, images, images_pdf):
+    out = spatial.block_tiles(images.limit(5), res=12).toPandas()
+    assert {"image_id", "bx", "by", "cell", "mean_lum"} == set(out.columns)
+    one = images_pdf.iloc[0]
+    sub = out[out.image_id == one.image_id]
+    assert len(sub) == (one.w // 8) * (one.h // 8)
+    # every tile cell must be inside the footprint's covering at res 12
+    cov = set(cells.cells_covering(np.array([one.xmin]), np.array([one.ymin]),
+                                   np.array([one.xmax]), np.array([one.ymax]), 12)[0].tolist())
+    assert set(sub.cell.tolist()) <= cov
+    assert (sub.mean_lum >= 0).all() and (sub.mean_lum <= 255).all()
+
+
+# --- filters / aggregates (Fiona parity semantics) -------------------------
+
+def test_filter_bbox_and_where(spark, images, images_pdf):
+    bbox = (0.0, 0.0, 60.0, 60.0)
+    got = filters.filter_bbox(images, bbox).count()
+    exp = ((images_pdf.xmax >= bbox[0]) & (images_pdf.xmin <= bbox[2])
+           & (images_pdf.ymax >= bbox[1]) & (images_pdf.ymin <= bbox[3])).sum()
+    assert got == exp
+
+    w = filters.filter_where(images, "fmt = 'q6' AND w >= 32")
+    assert w.count() == ((images_pdf.fmt == "q6") & (images_pdf.w >= 32)).sum()
+
+    both = filters.filter_where(filters.filter_bbox(images, bbox), "fmt = 'raw'")
+    expb = (((images_pdf.xmax >= bbox[0]) & (images_pdf.xmin <= bbox[2])
+             & (images_pdf.ymax >= bbox[1]) & (images_pdf.ymin <= bbox[3]))
+            & (images_pdf.fmt == "raw")).sum()
+    assert both.count() == expb
+
+
+def test_filter_where_error_contract(spark, images):
+    from fiona_spark.errors import AttributeFilterError
+    with pytest.raises(AttributeFilterError):
+        filters.filter_where(images, "fmt >== 'raw'").count()
+
+
+def test_filter_mask_envelope_vs_exact(spark, images, images_pdf):
+    xs = np.array([0.0, 40.0, 40.0, 0.0]); ys = np.array([0.0, 0.0, 30.0, 30.0])
+    env = filters.filter_mask(images, xs, ys).count()
+    exact = filters.filter_mask(images, xs, ys, exact=True).count()
+    # rectangle: envelope == exact
+    assert env == exact
+    # triangle: envelope over-matches, exact matches oracle
+    txs = np.array([0.0, 40.0, 0.0]); tys = np.array([0.0, 0.0, 30.0])
+    n_exact = filters.filter_mask(images, txs, tys, exact=True).count()
+    oracle = geom.points_in_polygon(images_pdf.lng.to_numpy(),
+                                    images_pdf.lat.to_numpy(), txs, tys).sum()
+    assert n_exact == oracle
+    assert filters.filter_mask(images, txs, tys).count() >= n_exact
+
+
+def test_slice_semantics(spark, images, images_pdf):
+    ids = sorted(images_pdf.image_id)
+    got = [r["image_id"] for r in
+           filters.slice_rows(images, 10, 50, 7, "image_id")
+           .orderBy("image_id").select("image_id").collect()]
+    assert got == ids[10:50:7]
+    # negative indices force a count, like the reference
+    got_neg = [r["image_id"] for r in
+               filters.slice_rows(images, -20, None, 5, "image_id")
+               .orderBy("image_id").select("image_id").collect()]
+    assert got_neg == ids[-20::5]
+    with pytest.raises(ValueError):
+        filters.slice_rows(images, 0, 10, -1, "image_id")
+
+
+def test_fid_access(spark, images):
+    row = filters.get_fid(images, "img0000000007", "image_id").collect()
+    assert len(row) == 1 and row[0]["caption"] == "caption for img7 class=7"
+    assert filters.contains_fid(images, "img0000000007", "image_id")
+    assert not filters.contains_fid(images, "nope", "image_id")
+
+
+def test_calc_overwrite_contract(spark, images):
+    out = filters.calc(images, "area_deg", "(xmax - xmin) * (ymax - ymin)")
+    assert "area_deg" in out.columns
+    with pytest.raises(ValueError):
+        filters.calc(images, "caption", "'x'")
+    assert filters.calc(images, "caption", "'x'", overwrite=True).count() == N_IMG
+
+
+def test_extent_and_grouped_bounds(spark, images, images_pdf):
+    ext = aggregates.extent(images).collect()[0]
+    assert ext["xmin"] == images_pdf.xmin.min()
+    assert ext["ymax"] == images_pdf.ymax.max()
+    g = aggregates.bounds_grouped(images, ["fmt"]).orderBy("fmt").toPandas()
+    exp = images_pdf.groupby("fmt").agg(xmin=("xmin", "min"), ymax=("ymax", "max"))
+    assert np.allclose(g.set_index("fmt")["xmin"], exp["xmin"])
+
+
+def test_feature_bounds_from_arrays(spark, zones, zones_pdf):
+    got = (aggregates.feature_bounds(zones.drop("xmin", "ymin", "xmax", "ymax"))
+           .orderBy("zone_id").select("xmin", "ymax").toPandas())
+    assert np.allclose(got["xmin"], [np.min(v) for v in zones_pdf["xs"]])
+    assert np.allclose(got["ymax"], [np.max(v) for v in zones_pdf["ys"]])
+
+
+def test_info_and_dissolve(spark, zones, zones_pdf):
+    meta = aggregates.info(zones)
+    assert meta["count"] == N_ZONES
+    assert meta["schema"]["NAME"] == "string"
+    hx, hy = aggregates.dissolve_union(zones)
+    # hull of the union contains every zone vertex
+    px = np.concatenate([np.asarray(v) for v in zones_pdf["xs"]])
+    py = np.concatenate([np.asarray(v) for v in zones_pdf["ys"]])
+    bx, by = geom.buffer_convex(hx, hy, 1e-9)
+    assert geom.points_in_polygon(px, py, bx, by).mean() > 0.999
+
+
+def test_fixture_phash_recomputable(spark, images):
+    """phash column == phash recomputed from payload (input_hint invariant)."""
+    from fiona_spark import codec
+
+    def recompute(batches):
+        for p in batches:
+            vals = [codec.phash64(codec.decode(bytes(b), f, int(w), int(h)))
+                    for b, f, w, h in zip(p["bytes"], p["fmt"], p["w"], p["h"])]
+            yield pd.DataFrame({"image_id": p["image_id"], "stored": p["phash"],
+                                "fresh": vals})
+
+    out = (images.mapInPandas(recompute, "image_id string, stored long, fresh long")
+           .filter("stored <> fresh").count())
+    assert out == 0
