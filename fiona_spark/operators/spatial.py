@@ -230,43 +230,80 @@ def range_join(a: DataFrame, b: DataFrame, res: int = DEFAULT_RES,
 # ---------------------------------------------------------------------------
 
 def knn_res_for(n_zones: int, k: int) -> int:
-    """Resolution where the expected zone count per disk(1) >= ~3k."""
-    import math
-    for res in range(12, -1, -1):
-        cells_total = (1 << res) ** 2
-        if n_zones / cells_total * 9 >= 3 * k:
+    """Resolution whose finish-guarantee radius covers the expected kth
+    neighbor distance with ~1.8x margin.
+
+    With zone density rho (per deg^2), the kth-neighbor distance
+    concentrates around sqrt(k / (pi * rho)); a point is provably
+    finished at disk radius r0=1 only when its kth distance <=
+    cell_height(res), so cell_height must exceed that typical distance —
+    otherwise the expensive exact fallback swallows the dataset (the
+    failure mode this formula replaces: a density-only rule that chose
+    one level too fine and sent ~half the points to phase 2).
+    """
+    rho = max(n_zones, 1) / (360.0 * 180.0)
+    r_k = float(np.sqrt(k / (np.pi * rho)))
+    for res in range(MAX_KNN_RES, 0, -1):
+        if 180.0 / (1 << res) >= 1.8 * r_k:
             return res
-    return 0
+    return 1
+
+
+MAX_KNN_RES = 14
+
+
+def _disk_cells_sql(cell_col: str, res: int) -> "F.Column":
+    """JVM-side disk(1) of a cell id: the 9 neighbor cells at ``res``
+    with longitude wrap and latitude clip — pure codegen'd arithmetic,
+    replacing a per-row Python UDF on the probe side."""
+    n = 1 << res
+    base = res * cells.RES_SHIFT
+    rem = f"({cell_col} - {base}L)"
+    yi = f"CAST(floor({rem} / {n}) AS BIGINT)"
+    xi = f"({rem} % {n})"
+    offsets = ",".join(f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    # array_distinct: at tiny n the lon wrap aliases dx=-1 and dx=+1
+    # into the same cell — duplicates would corrupt candidate ranks
+    return F.expr(
+        f"array_distinct(transform("
+        f"filter(array({offsets}), o -> {yi} + o.dy >= 0 AND {yi} + o.dy < {n}), "
+        f"o -> {base}L + ({yi} + o.dy) * {n}L + pmod({xi} + o.dx, {n}L)))")
 
 
 def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
-             res: int | None = None, r0: int = 1,
+             res: int | None = None,
              lng: str = "lng", lat: str = "lat",
              point_key: str = "image_id", zone_key: str = "zone_id",
              zone_lng: str = "clng", zone_lat: str = "clat") -> DataFrame:
     """Exact k nearest zones (by centroid euclidean degrees) per point.
 
-    Phase 1: join points against zones indexed by centroid cell, within
-    cell-disk radius ``r0`` at ``res``; a point is provably finished
-    when it found >= k candidates and its kth distance <= r0 *
-    cell_height(res) (anything outside the disk is farther than that).
-    Phase 2: unfinished points (typically <1%) join the full zone set.
-    Output: (point_key, zone_key, knn_rank) — rank 1..k by
+    Plan (scale-first):
+      * the SMALL side (zones) is replicated into the 9 cells of its
+        disk(1) neighborhood — JVM-side array arithmetic — and
+        broadcast;  the probe side keeps exactly one row per point with
+        a codegen'd cell id: no probe-side explode, no Python, no
+        shuffle before the ranking window.
+      * one window pass ranks candidates AND computes the finish proof
+        inline (a point is done when it has >= k candidates and its kth
+        distance <= cell_height: anything outside disk(1) is farther).
+      * the provably-unfinished remainder (resolution is chosen by
+        :func:`knn_res_for` so this is a small tail) falls back to an
+        exact broadcast join against the full zone set.
+    Output: (point_key, zone_key, knn_rank), rank 1..k by
     (distance, zone_key) for determinism.
     """
     if res is None:
         res = knn_res_for(zones.count(), k)
     cell_h = 180.0 / (1 << res)
 
-    zc = with_point_cell(
-        zones.select(zone_key, F.col(zone_lng).alias("_zlng"), F.col(zone_lat).alias("_zlat")),
-        res, "_zlng", "_zlat", out="zcell")
-    p = with_point_cell(points.select(point_key, lng, lat), res, lng, lat, out="pcell")
-
-    # explode each point's disk(r0) and equi-join on the zone's cell
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def disk_udf(c: pd.Series) -> pd.Series:
-        return pd.Series(cells.disk(c.to_numpy(np.int64), r0))
+    zc = zones.select(zone_key, F.col(zone_lng).alias("_zlng"),
+                      F.col(zone_lat).alias("_zlat"))
+    # zone replicated to its disk(1): the cells whose points could see it
+    zx = (with_point_cell(zc, res, "_zlng", "_zlat", out="_zc")
+          .withColumn("cell", F.explode(_disk_cells_sql("_zc", res)))
+          .drop("_zc"))
+    p = with_point_cell(points.select(point_key, lng, lat), res, lng, lat)
 
     # plain multiplication (not pow()) so the double expression tree is
     # bit-identical to the DuckDB oracle's
@@ -274,22 +311,32 @@ def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
     dy = F.col(lat) - F.col("_zlat")
     dist = F.sqrt(dx * dx + dy * dy)
     w = Window.partitionBy(point_key).orderBy("dist", zone_key)
+    w_all = Window.partitionBy(point_key)
 
-    cand1 = (p.withColumn("zcell", F.explode(disk_udf("pcell")))
-             .join(F.broadcast(zc), "zcell")
-             .withColumn("dist", dist)
-             .withColumn("knn_rank", F.row_number().over(w)))
-    phase1 = cand1.filter(F.col("knn_rank") <= k)
-    # finished: k-th neighbor exists and is within the guaranteed radius
-    finished = (phase1.groupBy(point_key)
-                .agg(F.max("knn_rank").alias("_n"), F.max("dist").alias("_kth"))
-                .filter((F.col("_n") == k) & (F.col("_kth") <= r0 * cell_h))
-                .select(point_key))
-    done = phase1.join(F.broadcast(finished), point_key, "left_semi")
+    # Candidates farther than cell_h are useless: a point is provably
+    # finished iff it has >= k candidates with dist < cell_h (every zone
+    # that close is certainly inside disk(1), so the filtered set still
+    # contains the true top-k of finished points), and unfinished points
+    # are re-answered exactly in phase 2 anyway.  Filtering BEFORE the
+    # ranking window shrinks the shuffle ~(disk area / pi*cell_h^2) ~ 9x.
+    # Strict <: a zone outside disk(1) can sit at exactly cell_h and win
+    # the (dist, zone_key) tiebreak — don't claim the proof there.
+    cand = (p.join(F.broadcast(zx), "cell")
+            .withColumn("dist", dist)
+            .filter(F.col("dist") < cell_h))
+    ranked = (cand
+              .withColumn("knn_rank", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(w_all)))
+    done = ranked.filter((F.col("_n") >= k) & (F.col("knn_rank") <= k))
 
-    # phase 2: exact join for the remainder
-    rest = p.join(F.broadcast(finished), point_key, "left_anti")
-    cand2 = (rest.crossJoin(F.broadcast(zc.drop("zcell")))
+    # phase 2: points without a finish proof (incl. zero-candidate ones).
+    # The tail is small, so AQE would coalesce it to ~1 partition — but
+    # each tail row fans out |zones| candidate rows in the cross join, so
+    # force it back to full parallelism BEFORE the fan-out.
+    n_shuffle = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rest = (p.join(done.select(point_key), point_key, "left_anti")
+            .repartition(n_shuffle))
+    cand2 = (rest.crossJoin(F.broadcast(zc))
              .withColumn("dist", dist)
              .withColumn("knn_rank", F.row_number().over(w))
              .filter(F.col("knn_rank") <= k))
