@@ -75,7 +75,7 @@ def main() -> None:
 
     # q1: exact PIP spatial join (cell equi-join + vectorized residual)
     bench("pip_join", lambda: spatial.pip_join(
-        images(), zones(), res=7).count())
+        images(), zones()).count())
 
     # q2: covering-cell tile assignment of every footprint
     bench("tile_assign", lambda: spatial.with_covering_cells(

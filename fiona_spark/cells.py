@@ -105,26 +105,40 @@ def covering_counts(xmin, ymin, xmax, ymax, res: int) -> np.ndarray:
     return (x1 - x0 + 1) * (y1 - y0 + 1)
 
 
-def cells_covering(xmin, ymin, xmax, ymax, res: int) -> list[np.ndarray]:
-    """Covering cells of each bbox — list of int64 arrays, one per row.
+def cells_covering_flat(xmin, ymin, xmax, ymax, res: int):
+    """Covering cells of each bbox, fully vectorized.
 
-    The per-row output size varies, so the batch result is a Python
-    list of numpy arrays (fed straight into an Arrow list column).
-    The grid walk itself is vectorized per row; rows are typically
-    1-100 cells at a well-chosen ``res`` (use
-    :func:`covering_res_for` to bound the blow-up).
+    Returns (row_idx, cell): parallel int64 arrays enumerating every
+    (input row, covering cell) pair — no per-row Python.  The classic
+    repeat/cumsum enumeration: each row i contributes nx[i]*ny[i]
+    consecutive outputs; the within-row offset is recovered from a
+    running-total subtraction, then split into (ox, oy) grid offsets.
     """
     x0, y0 = _grid_xy(xmin, ymin, res)
     x1, y1 = _grid_xy(xmax, ymax, res)
     base = np.int64(res) * RES_SHIFT
     n = np.int64(1) << res
-    out = []
-    for i in range(len(x0)):
-        xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
-        ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
-        grid = base + ys[:, None] * n + xs[None, :]
-        out.append(grid.ravel())
-    return out
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    cnt = nx * ny
+    total = int(cnt.sum())
+    row_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    starts = np.cumsum(cnt) - cnt
+    off = np.arange(total, dtype=np.int64) - starts[row_idx]
+    nx_r = nx[row_idx]
+    ox = off % nx_r
+    oy = off // nx_r
+    cell = base + (y0[row_idx] + oy) * n + (x0[row_idx] + ox)
+    return row_idx, cell
+
+
+def cells_covering(xmin, ymin, xmax, ymax, res: int) -> list[np.ndarray]:
+    """Covering cells of each bbox — list of int64 arrays, one per row
+    (views into one flat vectorized enumeration; use
+    :func:`covering_res_for` to bound the per-row blow-up)."""
+    cnt = covering_counts(xmin, ymin, xmax, ymax, res)
+    _row_idx, cell = cells_covering_flat(xmin, ymin, xmax, ymax, res)
+    return np.split(cell, np.cumsum(cnt)[:-1])
 
 
 def covering_res_for(xmin, ymin, xmax, ymax, max_cells: int = 64,

@@ -513,6 +513,186 @@ FROM read_parquet('{img}')
 
 
 # ===========================================================================
+# 7. Payload verification, expression language, geometry measures,
+#    dedup/LSH, raster->vector blocks (v4-v6 surface)
+# ===========================================================================
+
+@register("dedup_exact_rows", """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""")
+def q_dedup_exact_rows(spark, sf_dir):
+    """Exact dedup keeper selection (hash-groupBy, min-id keeper)."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["text"]).select("doc_id")
+
+
+@register("minhash_pairs")
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with planted duplicates (weaker
+    rows-only driver check; the exact-Jaccard oracle lives in
+    tests/test_dedup.py — the hash pipeline is not ANSI-expressible)."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    planted = docs.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    return dedup.minhash_lsh_pairs(docs.unionByName(planted), threshold=0.9)
+
+
+@register("simhash_pairs")
+def q_simhash_pairs(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    planted = docs.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    return dedup.simhash_pairs(docs.unionByName(planted), max_dist=2)
+
+
+@register("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate cosine top-k (scale path of the
+    brute-force embed_topk query)."""
+    from .operators import dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    return dedup.ann_cosine_topk(emb.filter("vec_id >= 5"), q, k=10)
+
+
+def _phash_band_mask(b: int, band_bits: int = 16) -> int:
+    m = (((1 << band_bits) - 1) << (b * band_bits)) & 0xFFFFFFFFFFFFFFFF
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+@register("phash_neardup")
+def q_phash_neardup(spark, sf_dir):
+    """Banded-LSH phash near-dup pairs on the canon images — the DuckDB
+    oracle replicates candidate semantics exactly (shared 16-bit band)
+    by brute force, so engine recall bugs surface as count mismatches."""
+    from .operators import images as iops
+    img, _ = _canon_paths()
+    return iops.phash_hamming_pairs(spark.read.parquet(img), max_dist=10)
+
+
+@register("snuggs_filter")
+def q_snuggs_filter(spark, sf_dir):
+    """s-expression filter compiled to Catalyst (fio filter parity)."""
+    from . import snuggs
+    _, zon = _canon_paths()
+    zones = spark.read.parquet(zon)
+    return snuggs.filter_features(
+        zones, '(& (> (get f "AREA") 2) (< (vertex_count g) 20))'
+    ).select("zone_id")
+
+
+@register("geom_measures")
+def q_geom_measures(spark, sf_dir):
+    """Shoelace area + ring perimeter vs an independent SQL formulation
+    (engine: numpy kernels; oracle: DuckDB list arithmetic), both
+    rounded to 5 decimals to absorb summation-order ulps."""
+    from .functions import geometry as gf
+    _, zon = _canon_paths()
+    zones = spark.read.parquet(zon)
+    return zones.select(
+        "zone_id",
+        F.round(gf.area_udf()("xs", "ys"), 5).alias("area_r"),
+        F.round(gf.length_udf()("xs", "ys"), 5).alias("perim_r"),
+        F.size("xs").cast("long").alias("nv"))
+
+
+@register("caption_verify")
+def q_caption_verify(spark, sf_dir):
+    """input_hint caption-equality verification, planted mismatches on
+    ids ending in 7 (differential: oracle states the expected flags)."""
+    from .operators import images as iops
+    img, _ = _canon_paths()
+    images = spark.read.parquet(img)
+    ref = images.withColumn(
+        "caption", F.when(F.col("image_id").like("%7"), F.lit("CORRUPTED"))
+        .otherwise(F.col("caption")))
+    return iops.caption_check(images, ref)
+
+
+@register("payload_verify")
+def q_payload_verify(spark, sf_dir):
+    """Decode round-trip gates per format: lossless exact, lossy
+    PSNR>=40dB, stored phash == recomputed phash (input_hint)."""
+    from .operators import images as iops
+    img, _ = _canon_paths()
+    out = iops.verify_roundtrip(spark.read.parquet(img))
+    return (out.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                 F.sum(F.col("phash_match").cast("long")).alias("n_phash")))
+
+
+@register("block_cells")
+def q_block_cells(spark, sf_dir):
+    """Raster->vector block tiling: per 8x8-pixel block, the containing
+    cell at res 12.  The oracle recomputes every block's geolocation
+    in SQL from (w, h, bbox) — full differential on the tiling math."""
+    from .operators import spatial as sops
+    img, _ = _canon_paths()
+    images = spark.read.parquet(img).filter("image_id < 'img0000000300'")
+    return sops.block_tiles(images, res=12, block=8).select(
+        "image_id", "bx", "by", "cell")
+
+
+def _late_oracles2():
+    img, zon = _canon_paths()
+    ORACLES["snuggs_filter"] = f"""
+SELECT zone_id FROM read_parquet('{zon}') WHERE AREA > 2 AND len(xs) < 20
+"""
+    # shoelace with explicit ring closure; 1-based DuckDB list indexing
+    shoelace = """0.5 * abs(list_sum(list_transform(range(1, len(xs)),
+        i -> xs[i] * ys[i + 1] - xs[i + 1] * ys[i]))
+        + xs[len(xs)] * ys[1] - xs[1] * ys[len(ys)])"""
+    perim = """list_sum(list_transform(range(1, len(xs)),
+        i -> sqrt((xs[i + 1] - xs[i]) * (xs[i + 1] - xs[i])
+                + (ys[i + 1] - ys[i]) * (ys[i + 1] - ys[i]))))
+        + sqrt((xs[1] - xs[len(xs)]) * (xs[1] - xs[len(xs)])
+             + (ys[1] - ys[len(ys)]) * (ys[1] - ys[len(ys)]))"""
+    ORACLES["geom_measures"] = f"""
+SELECT zone_id, round({shoelace}, 5) AS area_r, round({perim}, 5) AS perim_r,
+       len(xs) AS nv
+FROM read_parquet('{zon}')
+"""
+    ORACLES["caption_verify"] = f"""
+SELECT image_id, (image_id NOT LIKE '%7') AS caption_ok
+FROM read_parquet('{img}')
+"""
+    ORACLES["payload_verify"] = f"""
+SELECT fmt, count(*) AS n, count(*) AS n_ok, count(*) AS n_phash
+FROM read_parquet('{img}') GROUP BY fmt
+"""
+    masks = ", ".join(str(_phash_band_mask(b)) for b in range(4))
+    ORACLES["phash_neardup"] = f"""
+WITH i AS (SELECT image_id, phash FROM read_parquet('{img}'))
+SELECT a.image_id AS image_id, b.image_id AS image_id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM i a JOIN i b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 10
+  AND len(list_filter([{masks}], m -> (a.phash & m) = (b.phash & m))) > 0
+"""
+    # block tiling: identical float expression tree as the engine kernel
+    cx = "(xmin + (CAST(bx AS DOUBLE) + 0.5) / nbx * (xmax - xmin))"
+    cy = "(ymax - (CAST(\"by\" AS DOUBLE) + 0.5) / nby * (ymax - ymin))"
+    ORACLES["block_cells"] = f"""
+WITH i AS (
+  SELECT image_id, w // 8 AS nbx, h // 8 AS nby, xmin, ymin, xmax, ymax
+  FROM read_parquet('{img}') WHERE image_id < 'img0000000300'),
+bx_t AS (SELECT *, unnest(range(0, nbx)) AS bx FROM i),
+b2 AS (SELECT *, unnest(range(0, nby)) AS "by" FROM bx_t)
+SELECT image_id, CAST(bx AS INTEGER) AS bx, CAST("by" AS INTEGER) AS "by",
+       {cells.cell_id_sql(cx, cy, 12)} AS cell
+FROM b2
+"""
+
+
+_late_oracles2()
+
+
+# ===========================================================================
 # 6. Text / dedup / similarity (training-data pipeline ops)
 # ===========================================================================
 

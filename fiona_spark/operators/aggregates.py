@@ -97,3 +97,16 @@ def collect_geometries(df: DataFrame, keys, xs: str = "xs", ys: str = "ys") -> D
         F.collect_list(xs).alias("xs_list"),
         F.collect_list(ys).alias("ys_list"),
         F.count(F.lit(1)).alias("n_parts"))
+
+
+def dump_parts(df: DataFrame, keys, xs_list: str = "xs_list",
+               ys_list: str = "ys_list") -> DataFrame:
+    """Multi-geometry -> one row per part, stamping the part index —
+    ``fio map --dump-parts`` (`fiona/features.py:61-82`) / ``fio
+    distrib`` parent stamping (`fiona/fio/distrib.py:16-35`).  Inverse
+    of :func:`collect_geometries`; pure JVM posexplode."""
+    return (df.select(*keys, F.posexplode(
+        F.arrays_zip(xs_list, ys_list)).alias("part_idx", "_p"))
+        .select(*keys, "part_idx",
+                F.col(f"_p.{xs_list}").alias("xs"),
+                F.col(f"_p.{ys_list}").alias("ys")))

@@ -121,30 +121,11 @@ def phash_hamming_pairs(images: DataFrame, max_dist: int = 10,
     pigeonhole).  Band equi-join produces candidates; the exact Hamming
     residual (JVM-side bit_count) filters.  No O(n^2) cross join.
     """
-    n_bands = 64 // band_bits
-
-    def band_mask(b: int) -> int:
-        m = (((1 << band_bits) - 1) << (b * band_bits)) & 0xFFFFFFFFFFFFFFFF
-        return m - (1 << 64) if m >= (1 << 63) else m  # two's-complement int64
-
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.col("phash").bitwiseAND(F.lit(band_mask(b))).alias("key"))
-        for b in range(n_bands)])
-    a = (images.select("image_id", "phash")
-         .withColumn("b", F.explode(bands))
-         .select("image_id", "phash", F.col("b.band").alias("band"),
-                 F.col("b.key").alias("key")))
-    b = (a.select(F.col("image_id").alias("image_id_b"),
-                  F.col("phash").alias("phash_b"), "band", "key"))
-    cand = (a.join(b, ["band", "key"])
-            .filter(F.col("image_id") < F.col("image_id_b"))
-            .select("image_id", "image_id_b", "phash", "phash_b")
-            .distinct())
-    ham = F.expr("bit_count(phash ^ phash_b)")
-    return (cand.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_dist)
-            .select("image_id", "image_id_b", "hamming"))
+    from .dedup import hamming_pairs
+    out = hamming_pairs(images.select("image_id", "phash"), "image_id",
+                        "phash", max_dist=max_dist, band_bits=band_bits)
+    return out.select(F.col("id_a").alias("image_id"),
+                      F.col("id_b").alias("image_id_b"), "hamming")
 
 
 # ---------------------------------------------------------------------------

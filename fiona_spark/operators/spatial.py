@@ -65,22 +65,29 @@ def with_covering_cells(df: DataFrame, res: int, out: str = "cell",
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def covering(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        out_arrays = []
         xminv, yminv = xmin.to_numpy(np.float64), ymin.to_numpy(np.float64)
         xmaxv, ymaxv = xmax.to_numpy(np.float64), ymax.to_numpy(np.float64)
-        for i in range(len(xminv)):
-            boxes = [(xminv[i], yminv[i], xmaxv[i], ymaxv[i])]
+        wrap = (xmaxv > 180.0) | (xminv < -180.0)
+        result = np.empty(len(xminv), dtype=object)
+        if (~wrap).any():
+            idx = np.flatnonzero(~wrap)
+            parts = cells.cells_covering(xminv[idx], yminv[idx],
+                                         xmaxv[idx], ymaxv[idx], res)
+            for j, i in enumerate(idx):
+                result[i] = parts[j]
+        # antimeridian stradders (rare): per-row two-box union
+        for i in np.flatnonzero(wrap):
             if xmaxv[i] > 180.0:
                 boxes = [(xminv[i], yminv[i], 180.0, ymaxv[i]),
                          (-180.0, yminv[i], xmaxv[i] - 360.0, ymaxv[i])]
-            elif xminv[i] < -180.0:
+            else:
                 boxes = [(xminv[i] + 360.0, yminv[i], 180.0, ymaxv[i]),
                          (-180.0, yminv[i], xmaxv[i], ymaxv[i])]
             parts = [cells.cells_covering(np.array([b[0]]), np.array([b[1]]),
                                           np.array([b[2]]), np.array([b[3]]), res)[0]
                      for b in boxes]
-            out_arrays.append(np.unique(np.concatenate(parts)))
-        return pd.Series(out_arrays)
+            result[i] = np.unique(np.concatenate(parts))
+        return pd.Series(list(result))
 
     return df.withColumn(out, F.explode(covering(x0, y0, x1, y1)))
 
@@ -124,33 +131,111 @@ def salt_sides(probe: DataFrame, build: DataFrame, hot: DataFrame,
 # PIP join (point-in-polygon)
 # ---------------------------------------------------------------------------
 
-def _pip_residual_udf():
+def _pip_test_groups(key, pxv, pyv, lookup):
+    """Shared residual kernel: group candidate rows by zone key, one
+    vectorized (points x edges) ray-cast per group; antimeridian zones
+    re-test misses with +/-360-shifted points."""
+    out = np.zeros(len(pxv), dtype=bool)
+    codes, uniq = pd.factorize(key, sort=False)
+    order = np.argsort(codes, kind="stable")
+    cuts = np.flatnonzero(np.diff(codes[order])) + 1
+    for grp in np.split(order, cuts):
+        poly_x, poly_y = lookup(grp[0])
+        hit = geom.points_in_polygon(pxv[grp], pyv[grp], poly_x, poly_y)
+        if poly_x.max() > 180.0 or poly_x.min() < -180.0:
+            for shift in (360.0, -360.0):
+                pend = np.flatnonzero(~hit)
+                if not len(pend):
+                    break
+                hit[pend] |= geom.points_in_polygon(
+                    pxv[grp][pend] + shift, pyv[grp][pend], poly_x, poly_y)
+        out[grp] = hit
+    return out
+
+
+def _pip_residual_closure_udf(poly_bc):
+    """Residual PIP with polygons from a Spark broadcast variable.
+
+    Candidate rows carry only (zone_key, lng, lat) — at 10^6+ candidate
+    pairs the polygon arrays would otherwise be replicated per pair
+    through the Arrow channel (the sf0.5 profile showed ~GBs); via
+    ``sc.broadcast`` each executor receives every ring exactly once.
+    """
     @F.pandas_udf(T.BooleanType())
-    def pip(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        pxv = px.to_numpy(np.float64)
-        # shift each point into its polygon's longitude frame so
-        # antimeridian-straddling zones (coords beyond +/-180) test
-        # correctly against wrapped points
-        out = np.zeros(len(pxv), dtype=bool)
-        xs_l = xs.to_numpy(object)
-        ys_l = ys.to_numpy(object)
-        pyv = py.to_numpy(np.float64)
-        for shift in (0.0, 360.0, -360.0):
-            pending = ~out
-            if not pending.any():
-                break
-            idx = np.flatnonzero(pending)
-            out[idx] |= geom.points_in_polygons_pairs(
-                pxv[idx] + shift, pyv[idx],
-                [xs_l[i] for i in idx], [ys_l[i] for i in idx])
-        return pd.Series(out)
+    def pip(key: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        polys = poly_bc.value
+        keys = key.to_numpy(object)
+        return pd.Series(_pip_test_groups(
+            keys, px.to_numpy(np.float64), py.to_numpy(np.float64),
+            lambda i0: polys[keys[i0]]))
     return pip
 
 
-def pip_join(points: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
+def _pip_residual_udf():
+    """Residual PIP with per-row polygon arrays (shuffled-zone path,
+    used when the zone side is too large to broadcast)."""
+    @F.pandas_udf(T.BooleanType())
+    def pip(key: pd.Series, px: pd.Series, py: pd.Series,
+            xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xs_l = xs.to_numpy(object)
+        ys_l = ys.to_numpy(object)
+        return pd.Series(_pip_test_groups(
+            key.to_numpy(object), px.to_numpy(np.float64),
+            py.to_numpy(np.float64),
+            lambda i0: (np.asarray(xs_l[i0], np.float64),
+                        np.asarray(ys_l[i0], np.float64))))
+    return pip
+
+
+def pip_res_for(zones: DataFrame, max_cover_rows: int = 4_000_000,
+                bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> int:
+    """Pick the PIP-join resolution from zone-layer statistics.
+
+    Finer cells mean fewer false candidates (the residual's input
+    shrinks toward the true hit set) but more covering rows to
+    broadcast.  Rule: the finest res whose cell width <= mean zone
+    width / 4 (covering area within ~1.5x of the zone bbox area — past
+    that the false-candidate reduction saturates) subject to an
+    estimated covering-row budget.  Measured on sf0.5: res 7 -> 10.7M
+    candidates / 38s, auto-chosen res 9 -> 5.4M / 13s, same output.
+    """
+    x0, y0, x1, y1 = bbox_cols
+    row = zones.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(x1) - F.col(x0)).alias("w"),
+        F.avg(F.col(y1) - F.col(y0)).alias("h")).collect()[0]
+    n, w, h = row["n"], max(row["w"] or 0.0, 1e-9), max(row["h"] or 0.0, 1e-9)
+    best = 3
+    for res in range(3, cells.MAX_RES + 1):
+        cw, ch = 360.0 / (1 << res), 180.0 / (1 << res)
+        est_rows = n * (w / cw + 2.0) * (h / ch + 2.0)
+        if est_rows > max_cover_rows:
+            break
+        best = res
+        if cw <= w / 4.0:
+            break
+    return best
+
+
+def _convex_pip_sql(lng: str, lat: str, shift: float) -> str:
+    """Point-in-CONVEX-polygon as a pure Spark SQL predicate over ring
+    arrays (xs, ys): inside iff no edge cross-product is negative
+    (CCW rings).  Runs entirely inside whole-stage codegen — no Python
+    worker, no Arrow transfer — which on the sf0.5 benchmark removed the
+    dominant cost of the join (~15s of Arrow for 10.7M candidates)."""
+    px = f"({lng} + {shift}D)"
+    i1 = "CAST(i AS INT) + 1"
+    i2 = "CAST((i + 1) % size(xs) AS INT) + 1"
+    cross = (f"(element_at(xs, {i2}) - element_at(xs, {i1})) * ({lat} - element_at(ys, {i1})) "
+             f"- ({px} - element_at(xs, {i1})) * (element_at(ys, {i2}) - element_at(ys, {i1}))")
+    return (f"size(filter(sequence(0, size(xs) - 1), "
+            f"i -> ({cross}) < 0D)) = 0")
+
+
+def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
              lng: str = "lng", lat: str = "lat",
              point_cols=("image_id",), zone_cols=("zone_id",),
-             broadcast_zones: bool = True,
+             broadcast_zones: bool = True, convex: bool = False,
              salt: int = 0, hot_threshold: int = 100_000) -> DataFrame:
     """Exact point-in-polygon join (the exact form of Fiona's mask filter).
 
@@ -160,10 +245,51 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
     Each point has exactly ONE cell, so candidate pairs are already
     unique — no dedup shuffle.
     """
+    if res is None:
+        res = pip_res_for(zones)
     p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
-    z = with_covering_cells(
-        zones.select(*zone_cols, "xs", "ys", "xmin", "ymin", "xmax", "ymax"), res
-    ).select(*zone_cols, "xs", "ys", "cell")
+    # zone layers usually arrive in 1-2 files; spread the covering UDF
+    # across the cluster before the (cheap) broadcast collect
+    n_shuffle = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    zones = zones.repartition(n_shuffle)
+
+    if convex:
+        # CCW-convex zones: the exact residual is plain SQL over the
+        # ring arrays riding the broadcast join — zero Python.  The
+        # three OR'd longitude shifts handle antimeridian stradders
+        # (zones whose coords run past +/-180).
+        z = with_covering_cells(
+            zones.select(*zone_cols, "xs", "ys",
+                         "xmin", "ymin", "xmax", "ymax"), res
+        ).select(*zone_cols, "xs", "ys", "cell")
+        pred = " OR ".join(f"({_convex_pip_sql(lng, lat, s)})"
+                           for s in (0.0, 360.0, -360.0))
+        pip = None
+        pip_args = F.expr(pred)
+    elif broadcast_zones:
+        # Small-zone regime (the north_star case: zones << images).
+        # Candidates carry ONLY the zone key; every executor gets each
+        # polygon ring exactly once via sc.broadcast instead of once per
+        # candidate pair through the Arrow channel.
+        z = with_covering_cells(
+            zones.select(*zone_cols, "xmin", "ymin", "xmax", "ymax"), res
+        ).select(*zone_cols, "cell")
+        zpdf = zones.select(zone_cols[0], "xs", "ys").toPandas()
+        polys = {row[0]: (np.asarray(row[1], np.float64),
+                          np.asarray(row[2], np.float64))
+                 for row in zpdf.itertuples(index=False)}
+        bc = points.sparkSession.sparkContext.broadcast(polys)
+        pip = _pip_residual_closure_udf(bc)
+        pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat))
+    else:
+        # Shuffled regime (zone side too large to broadcast): the ring
+        # arrays travel with the candidate rows.
+        z = with_covering_cells(
+            zones.select(*zone_cols, "xs", "ys", "xmin", "ymin", "xmax", "ymax"),
+            res).select(*zone_cols, "xs", "ys", "cell")
+        pip = _pip_residual_udf()
+        pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat),
+                    F.col("xs"), F.col("ys"))
 
     if salt > 0:
         hot = hot_cells(p, threshold=hot_threshold)
@@ -174,8 +300,7 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
 
     zj = F.broadcast(z) if broadcast_zones else z
     cand = p.join(zj, join_keys, "inner")
-    pip = _pip_residual_udf()
-    out = cand.filter(pip(F.col(lng), F.col(lat), F.col("xs"), F.col("ys")))
+    out = cand.filter(pip_args if pip is None else pip(*pip_args))
     return out.select(*point_cols, *zone_cols)
 
 
@@ -272,38 +397,42 @@ def _disk_cells_sql(cell_col: str, res: int) -> "F.Column":
 
 
 def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
-             res: int | None = None,
+             res: int | None = None, levels: int = 3,
              lng: str = "lng", lat: str = "lat",
              point_key: str = "image_id", zone_key: str = "zone_id",
              zone_lng: str = "clng", zone_lat: str = "clat") -> DataFrame:
     """Exact k nearest zones (by centroid euclidean degrees) per point.
 
-    Plan (scale-first):
-      * the SMALL side (zones) is replicated into the 9 cells of its
-        disk(1) neighborhood — JVM-side array arithmetic — and
-        broadcast;  the probe side keeps exactly one row per point with
-        a codegen'd cell id: no probe-side explode, no Python, no
-        shuffle before the ranking window.
-      * one window pass ranks candidates AND computes the finish proof
-        inline (a point is done when it has >= k candidates and its kth
-        distance <= cell_height: anything outside disk(1) is farther).
-      * the provably-unfinished remainder (resolution is chosen by
-        :func:`knn_res_for` so this is a small tail) falls back to an
-        exact broadcast join against the full zone set.
+    Plan (scale-first), a multi-resolution cascade:
+      * per level, the SMALL side (zones) is replicated into the 9 cells
+        of its disk(1) neighborhood — JVM-side array arithmetic — and
+        broadcast; the probe side keeps one row per point with a
+        codegen'd cell id: no probe-side explode, no Python, no shuffle
+        before the ranking window.
+      * candidates farther than cell_height are dropped BEFORE the
+        window: a point is provably finished iff it has >= k candidates
+        with dist < cell_height (every zone that close is inside
+        disk(1), so the filtered set still contains its true top-k);
+        strict < because a zone outside disk(1) can sit at exactly
+        cell_height and win the (dist, zone_key) tiebreak.
+      * unfinished points (sparse regions — e.g. beyond the data's
+        latitude band) retry at a 4x coarser level against the SAME
+        broadcast zone table; each level's remainder shrinks by the
+        density argument in :func:`knn_res_for`.  Without the cascade
+        the sparse tail cross-joined the full zone set — 857M pairs at
+        sf0.5 — which was the dominant cost of the whole benchmark.
+      * whatever survives all levels (~0 rows) cross-joins the zones,
+        repartitioned first so AQE's coalesced tail doesn't serialize
+        the fan-out.
     Output: (point_key, zone_key, knn_rank), rank 1..k by
     (distance, zone_key) for determinism.
     """
     if res is None:
         res = knn_res_for(zones.count(), k)
-    cell_h = 180.0 / (1 << res)
 
     zc = zones.select(zone_key, F.col(zone_lng).alias("_zlng"),
                       F.col(zone_lat).alias("_zlat"))
-    # zone replicated to its disk(1): the cells whose points could see it
-    zx = (with_point_cell(zc, res, "_zlng", "_zlat", out="_zc")
-          .withColumn("cell", F.explode(_disk_cells_sql("_zc", res)))
-          .drop("_zc"))
-    p = with_point_cell(points.select(point_key, lng, lat), res, lng, lat)
+    p0 = points.select(point_key, lng, lat)
 
     # plain multiplication (not pow()) so the double expression tree is
     # bit-identical to the DuckDB oracle's
@@ -313,35 +442,46 @@ def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
     w = Window.partitionBy(point_key).orderBy("dist", zone_key)
     w_all = Window.partitionBy(point_key)
 
-    # Candidates farther than cell_h are useless: a point is provably
-    # finished iff it has >= k candidates with dist < cell_h (every zone
-    # that close is certainly inside disk(1), so the filtered set still
-    # contains the true top-k of finished points), and unfinished points
-    # are re-answered exactly in phase 2 anyway.  Filtering BEFORE the
-    # ranking window shrinks the shuffle ~(disk area / pi*cell_h^2) ~ 9x.
-    # Strict <: a zone outside disk(1) can sit at exactly cell_h and win
-    # the (dist, zone_key) tiebreak — don't claim the proof there.
-    cand = (p.join(F.broadcast(zx), "cell")
-            .withColumn("dist", dist)
-            .filter(F.col("dist") < cell_h))
-    ranked = (cand
-              .withColumn("knn_rank", F.row_number().over(w))
-              .withColumn("_n", F.count(F.lit(1)).over(w_all)))
-    done = ranked.filter((F.col("_n") >= k) & (F.col("knn_rank") <= k))
+    remaining = p0
+    dones = []
+    r = res
+    for _level in range(levels):
+        if r < 1:
+            break
+        cell_h = 180.0 / (1 << r)
+        zx = (with_point_cell(zc, r, "_zlng", "_zlat", out="_zc")
+              .withColumn("cell", F.explode(_disk_cells_sql("_zc", r)))
+              .drop("_zc"))
+        p = with_point_cell(remaining, r, lng, lat)
+        cand = (p.join(F.broadcast(zx), "cell")
+                .withColumn("dist", dist)
+                .filter(F.col("dist") < cell_h))
+        ranked = (cand
+                  .withColumn("knn_rank", F.row_number().over(w))
+                  .withColumn("_n", F.count(F.lit(1)).over(w_all)))
+        done = (ranked.filter((F.col("_n") >= k) & (F.col("knn_rank") <= k))
+                .select(point_key, zone_key, "knn_rank")
+                .persist())   # k rows/point: break the lineage so the
+        # ranking window runs ONCE per level — it is consumed by both
+        # the output union and the next level's remainder anti-join,
+        # and without the persist each consumer re-executed the whole
+        # window cascade (measured ~2x wall on the sf0.5 benchmark)
+        dones.append(done)
+        remaining = remaining.join(
+            done.select(point_key).distinct(), point_key, "left_anti")
+        r -= 2
 
-    # phase 2: points without a finish proof (incl. zero-candidate ones).
-    # The tail is small, so AQE would coalesce it to ~1 partition — but
-    # each tail row fans out |zones| candidate rows in the cross join, so
-    # force it back to full parallelism BEFORE the fan-out.
+    # final stragglers: exact join against all zones
     n_shuffle = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    rest = (p.join(done.select(point_key), point_key, "left_anti")
-            .repartition(n_shuffle))
-    cand2 = (rest.crossJoin(F.broadcast(zc))
+    cand2 = (remaining.repartition(n_shuffle)
+             .crossJoin(F.broadcast(zc))
              .withColumn("dist", dist)
              .withColumn("knn_rank", F.row_number().over(w))
              .filter(F.col("knn_rank") <= k))
-    return (done.select(point_key, zone_key, "knn_rank")
-            .unionByName(cand2.select(point_key, zone_key, "knn_rank")))
+    out = cand2.select(point_key, zone_key, "knn_rank")
+    for d in dones:
+        out = out.unionByName(d)
+    return out
 
 
 # ---------------------------------------------------------------------------

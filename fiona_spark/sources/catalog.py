@@ -1,0 +1,108 @@
+"""Dataset/layer catalog operations (Fiona's discovery + admin surface).
+
+Parity map (SURVEY.md section 2.1):
+  * ``fiona.listlayers``  (`fiona/__init__.py:512-584`)  -> table/layer
+    listing of a dataset directory or the session catalog
+  * ``fiona.listdir``     (`fiona/__init__.py:460-508`)  -> FS listing
+  * ``fiona.remove``      (`fiona/__init__.py:389-456`)  -> drop layer
+  * metadata tags         (`fiona/collection.py:293-391`) -> table
+    properties JSON sidecar (the parquet analogue of GDAL's ns-scoped
+    key/value metadata)
+Error contracts mirror the reference: removing a missing layer raises
+(`DatasetDeleteError` analogue), listing a non-dataset raises ValueError.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from ..errors import DriverError
+
+
+def listlayers(path: str) -> list[str]:
+    """Layer names in a dataset directory: every child holding parquet.
+
+    A single parquet file/dir is one unnamed layer, like a shapefile's
+    single layer (returns its basename).
+    """
+    if not os.path.exists(path):
+        raise DriverError(f"no dataset at {path!r}")
+    if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
+        return [os.path.splitext(os.path.basename(path))[0]]
+    out = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.endswith(".parquet") or (
+                os.path.isdir(full) and (
+                os.path.exists(os.path.join(full, "_SUCCESS"))
+                or any(f.endswith(".parquet") for f in os.listdir(full)))):
+            out.append(os.path.splitext(name)[0])
+    return out
+
+
+def listdir(path: str) -> list[str]:
+    """Raw dataset-directory listing (`fiona.listdir` parity)."""
+    if not os.path.isdir(path):
+        raise DriverError(f"not a directory: {path!r}")
+    return sorted(os.listdir(path))
+
+
+def remove(path: str, layer: str | None = None) -> None:
+    """Remove a dataset or one layer of it (`fiona.remove` parity)."""
+    target = path if layer is None else os.path.join(path, f"{layer}.parquet")
+    if not os.path.exists(target):
+        alt = os.path.join(path, layer) if layer else None
+        if alt and os.path.exists(alt):
+            target = alt
+        else:
+            raise DriverError(f"no such dataset/layer: {target!r}")
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    else:
+        os.remove(target)
+
+
+_TAGS_FILE = "_fiona_spark_tags.json"
+
+
+def update_tags(path: str, tags: dict, ns: str = "") -> None:
+    """Set ns-scoped key/value metadata on a dataset directory."""
+    if not os.path.isdir(path):
+        raise DriverError(f"no dataset at {path!r}")
+    f = os.path.join(path, _TAGS_FILE)
+    existing = {}
+    if os.path.exists(f):
+        with open(f) as fh:
+            existing = json.load(fh)
+    existing.setdefault(ns, {}).update({str(k): str(v) for k, v in tags.items()})
+    tmp = f + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    os.replace(tmp, f)
+
+
+def get_tags(path: str, ns: str = "") -> dict:
+    f = os.path.join(path, _TAGS_FILE)
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return json.load(fh).get(ns, {})
+
+
+def info(spark, table_path: str) -> dict:
+    """``fio info`` parity: count, bounds (when footprint columns
+    exist), schema, as one record (`fiona/fio/info.py:42-78`)."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(table_path)
+    rec = {
+        "path": table_path,
+        "count": df.count(),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+    }
+    cols = set(df.columns)
+    if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+        b = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
+        rec["bounds"] = tuple(b)
+    return rec

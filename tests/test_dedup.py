@@ -1,0 +1,142 @@
+"""Dedup / similarity operators vs eager single-node oracles."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fiona_spark.operators import dedup
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+         "iota", "kappa", "lmbda", "mu", "nu", "xi", "omicron", "pi"]
+
+
+def _mk_docs(n=40, seed=11):
+    """Deterministic corpus with planted near-duplicates.
+
+    doc 2i+1 = doc 2i with ONE word changed for i in 0..4 (high Jaccard);
+    the rest are independent random word sequences (low Jaccard).
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        toks = [WORDS[j] for j in rng.integers(0, len(WORDS), 30)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    for i in range(5):
+        base = rows[2 * i]["text"].split(" ")
+        base[7] = "CHANGED"
+        rows[2 * i + 1]["text"] = " ".join(base)
+    return pd.DataFrame(rows)
+
+
+def _shingles(text, n=3):
+    ws = text.split(" ")
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return _mk_docs()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf).cache()
+
+
+def test_exact_jaccard_matches_python(spark, docs, docs_pdf):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 2, 4], "id_b": [1, 3, 5]}))
+    got = dedup.exact_jaccard(docs, pairs).toPandas().set_index(["id_a", "id_b"])
+    for a, b in [(0, 1), (2, 3), (4, 5)]:
+        exp = _jaccard(docs_pdf.loc[a, "text"], docs_pdf.loc[b, "text"])
+        assert got.loc[(a, b), "jaccard"] == pytest.approx(exp)
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs, docs_pdf):
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    found = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5):
+        assert (2 * i, 2 * i + 1) in found, f"planted pair {2*i} missing"
+    # no false positives below the verification threshold
+    assert (got["jaccard"] >= 0.5).all()
+    # eager check of reported jaccards
+    for _, r in got.iterrows():
+        exp = _jaccard(docs_pdf.loc[r["id_a"], "text"],
+                       docs_pdf.loc[r["id_b"], "text"])
+        assert r["jaccard"] == pytest.approx(exp)
+
+
+def test_minhash_signature_similarity_tracks_jaccard(spark, docs, docs_pdf):
+    sig = dedup.minhash_signatures(docs, n_perm=64).toPandas().set_index("doc_id")
+    mcols = [f"m{j}" for j in range(64)]
+
+    def sig_sim(a, b):
+        return (sig.loc[a, mcols].to_numpy() == sig.loc[b, mcols].to_numpy()).mean()
+
+    # planted near-dup: signature agreement ~ true jaccard (within 3 sigma)
+    j = _jaccard(docs_pdf.loc[0, "text"], docs_pdf.loc[1, "text"])
+    assert abs(sig_sim(0, 1) - j) < 3 * np.sqrt(j * (1 - j) / 64) + 1e-9
+    # unrelated docs: low agreement
+    assert sig_sim(0, 20) < 0.4
+
+
+def test_simhash_identical_and_near(spark, docs):
+    dup = docs.filter("doc_id = 0").withColumn("doc_id", F.lit(999))
+    d2 = docs.unionByName(dup)
+    sh = dedup.simhash(d2).toPandas().set_index("doc_id")
+    assert sh.loc[0, "simhash"] == sh.loc[999, "simhash"]
+    pairs = dedup.simhash_pairs(d2, max_dist=3).toPandas()
+    keys = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 999) in keys
+
+
+def test_hamming_pairs_vs_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(-(1 << 62), 1 << 62, 30).astype(np.int64)
+    hashes[5] = hashes[2] ^ 0b101          # distance 2 plant
+    hashes[9] = hashes[2]                  # distance 0 plant
+    pdf = pd.DataFrame({"vid": range(30), "h": hashes})
+    df = spark.createDataFrame(pdf)
+    got = dedup.hamming_pairs(df, "vid", "h", max_dist=4, band_bits=16).toPandas()
+    got_keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    exp = set()
+    for a, b in itertools.combinations(range(30), 2):
+        d = bin((int(hashes[a]) ^ int(hashes[b])) & 0xFFFFFFFFFFFFFFFF).count("1")
+        # pigeonhole guarantee only holds for d < 64/band_bits = 4
+        if d < 4:
+            exp.add((a, b))
+    assert exp <= got_keys
+    for _, r in got.iterrows():
+        d = bin((int(hashes[r['id_a']]) ^ int(hashes[r['id_b']])) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert r["hamming"] == d <= 4
+
+
+def test_ann_cosine_finds_planted_neighbor(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 64)).astype(np.float64)
+    vecs[50] = vecs[7] + rng.standard_normal(64) * 0.01   # near-dup of 7
+    pdf = pd.DataFrame({"vec_id": range(100),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter("vec_id = 7")
+    got = dedup.ann_cosine_topk(emb, q, k=5).toPandas()
+    assert len(got) >= 1
+    top = got[got["rnk"] == 1].iloc[0]
+    assert top["cid"] == 50 and top["cosine"] > 0.99
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    dup = docs.filter("doc_id IN (0, 1)").withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    d2 = docs.unionByName(dup)
+    out = dedup.dedup_exact(d2, ["text"]).toPandas()
+    assert len(out) == docs.count()
+    assert set(out["doc_id"]) == set(range(docs.count()))

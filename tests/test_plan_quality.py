@@ -1,0 +1,87 @@
+"""Plan-property regression tests: pushdown, pruning, broadcast, Python
+containment — the engine's optimizer invariants (SURVEY.md section 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiona_spark import fixtures
+from fiona_spark.operators import filters, spatial
+from fiona_spark.plans import quality
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def images_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "img.parquet")
+    spark.createDataFrame(fixtures.gen_images_pdf(0, 500),
+                          schema=fixtures.IMAGES_SCHEMA).write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def zones(spark):
+    return spark.createDataFrame(fixtures.gen_zones_pdf(30),
+                                 schema=fixtures.ZONES_SCHEMA)
+
+
+def test_where_filter_pushdown(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = filters.filter_where(orders, "o_totalprice > 300000.0").select("o_orderkey")
+    assert quality.has_pushed_filters(q)
+
+
+def test_bbox_filter_pushdown_and_pruning(spark, images_path):
+    img = spark.read.parquet(images_path)
+    q = filters.filter_bbox(img, (-20.0, -10.0, 40.0, 30.0)).select("image_id")
+    assert quality.has_pushed_filters(q)
+    # pruning: only envelope + id should be read, never bytes/caption
+    read = set(quality.read_schema_columns(q))
+    assert "bytes" not in read and "caption" not in read
+
+
+def test_pip_join_plan_shape(spark, images_path, zones):
+    img = spark.read.parquet(images_path)
+    q = spatial.pip_join(img, zones, res=6)
+    # zones side broadcast; the only exchange is the zone-side
+    # repartition (spreading the covering UDF), never the probe side
+    assert quality.broadcast_join_count(q) >= 1
+    assert quality.shuffle_count(q) <= 1
+    read = set(quality.read_schema_columns(q))
+    assert "bytes" not in read
+    # exactly the covering UDF + the residual predicate touch Python
+    assert quality.python_eval_count(q) <= 2
+
+
+def test_point_cell_is_jvm_only(spark, images_path):
+    img = spark.read.parquet(images_path)
+    q = spatial.with_point_cell(img.select("image_id", "lng", "lat"), 9)
+    assert quality.python_eval_count(q) == 0
+    assert quality.codegen_stage_count(q) >= 1
+
+
+def test_knn_probe_side_has_no_python(spark, images_path, zones):
+    img = spark.read.parquet(images_path)
+    q = spatial.knn_join(img, zones, k=3, res=4)
+    # kNN plan is pure JVM: disk explode is SQL arithmetic, ranking is a
+    # window — no pandas UDF anywhere
+    assert quality.python_eval_count(q) == 0
+    assert quality.broadcast_join_count(q) >= 1
+
+
+def test_tpch_q1_single_shuffle(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity").alias("sum_qty")))
+    # partial aggregation: exactly one exchange for the final agg
+    assert quality.shuffle_count(q) == 1
+    assert quality.has_pushed_filters(q)
+
+
+def test_assert_quality_raises_with_plan(spark, images_path):
+    img = spark.read.parquet(images_path)
+    q = img.select("image_id", "bytes")
+    with pytest.raises(AssertionError) as ei:
+        quality.assert_quality(q, read_only={"image_id"})
+    assert "bytes" in str(ei.value)

@@ -1,0 +1,157 @@
+"""GeoJSON source/sink, catalog ops, and streaming reuse tests."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fiona_spark import fixtures
+from fiona_spark.errors import DriverError
+from fiona_spark.sources import catalog, geojson
+
+N_ZONES = 25
+
+
+@pytest.fixture(scope="module")
+def zones(spark):
+    return spark.createDataFrame(fixtures.gen_zones_pdf(N_ZONES),
+                                 schema=fixtures.ZONES_SCHEMA).cache()
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON
+# ---------------------------------------------------------------------------
+
+def test_feature_seq_roundtrip(spark, zones, tmp_path):
+    path = str(tmp_path / "seq")
+    geojson.write_feature_seq(zones, path, id_col="zone_id")
+    back = geojson.read_feature_seq(spark, path)
+    assert back.count() == N_ZONES
+    a = zones.select("zone_id", "NAME", "AREA", "xmin").toPandas() \
+        .set_index("zone_id").sort_index()
+    b = back.select(F.col("id").alias("zone_id"), "NAME", "AREA", "xmin") \
+        .toPandas().set_index("zone_id").sort_index()
+    assert list(a["NAME"]) == list(b["NAME"])
+    assert np.allclose(a["AREA"], b["AREA"])
+    assert np.allclose(a["xmin"], b["xmin"])
+
+
+def test_feature_seq_rs_delimited(spark, zones, tmp_path):
+    path = str(tmp_path / "seq_rs")
+    geojson.write_feature_seq(zones, path, id_col="zone_id", use_rs=True)
+    txt = ""
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            txt += fh.read()
+    assert txt.count(geojson.RS) == N_ZONES
+    assert txt.count('"type": "Feature"') == N_ZONES or \
+        txt.count('"type":"Feature"') == N_ZONES
+
+
+def test_collection_roundtrip(spark, zones, tmp_path):
+    path = str(tmp_path / "coll")
+    geojson.write_collection(zones, path, id_col="zone_id")
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 1          # ONE FeatureCollection document
+    with open(files[0]) as fh:
+        doc = json.load(fh)
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == N_ZONES
+    back = geojson.read_collection(spark, files[0])
+    assert back.count() == N_ZONES
+    assert set(back.columns) >= {"id", "geom_type", "xs", "ys", "NAME"}
+
+
+def test_geojson_geometry_valid(spark, zones, tmp_path):
+    path = str(tmp_path / "geomcheck")
+    geojson.write_feature_seq(zones.limit(3), path, id_col="zone_id")
+    with open(glob.glob(f"{path}/part-*")[0]) as fh:
+        feat = json.loads(fh.readline())
+    ring = feat["geometry"]["coordinates"][0]
+    assert all(len(pt) == 2 for pt in ring)
+    assert feat["geometry"]["type"] == "Polygon"
+    assert feat["properties"]["NAME"]
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+def test_listlayers_and_remove(spark, zones, tmp_path):
+    ds = str(tmp_path / "dataset")
+    zones.limit(5).write.parquet(f"{ds}/layer_a.parquet")
+    zones.limit(7).write.parquet(f"{ds}/layer_b.parquet")
+    assert catalog.listlayers(ds) == ["layer_a", "layer_b"]
+    assert "layer_a.parquet" in catalog.listdir(ds)
+    catalog.remove(ds, "layer_a")
+    assert catalog.listlayers(ds) == ["layer_b"]
+    with pytest.raises(DriverError):
+        catalog.remove(ds, "layer_a")
+    with pytest.raises(DriverError):
+        catalog.listlayers(str(tmp_path / "nope"))
+
+
+def test_tags_roundtrip(tmp_path):
+    ds = str(tmp_path)
+    catalog.update_tags(ds, {"created_by": "fiona_spark", "v": 1}, ns="meta")
+    catalog.update_tags(ds, {"extra": "x"}, ns="meta")
+    got = catalog.get_tags(ds, ns="meta")
+    assert got == {"created_by": "fiona_spark", "v": "1", "extra": "x"}
+    assert catalog.get_tags(ds, ns="other") == {}
+
+
+def test_info_record(spark, zones, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    zones.write.parquet(p)
+    rec = catalog.info(spark, p)
+    assert rec["count"] == N_ZONES
+    assert rec["schema"]["NAME"] == "string"
+    assert len(rec["bounds"]) == 4
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from fiona_spark.streaming import windows as sw
+    src = str(tmp_path / "events_stream")
+    out = str(tmp_path / "out")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+    schema = ev.schema.simpleString()[7:-1].replace(":", " ")  # struct<..> body
+    stream = sw.read_feature_stream(spark, src, schema)
+    agg = sw.windowed_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM win_counts").toPandas()
+    # equivalence with the batch form on the same data
+    exp = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+           .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+           .count().count())
+    assert len(got) == exp and (got["n"] > 0).all()
+
+
+def test_streaming_foreach_batch_reuses_batch_op(spark, zones, tmp_path):
+    from fiona_spark.streaming import windows as sw
+    from fiona_spark.operators import spatial
+    src = str(tmp_path / "imgs_stream")
+    out = str(tmp_path / "tiles_out")
+    pdf = fixtures.gen_images_pdf(0, 200)
+    spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(fixtures.IMAGES_SCHEMA).parquet(src)
+    sw.run_foreach_batch(
+        stream,
+        lambda df, _eid: spatial.with_point_cell(df, 9).select("image_id", "cell"),
+        out)
+    got = spark.read.parquet(*glob.glob(f"{out}/epoch=*"))
+    assert got.count() == 200
+    # identical to the batch operator on the same rows
+    batch = spatial.with_point_cell(
+        spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA), 9) \
+        .select("image_id", "cell")
+    assert got.exceptAll(batch).count() == 0

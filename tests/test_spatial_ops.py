@@ -56,6 +56,14 @@ def test_pip_join_matches_oracle(spark, images, zones, images_pdf, zones_pdf):
     assert len(exp) > 20  # non-trivial overlap in the fixture
 
 
+def test_pip_join_convex_sql_same_result(spark, images, zones, images_pdf, zones_pdf):
+    """The zero-Python convex-SQL residual must agree with the ray-cast
+    kernel on the fixture (incl. the antimeridian stradder zones)."""
+    got = set(map(tuple, spatial.pip_join(images, zones, res=RES,
+                                          convex=True).collect()))
+    assert got == _pip_oracle(images_pdf, zones_pdf)
+
+
 def test_pip_join_salted_same_result(spark, images, zones, images_pdf, zones_pdf):
     got = set(map(tuple, spatial.pip_join(images, zones, res=RES,
                                           broadcast_zones=False, salt=4,
