@@ -116,6 +116,58 @@ def points_in_polygons_pairs(px, py, polys_x, polys_y) -> np.ndarray:
     return out
 
 
+def pack_rings(xs_list, ys_list):
+    """Pack ragged rings into flat arrays: (offs, flat_x, flat_y).
+
+    ``offs`` has n+1 entries; ring i occupies flat[offs[i]:offs[i+1]].
+    """
+    lens = np.fromiter((len(v) for v in xs_list), dtype=np.int64,
+                       count=len(xs_list))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat_x = np.concatenate([np.asarray(v, np.float64) for v in xs_list]) \
+        if len(xs_list) else np.empty(0)
+    flat_y = np.concatenate([np.asarray(v, np.float64) for v in ys_list]) \
+        if len(ys_list) else np.empty(0)
+    return offs, flat_x, flat_y
+
+
+def points_in_polygons_packed(px, py, ridx, offs, flat_x, flat_y) -> np.ndarray:
+    """Row-aligned PIP against PACKED rings, fully vectorized.
+
+    ``ridx[i]`` selects the ring for point i.  Unlike the per-group
+    kernel this has NO per-polygon Python overhead — when every
+    candidate row references a different polygon (large zone layers:
+    measured 111M candidates over 134k zones, ~1 row/group) the grouped
+    kernel degraded to ~45us/row of Python; this enumeration of all
+    (row, edge) pairs with one crossing test + bincount parity is
+    ~1000x denser.  Crossing rule identical to points_in_polygon:
+    (y0 > py) != (y1 > py), strict px < x-intersection.
+    """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    ridx = np.asarray(ridx, np.int64)
+    n = len(px)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cnt = (offs[ridx + 1] - offs[ridx]).astype(np.int64)
+    total = int(cnt.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    starts = np.cumsum(cnt) - cnt
+    local = np.arange(total, dtype=np.int64) - starts[row]
+    base = offs[ridx][row]
+    v0 = base + local
+    v1 = base + (local + 1) % cnt[row]    # closing edge included
+    x0, y0 = flat_x[v0], flat_y[v0]
+    x1, y1 = flat_x[v1], flat_y[v1]
+    pye, pxe = py[row], px[row]
+    cond = (y0 > pye) != (y1 > pye)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pye - y0) / (y1 - y0) * (x1 - x0)
+    crossing = cond & (pxe < xint)
+    parity = np.bincount(row[crossing], minlength=n)
+    return (parity % 2).astype(bool)
+
+
 # ---------------------------------------------------------------------------
 # Measures (fiona/features.py:206-211 equivalents)
 # ---------------------------------------------------------------------------

@@ -153,21 +153,32 @@ def _pip_test_groups(key, pxv, pyv, lookup):
     return out
 
 
-def _pip_residual_closure_udf(poly_bc):
-    """Residual PIP with polygons from a Spark broadcast variable.
+def _pip_residual_packed_udf(poly_bc):
+    """Residual PIP against packed rings from a Spark broadcast variable.
 
-    Candidate rows carry only (zone_key, lng, lat) — at 10^6+ candidate
-    pairs the polygon arrays would otherwise be replicated per pair
-    through the Arrow channel (the sf0.5 profile showed ~GBs); via
-    ``sc.broadcast`` each executor receives every ring exactly once.
+    Candidate rows carry only (_zidx int, lng, lat); each executor gets
+    every ring exactly once (flat arrays — pickles in one memcpy), and
+    the kernel is the fully-vectorized ragged pairwise ray-cast (no
+    per-polygon Python, immune to group-size collapse on large zone
+    layers).  Antimeridian-straddling rings re-test their misses with
+    +/-360-shifted points.
     """
     @F.pandas_udf(T.BooleanType())
-    def pip(key: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
-        polys = poly_bc.value
-        keys = key.to_numpy(object)
-        return pd.Series(_pip_test_groups(
-            keys, px.to_numpy(np.float64), py.to_numpy(np.float64),
-            lambda i0: polys[keys[i0]]))
+    def pip(zidx: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        offs, flat_x, flat_y, wrap = poly_bc.value
+        zi = zidx.to_numpy(np.int64)
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        out = geom.points_in_polygons_packed(pxv, pyv, zi, offs, flat_x, flat_y)
+        pend = np.flatnonzero(wrap[zi] & ~out)
+        for shift in (360.0, -360.0):
+            if not len(pend):
+                break
+            hit = geom.points_in_polygons_packed(
+                pxv[pend] + shift, pyv[pend], zi[pend], offs, flat_x, flat_y)
+            out[pend] |= hit
+            pend = pend[~hit]
+        return pd.Series(out)
     return pip
 
 
@@ -204,7 +215,13 @@ def pip_res_for(zones: DataFrame, max_cover_rows: int = 4_000_000,
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col(x1) - F.col(x0)).alias("w"),
         F.avg(F.col(y1) - F.col(y0)).alias("h")).collect()[0]
-    n, w, h = row["n"], max(row["w"] or 0.0, 1e-9), max(row["h"] or 0.0, 1e-9)
+    return _res_from_stats(row["n"], row["w"], row["h"], max_cover_rows)
+
+
+def _res_from_stats(n: int, w: float, h: float,
+                    max_cover_rows: int = 4_000_000) -> int:
+    w = max(w or 0.0, 1e-9)
+    h = max(h or 0.0, 1e-9)
     best = 3
     for res in range(3, cells.MAX_RES + 1):
         cw, ch = 360.0 / (1 << res), 180.0 / (1 << res)
@@ -245,12 +262,86 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     Each point has exactly ONE cell, so candidate pairs are already
     unique — no dedup shuffle.
     """
+    spark = points.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if broadcast_zones and not convex:
+        # Small-zone regime (the north_star case: zones << images), the
+        # default path.  The zone layer is collected ONCE; everything
+        # zone-side happens on the driver in vectorized numpy:
+        #   * covering cells (incl. antimeridian wrap) -> a (cell, _zidx)
+        #     DataFrame broadcast into the probe join;
+        #   * rings packed into flat arrays -> one sc.broadcast (a
+        #     memcpy-pickle, not 10^5 object pickles);
+        # and candidates cross the Arrow channel as (_zidx, lng, lat)
+        # only.  Compared to the distributed-zone variant this removes a
+        # repartition, a Python UDF stage and a collect-for-broadcast.
+        zpdf = zones.select(*zone_cols, "xs", "ys",
+                            "xmin", "ymin", "xmax", "ymax").toPandas()
+        if res is None:
+            w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
+            h = float(np.mean(zpdf["ymax"] - zpdf["ymin"])) if len(zpdf) else 1.0
+            res = _res_from_stats(len(zpdf), w, h)
+        p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
+
+        xminv = zpdf["xmin"].to_numpy(np.float64)
+        yminv = zpdf["ymin"].to_numpy(np.float64)
+        xmaxv = zpdf["xmax"].to_numpy(np.float64)
+        ymaxv = zpdf["ymax"].to_numpy(np.float64)
+        wrap = (xmaxv > 180.0) | (xminv < -180.0)
+        parts = []
+        if (~wrap).any():
+            nidx = np.flatnonzero(~wrap)
+            ridx, cell = cells.cells_covering_flat(
+                xminv[nidx], yminv[nidx], xmaxv[nidx], ymaxv[nidx], res)
+            parts.append((nidx[ridx], cell))
+        for i in np.flatnonzero(wrap):
+            if xmaxv[i] > 180.0:
+                boxes = [(xminv[i], yminv[i], 180.0, ymaxv[i]),
+                         (-180.0, yminv[i], xmaxv[i] - 360.0, ymaxv[i])]
+            else:
+                boxes = [(xminv[i] + 360.0, yminv[i], 180.0, ymaxv[i]),
+                         (-180.0, yminv[i], xmaxv[i], ymaxv[i])]
+            cs = np.unique(np.concatenate([
+                cells.cells_covering_flat(np.array([b[0]]), np.array([b[1]]),
+                                          np.array([b[2]]), np.array([b[3]]),
+                                          res)[1] for b in boxes]))
+            parts.append((np.full(len(cs), i, dtype=np.int64), cs))
+        ridx_all = np.concatenate([p0 for p0, _ in parts])
+        cell_all = np.concatenate([c for _, c in parts])
+        zcov = spark.createDataFrame(
+            pd.DataFrame({"_zidx": ridx_all, "cell": cell_all}))
+
+        offs, flat_x, flat_y = geom.pack_rings(zpdf["xs"].tolist(),
+                                               zpdf["ys"].tolist())
+        ring_wrap = np.zeros(len(zpdf), dtype=bool)
+        for i in range(len(zpdf)):
+            ring_wrap[i] = (flat_x[offs[i]:offs[i + 1]].max() > 180.0
+                            or flat_x[offs[i]:offs[i + 1]].min() < -180.0) \
+                if offs[i + 1] > offs[i] else False
+        bc = spark.sparkContext.broadcast((offs, flat_x, flat_y, ring_wrap))
+        pip = _pip_residual_packed_udf(bc)
+
+        z = zcov
+        if salt > 0:
+            hot = hot_cells(p, threshold=hot_threshold)
+            p, z = salt_sides(p, z, hot, salt, probe_key=point_cols[0])
+            join_keys = ["cell", "_salt"]
+        else:
+            join_keys = ["cell"]
+        cand = p.join(F.broadcast(z), join_keys, "inner")
+        hits = cand.filter(pip(F.col("_zidx"), F.col(lng), F.col(lat)))
+        zmap = spark.createDataFrame(
+            zpdf[list(zone_cols)].assign(
+                _zidx=np.arange(len(zpdf), dtype=np.int64)))
+        return (hits.join(F.broadcast(zmap), "_zidx")
+                .select(*point_cols, *zone_cols))
+
     if res is None:
         res = pip_res_for(zones)
     p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
     # zone layers usually arrive in 1-2 files; spread the covering UDF
     # across the cluster before the (cheap) broadcast collect
-    n_shuffle = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     zones = zones.repartition(n_shuffle)
 
     if convex:
@@ -266,21 +357,6 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
                            for s in (0.0, 360.0, -360.0))
         pip = None
         pip_args = F.expr(pred)
-    elif broadcast_zones:
-        # Small-zone regime (the north_star case: zones << images).
-        # Candidates carry ONLY the zone key; every executor gets each
-        # polygon ring exactly once via sc.broadcast instead of once per
-        # candidate pair through the Arrow channel.
-        z = with_covering_cells(
-            zones.select(*zone_cols, "xmin", "ymin", "xmax", "ymax"), res
-        ).select(*zone_cols, "cell")
-        zpdf = zones.select(zone_cols[0], "xs", "ys").toPandas()
-        polys = {row[0]: (np.asarray(row[1], np.float64),
-                          np.asarray(row[2], np.float64))
-                 for row in zpdf.itertuples(index=False)}
-        bc = points.sparkSession.sparkContext.broadcast(polys)
-        pip = _pip_residual_closure_udf(bc)
-        pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat))
     else:
         # Shuffled regime (zone side too large to broadcast): the ring
         # arrays travel with the candidate rows.

@@ -30,10 +30,13 @@ from fiona_spark.session import get_spark
 from fiona_spark import fixtures
 from fiona_spark.operators import spatial
 
-cores = int(sys.argv[1]); sf = float(sys.argv[2])
+cores = int(sys.argv[1]); sf = float(sys.argv[2]); zsf = float(sys.argv[3])
 spark = get_spark(cores=cores, app=f"scaling-{cores}")
+# The north-star regime (BASELINE.json input_hint) scales the IMAGE
+# stream, not the polygon layer: zones are held at a fixed realistic
+# layer size while images scale with sf.
 img_path = fixtures.images_path(spark, sf)
-zone_path = fixtures.zones_path(spark, sf)
+zone_path = fixtures.zones_path(spark, zsf)
 # identical input layout at both levels: 128 partitions = balanced waves
 # (16 per core at N=8, 4 at 4N=32), cached so the timed section measures
 # the operators, not the disk
@@ -87,9 +90,9 @@ spark.stop()
 '''
 
 
-def run_level(cores: int, sf: float) -> dict:
+def run_level(cores: int, sf: float, zsf: float) -> dict:
     code = WORKER % {"repo": REPO}
-    proc = subprocess.run([sys.executable, "-c", code, str(cores), str(sf)],
+    proc = subprocess.run([sys.executable, "-c", code, str(cores), str(sf), str(zsf)],
                           capture_output=True, text=True, timeout=5400)
     for line in proc.stderr.splitlines():
         if line.startswith("# "):
@@ -102,6 +105,7 @@ def run_level(cores: int, sf: float) -> dict:
 
 def main() -> None:
     sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.1"))
+    zsf = float(os.environ.get("SPARK_GRAFT_SCALING_ZSF", "0.5"))
     lo, hi = 8, 32
     import re
     n_img = None
@@ -109,8 +113,8 @@ def main() -> None:
     from fiona_spark import fixtures
     n_img = fixtures.n_images(sf)
 
-    t_lo = run_level(lo, sf)
-    t_hi = run_level(hi, sf)
+    t_lo = run_level(lo, sf, zsf)
+    t_hi = run_level(hi, sf, zsf)
 
     rows = []
     for name in t_lo:
@@ -123,8 +127,10 @@ def main() -> None:
     md = [
         "# BASELINE — scaling evidence (north_rule)",
         "",
-        f"Same job, same input (synthetic images fixture, sf={sf}, "
-        f"n_images={n_img}), two parallelism levels in separate JVMs: "
+        f"Same job, same input (synthetic images at sf={sf}, n_images={n_img}, "
+        f"against a FIXED polygon layer of {67 * int(zsf * 1000)} zones — the "
+        "north-star regime scales the image stream, not the zone layer), "
+        "two parallelism levels in separate JVMs: "
         f"`local[{lo}]` (N) vs `local[{hi}]` (4N) — the sandbox proxy for "
         "N vs 4N executors.  Timed second run after a full warm-up pass.",
         "",

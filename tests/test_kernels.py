@@ -256,3 +256,37 @@ def test_hamming64():
     assert codec.hamming64([0], [0])[0] == 0
     assert codec.hamming64([-1], [0])[0] == 64
     assert codec.hamming64([0b1011], [0b0001])[0] == 2
+
+
+def test_packed_pip_matches_per_polygon_kernel():
+    """points_in_polygons_packed == points_in_polygon on random rings,
+    including boundary-ish points, closed rings, and varying sizes."""
+    import numpy as np
+    from fiona_spark import geom
+
+    rng = np.random.default_rng(123)
+    rings_x, rings_y = [], []
+    for j in range(40):
+        nv = int(rng.integers(3, 30))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(0.5, 3.0)
+        xs = rng.uniform(-170, 170) + r * np.cos(ang)
+        ys = rng.uniform(-80, 80) + r * np.sin(ang)
+        if j % 5 == 0:   # closed-ring variant (first == last)
+            xs = np.append(xs, xs[0]); ys = np.append(ys, ys[0])
+        rings_x.append(xs); rings_y.append(ys)
+
+    n = 5000
+    ridx = rng.integers(0, 40, n)
+    cx = np.array([rings_x[i].mean() for i in ridx])
+    cy = np.array([rings_y[i].mean() for i in ridx])
+    px = cx + rng.uniform(-4, 4, n)
+    py = cy + rng.uniform(-4, 4, n)
+
+    offs, fx, fy = geom.pack_rings(rings_x, rings_y)
+    got = geom.points_in_polygons_packed(px, py, ridx, offs, fx, fy)
+    exp = np.array([geom.points_in_polygon(
+        px[i:i+1], py[i:i+1], rings_x[ridx[i]], rings_y[ridx[i]])[0]
+        for i in range(n)])
+    assert (got == exp).all()
+    assert 0 < got.sum() < n   # non-trivial mix of hits and misses
