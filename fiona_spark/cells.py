@@ -137,6 +137,8 @@ def cells_covering(xmin, ymin, xmax, ymax, res: int) -> list[np.ndarray]:
     (views into one flat vectorized enumeration; use
     :func:`covering_res_for` to bound the per-row blow-up)."""
     cnt = covering_counts(xmin, ymin, xmax, ymax, res)
+    if len(cnt) == 0:
+        return []   # np.split on an empty index list would fabricate one row
     _row_idx, cell = cells_covering_flat(xmin, ymin, xmax, ymax, res)
     return np.split(cell, np.cumsum(cnt)[:-1])
 

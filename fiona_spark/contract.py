@@ -528,35 +528,173 @@ def q_dedup_exact_rows(spark, sf_dir):
     return dedup.dedup_exact(docs, ["text"]).select("doc_id")
 
 
+# -- LSH dedup queries: the engine runs its md5_60 hash family here (the
+# -- one reproducible in ANSI SQL) so the ENTIRE pipeline — shingling,
+# -- mod-P universal-hash permutations, banding, candidate join, exact
+# -- verify — is recomputed independently by the DuckDB oracle from raw
+# -- text.  The production xxhash64 default is covered by tests/test_dedup.
+
+_DDB_HEX60 = ("list_reduce(list_transform("
+              "string_split_regex(substr(md5({s}), 1, 15), ''), "
+              "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+              "(a, b) -> a * 16 + b)")
+
+_DOCS_PLANTED_CTE = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+"""
+
+
+def _ddb_perm_min(j: int, a: int, b: int) -> str:
+    """DuckDB min-aggregate of (a*x+b) mod P in overflow-safe limbs —
+    the exact integer expression tree of dedup._perm_hash_col."""
+    from .operators.dedup import _P
+    lo30 = (1 << 30) - 1
+    lo31 = (1 << 31) - 1
+    y = f"(({a} * (x >> 31)) % {_P})"
+    hi = f"((({y} >> 30) + (({y} & {lo30}) << 31)) % {_P})"
+    h = f"(({hi} + {a} * (x & {lo31}) + {b}) % {_P})"
+    return f"min({h}) AS m{j}"
+
+
+def _minhash_oracle_sql(n_perm=64, bands=16, threshold=0.9, seed=42,
+                        max_bucket=1000) -> str:
+    from .operators import dedup
+    a, b = dedup._perm_coeffs(n_perm, seed)
+    min_aggs = ",\n       ".join(
+        _ddb_perm_min(j, int(a[j]), int(b[j])) for j in range(n_perm))
+    rows = n_perm // bands
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('|', "
+        + ", ".join(f"m{bi * rows + j}" for j in range(rows))
+        + ") AS key FROM sig" for bi in range(bands))
+    return f"""
+WITH docs AS ({_DOCS_PLANTED_CTE}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       FROM tok WHERE len(ws) >= 3),
+hx AS (SELECT doc_id, shingle, {_DDB_HEX60.format(s='shingle')} AS x FROM sh),
+sig AS (SELECT doc_id, {min_aggs} FROM hx GROUP BY doc_id),
+banded AS ({band_sel}),
+ok AS (SELECT band, key FROM banded GROUP BY band, key
+       HAVING count(*) <= {max_bucket}),
+bd AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN ok USING (band, key)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ninter
+          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                      JOIN sh sb ON sb.doc_id = c.id_b
+                                AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_dist=2, n_bits=60, band_bits=15) -> str:
+    n_bands = n_bits // band_bits
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits))
+    hash_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits))
+    masks = [((1 << band_bits) - 1) << (b * band_bits) for b in range(n_bands)]
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, simhash & {masks[b]} AS key FROM sh"
+        for b in range(n_bands))
+    return f"""
+WITH docs AS ({_DOCS_PLANTED_CTE}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+hx AS (SELECT doc_id, {_DDB_HEX60.format(s='t')} AS h FROM tok),
+sums AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+sh AS (SELECT doc_id, {hash_terms} AS simhash FROM sums),
+banded AS ({band_sel}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS ha,
+                b.doc_id AS id_b, b.simhash AS hb
+         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                                    AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_dist}
+"""
+
+
+def _ann_oracle_sql(k=10, dim=64, n_planes=64, band_bits=8, seed=7) -> str:
+    from .operators import dedup
+    planes = dedup.lsh_planes(dim, n_planes, seed)   # (dim, n_planes)
+    plane_lists = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in planes[:, j]) + "]"
+        for j in range(n_planes)) + "]"
+    n_bands = n_planes // band_bits
+    qz = "CAST(floor(CAST(e[i] AS DOUBLE) * 1000.0) AS BIGINT)"
+    bits = (f"list_transform({plane_lists}, p -> "
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {qz} * p[CAST(i AS INT)])) > 0)")
+    band_eq = " OR ".join(
+        f"q.bits[{b * band_bits + 1}:{(b + 1) * band_bits}] = "
+        f"c.bits[{b * band_bits + 1}:{(b + 1) * band_bits}]"
+        for b in range(n_bands))
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding AS e, {bits} AS bits FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe, bits FROM sigs WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, e AS ce, bits FROM sigs WHERE vec_id >= 5),
+cand AS (SELECT q.qid, q.qe, c.cid, c.ce FROM q JOIN c ON ({band_eq})),
+d AS (SELECT qid, cid,
+             CAST(list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(floor(CAST(qe[i] AS DOUBLE) * 1000.0) AS BIGINT)
+                  * CAST(floor(CAST(ce[i] AS DOUBLE) * 1000.0) AS BIGINT))) AS BIGINT) AS qdot
+      FROM cand),
+r AS (SELECT qid, cid, qdot,
+             row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS rnk
+      FROM d)
+SELECT qid, cid, qdot, rnk FROM r WHERE rnk <= {k}
+"""
+
+
 @register("minhash_pairs")
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs with planted duplicates (weaker
-    rows-only driver check; the exact-Jaccard oracle lives in
-    tests/test_dedup.py — the hash pipeline is not ANSI-expressible)."""
+    """MinHash-LSH near-dup pairs with planted duplicates, md5_60 hash
+    family — the DuckDB oracle recomputes signatures, bands, candidates
+    and exact Jaccard from raw text (full differential)."""
     from .operators import dedup
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
     planted = docs.filter("doc_id < 20").withColumn(
         "doc_id", F.col("doc_id") + 1000000)
-    return dedup.minhash_lsh_pairs(docs.unionByName(planted), threshold=0.9)
+    return dedup.minhash_lsh_pairs(docs.unionByName(planted), threshold=0.9,
+                                   hash_fn="md5_60", band_key="concat")
 
 
-@register("simhash_pairs")
+ORACLES["minhash_pairs"] = _minhash_oracle_sql()
+
+
+@register("simhash_pairs", _simhash_oracle_sql())
 def q_simhash_pairs(spark, sf_dir):
+    """60-bit md5 SimHash near-dup pairs; oracle recomputes the banded
+    Hamming pipeline from raw text."""
     from .operators import dedup
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
     planted = docs.filter("doc_id < 20").withColumn(
         "doc_id", F.col("doc_id") + 1000000)
-    return dedup.simhash_pairs(docs.unionByName(planted), max_dist=2)
+    return dedup.simhash_pairs(docs.unionByName(planted), max_dist=2,
+                               hash_fn="md5_60")
 
 
-@register("ann_lsh_topk")
+@register("ann_lsh_topk", _ann_oracle_sql())
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate cosine top-k (scale path of the
-    brute-force embed_topk query)."""
+    """Sign-LSH bucketed approximate top-k (scale path of the
+    brute-force embed_topk query).  Integer hyperplanes + quantized
+    dot rerank make the whole pipeline bit-identical to the oracle."""
     from .operators import dedup
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 5")
-    return dedup.ann_cosine_topk(emb.filter("vec_id >= 5"), q, k=10)
+    return dedup.ann_cosine_topk(emb.filter("vec_id >= 5"), q, k=10,
+                                 rank_by="qdot").select("qid", "cid", "qdot", "rnk")
 
 
 def _phash_band_mask(b: int, band_bits: int = 16) -> int:
@@ -779,11 +917,14 @@ def q_shingle_pairs(spark, sf_dir):
     """n-gram (word 3-shingle) Jaccard near-dup candidate pairs."""
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 150")
     tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 3)
+    # CASE-guarded even though the filter above excludes short docs:
+    # sequence(0, size-3) on size<3 throws at runtime if evaluated
     sh = tok.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(0, size(ws) - 3), "
-            "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).alias("shingle")
+            "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), "
+            "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).alias("shingle")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a"); b = sh.alias("b")

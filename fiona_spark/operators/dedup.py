@@ -3,30 +3,39 @@
 No Fiona counterpart — these are the web-scale data-curation operators
 the engine adds on top of the reference's scan/filter model (the brief's
 first-class extension set).  Everything below is expressed as DataFrame
-transformations that stay inside whole-stage codegen (xxhash64, bitwise
+transformations that stay inside whole-stage codegen (hashing, bitwise
 ops, groupBy aggregates); the only Python is the embedding signature
 UDF, which is one Arrow-vectorized matrix multiply.
 
 Scale design:
   * Candidate generation is always an equi-join on a band key — never
-    an O(n^2) cross join.  Band keys are int64s, so the shuffle is
-    compact; banded self-joins of hot keys are bounded because a band
-    bucket with B members yields B^2 pairs — the ``max_bucket`` guard
-    drops degenerate buckets (boilerplate-only shingles) exactly like
-    web-dedup pipelines drop stop-shingles.
+    an O(n^2) cross join.  Band keys are compact ints/strings, so the
+    shuffle is small; banded self-joins of hot keys are bounded because
+    a band bucket with B members yields B^2 pairs — the ``max_bucket``
+    guard drops degenerate buckets (boilerplate-only shingles) exactly
+    like web-dedup pipelines drop stop-shingles.  The degenerate set is
+    TINY by construction, so it (not its complement) is what gets
+    broadcast into a left_anti join — at 10^9 docs broadcasting the
+    cold buckets (~n_docs x bands rows) would OOM the driver.
   * Exact verification (Jaccard / Hamming / cosine) runs only on
     candidate pairs.
+
+Hash families: the production default is ``xxhash64`` (fastest JVM
+hash).  ``md5_60`` derives a 60-bit integer from the first 15 hex chars
+of md5 — slower, but computable bit-identically in any ANSI engine
+(DuckDB: strpos/list_reduce over the hex digits), which is what makes
+the LSH pipelines oracle-checkable end-to-end from raw text.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-# Mersenne prime 2^61-1: a*x+b mod p stays exact in int64/float128-free
-# arithmetic as long as operands are reduced first (we reduce x, and use
-# 32-bit a/b so a*x fits in unsigned 93 bits -> do it in two limbs).
+# Mersenne prime 2^61-1.  The universal hash h(x) = (a*x + b) mod P is
+# evaluated in limbs that never exceed 2^63 (see _perm_hash_col), using
+# 2^61 ≡ 1 (mod P) to fold the *2^31 shift without int64 overflow.
 _P = (1 << 61) - 1
 
 
@@ -37,49 +46,108 @@ def _perm_coeffs(n_perm: int, seed: int = 42):
     return a, b
 
 
+def shingle_expr(text_col: str, n: int) -> Column:
+    """Distinct-ready word n-shingle array, guarded for short docs.
+
+    Documents with fewer than ``n`` words yield an EMPTY array (and so
+    no shingles after explode) — without the CASE guard,
+    sequence(0, size-n) on size<n builds a descending sequence and
+    slice() throws at runtime, taking down the whole job.
+    """
+    ws = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(0, size({ws}) - {n}), "
+        f"i -> concat_ws(' ', slice({ws}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-shingles per document, JVM-side (split/transform)."""
-    ws = F.split(F.col(text_col), " ")
-    sh = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))")
-    return (docs.select(id_col, F.explode(sh).alias("shingle"))
+    return (docs.select(id_col, F.explode(shingle_expr(text_col, n)).alias("shingle"))
             .distinct())
+
+
+def _hash64_col(col: str, hash_fn: str) -> Column:
+    """64-bit (xxhash64) or 60-bit (md5_60) integer hash of a string column."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        # conv() parses hex -> decimal string; 15 hex chars = 60 bits,
+        # always non-negative and < 2^60 (< P), so no sign handling
+        return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _perm_hash_col(x: Column, aj: int, bj: int) -> Column:
+    """(aj * x + bj) mod P for 0 <= x < P, aj/bj < 2^31, exact in int64.
+
+    a*x = a*xh*2^31 + a*xl with xl = x & (2^31-1), xh = x >> 31:
+      * a*xh < 2^61 — reduce mod P -> y;
+      * y*2^31 mod P via 2^61 ≡ 1: (y >> 30) + ((y & (2^30-1)) << 31),
+        both limbs < 2^61, sum < 2^62;
+      * + a*xl (< 2^62) + b: total < 2^63.  No intermediate overflows.
+    (The previous formulation shifted pmod(a*xh, P) left by 31 which
+    wraps mod 2^64 — a biased, undocumented family.)
+    """
+    xl = x.bitwiseAND(F.lit((1 << 31) - 1))
+    xh = F.shiftright(x, 31)
+    y = F.pmod(F.lit(aj) * xh, F.lit(_P))
+    hi = F.pmod(F.shiftright(y, 30)
+                + F.shiftleft(y.bitwiseAND(F.lit((1 << 30) - 1)), 31), F.lit(_P))
+    return F.pmod(hi + F.lit(aj) * xl + F.lit(bj), F.lit(_P))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_perm: int = 64,
-                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                       shingle_n: int = 3, seed: int = 42,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per document: n_perm int64 columns m0..m{n-1}.
 
     Universal-hash permutations h_j(x) = (a_j * x + b_j) mod (2^61-1)
-    over xxhash64 shingle values — all codegen'd column arithmetic, one
+    over hashed shingle values — all codegen'd column arithmetic, one
     groupBy(doc).min() per permutation (a single shuffle).
     """
     a, b = _perm_coeffs(n_perm, seed)
     sh = word_shingles(docs, id_col, text_col, shingle_n)
-    # reduce x into [0, P) first so a*x fits: split a*x into hi/lo limbs
-    # mod P using (2^61 ≡ 1): with a < 2^31 and x < 2^61, a*x < 2^92 —
-    # compute in two 46-bit halves to stay exact in signed int64.
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
-    xl = x.bitwiseAND(F.lit((1 << 31) - 1))          # low 31 bits
-    xh = F.shiftright(x, 31)                          # high 30 bits
-    aggs = []
-    for j in range(n_perm):
-        aj, bj = int(a[j]), int(b[j])
-        # a*x mod P = (a*xh*2^31 + a*xl) mod P; a*xh < 2^61, fits
-        hi = F.pmod(F.shiftleft(F.pmod(F.lit(aj) * xh, F.lit(_P)), 31), F.lit(_P))
-        hj = F.pmod(hi + F.lit(aj) * xl + F.lit(bj), F.lit(_P))
-        aggs.append(F.min(hj).alias(f"m{j}"))
+    x = F.pmod(_hash64_col("shingle", hash_fn), F.lit(_P))
+    aggs = [F.min(_perm_hash_col(x, int(a[j]), int(b[j]))).alias(f"m{j}")
+            for j in range(n_perm)]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def band_keys(sig: DataFrame, id_col: str, n_perm: int, bands: int,
+              band_key: str = "xxhash64") -> DataFrame:
+    """(id, band, key) rows: one band key per signature band.
+
+    ``band_key='xxhash64'`` packs the band's rows into one int64 (the
+    compact production shuffle key); ``'concat'`` joins them as a
+    string — bigger, but reproducible in ANSI SQL for the oracle.
+    """
+    rows = n_perm // bands
+
+    def key_of(bi: int) -> Column:
+        cols = [F.col(f"m{bi * rows + j}") for j in range(rows)]
+        if band_key == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.concat_ws("|", *[c.cast("string") for c in cols])
+
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"), key_of(bi).alias("key"))
+        for bi in range(bands)])
+    return (sig.select(id_col, F.explode(band_structs).alias("b"))
+            .select(id_col, F.col("b.band").alias("band"),
+                    F.col("b.key").alias("key")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.5, seed: int = 42,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      hash_fn: str = "xxhash64",
+                      band_key: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs by MinHash LSH + exact Jaccard verification.
 
     Signature -> ``bands`` band keys (rows = n_perm/bands) -> band-key
@@ -87,19 +155,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     candidates only.  Output: (id_a, id_b, jaccard) with jaccard >=
     threshold, id_a < id_b.
     """
-    rows = n_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_perm, shingle_n, seed)
-    band_structs = F.array(*[
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(*[F.col(f"m{bi * rows + j}") for j in range(rows)])
-                 .alias("key"))
-        for bi in range(bands)])
-    banded = (sig.select(id_col, F.explode(band_structs).alias("b"))
-              .select(id_col, F.col("b.band").alias("band"),
-                      F.col("b.key").alias("key")))
-    # degenerate-bucket guard (boilerplate shingle sets)
-    sizes = banded.groupBy("band", "key").count().filter(F.col("count") <= max_bucket)
-    banded = banded.join(F.broadcast(sizes.select("band", "key")), ["band", "key"])
+    sig = minhash_signatures(docs, id_col, text_col, n_perm, shingle_n,
+                             seed, hash_fn)
+    banded = band_keys(sig, id_col, n_perm, bands, band_key)
+    # degenerate-bucket guard (boilerplate shingle sets): the HOT set is
+    # tiny — broadcast it and anti-join (never broadcast the cold set,
+    # which is ~n_docs x bands rows)
+    hot = (banded.groupBy("band", "key").count()
+           .filter(F.col("count") > max_bucket).select("band", "key"))
+    banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     rhs = banded.select(F.col(id_col).alias("_idb"), "band", "key")
     cand = (banded.join(rhs, ["band", "key"])
             .filter(F.col(id_col) < F.col("_idb"))
@@ -132,20 +196,22 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document over word tokens, fully JVM-side.
+            text_col: str = "text", hash_fn: str = "xxhash64",
+            n_bits: int = 64) -> DataFrame:
+    """n_bits-wide SimHash per document over word tokens, fully JVM-side.
 
-    bit i of the hash = sign of sum over tokens of (2*bit_i(xxhash64) - 1).
-    64 conditional-sum aggregates in one groupBy — one shuffle, all
-    codegen.  Output: (id_col, simhash long).
+    bit i of the hash = sign of sum over tokens of (2*bit_i(hash) - 1).
+    One conditional-sum aggregate per bit in one groupBy — one shuffle,
+    all codegen.  Output: (id_col, simhash long).  ``md5_60`` + 60 bits
+    is the oracle-checkable variant (md5 is reproducible in ANSI SQL).
     """
     tok = docs.select(id_col, F.explode(F.split(text_col, " ")).alias("t"))
-    h = F.xxhash64("t")
+    h = _hash64_col("t", hash_fn)
     aggs = [F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
-            for i in range(64)]
+            for i in range(n_bits)]
     sums = tok.groupBy(id_col).agg(*aggs)
     bit_terms = []
-    for i in range(64):
+    for i in range(n_bits):
         # set bit i when the weighted sum is positive; bit 63 lands on
         # the sign bit — shiftleft on long handles it via overflow
         bit_terms.append(F.shiftleft((F.col(f"s{i}") > 0).cast("long"), i))
@@ -156,14 +222,23 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 
 def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
-                  max_dist: int = 3, band_bits: int = 16) -> DataFrame:
-    """Pairs within Hamming distance ``max_dist`` of an int64 hash.
+                  max_dist: int = 3, band_bits: int = 16,
+                  n_bits: int = 64, max_bucket: int = 100_000) -> DataFrame:
+    """Pairs within Hamming distance ``max_dist`` of an integer hash.
 
-    Banded LSH: 64/band_bits exact-band buckets; by pigeonhole any pair
-    with distance < 64/band_bits shares a band.  Candidates verified
-    with JVM-side bit_count.  Output: (id_a, id_b, hamming).
+    Banded LSH: n_bits/band_bits exact-band buckets; by pigeonhole any
+    pair with distance < n_bits/band_bits shares a band — FULL recall
+    is guaranteed only for max_dist < n_bits/band_bits.  With a larger
+    max_dist the operator still returns only true pairs (exact
+    bit_count verify) but may MISS pairs at distance >= n_bits/band_bits
+    that share no band; callers wanting the guarantee should pass
+    band_bits <= n_bits // (max_dist + 1).  Output: (id_a, id_b, hamming).
+
+    Degenerate buckets (e.g. a constant hash over millions of rows)
+    are dropped via the same tiny-hot-set broadcast anti-join as
+    minhash_lsh_pairs, bounding the self-join blow-up.
     """
-    n_bands = 64 // band_bits
+    n_bands = n_bits // band_bits
 
     def band_mask(b: int) -> int:
         m = (((1 << band_bits) - 1) << (b * band_bits)) & 0xFFFFFFFFFFFFFFFF
@@ -177,6 +252,9 @@ def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
          .withColumn("b", F.explode(bands))
          .select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"),
                  F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    hot = (a.groupBy("band", "key").count()
+           .filter(F.col("count") > max_bucket).select("band", "key"))
+    a = a.join(F.broadcast(hot), ["band", "key"], "left_anti")
     bside = a.select(F.col("id_a").alias("id_b"), F.col("_ha").alias("_hb"),
                      "band", "key")
     cand = (a.join(bside, ["band", "key"])
@@ -188,49 +266,84 @@ def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_dist: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs (composition)."""
-    return hamming_pairs(simhash(docs, id_col, text_col), id_col, "simhash",
-                         max_dist=max_dist)
+                  text_col: str = "text", max_dist: int = 3,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash near-duplicate pairs (composition).
+
+    ``hash_fn='md5_60'`` runs a 60-bit simhash with 15-bit bands (same
+    4-band pigeonhole structure as the 64/16 default) so the whole
+    pipeline is reproducible in the DuckDB oracle.
+    """
+    n_bits = 60 if hash_fn == "md5_60" else 64
+    band_bits = 15 if hash_fn == "md5_60" else 16
+    return hamming_pairs(simhash(docs, id_col, text_col, hash_fn, n_bits),
+                         id_col, "simhash", max_dist=max_dist,
+                         band_bits=band_bits, n_bits=n_bits)
 
 
 # ---------------------------------------------------------------------------
 # Embedding similarity (ANN)
 # ---------------------------------------------------------------------------
 
+def lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic integer hyperplanes in [-1000, 1000] \\ {0}.
+
+    Integer coefficients (applied to floor(x*1000)-quantized embeddings)
+    make every signature bit an exact integer comparison — bit-identical
+    across numpy, Spark SQL and DuckDB, with no float dot-product
+    associativity hazard.
+    """
+    rng = np.random.default_rng(seed)
+    p = rng.integers(-999, 1000, (dim, n_planes)).astype(np.int64)
+    p[p == 0] = 1
+    return p
+
+
 def sign_lsh_signatures(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         n_planes: int = 64, seed: int = 7) -> DataFrame:
-    """Random-hyperplane signature: bit j = (emb . plane_j) > 0.
+    """Random-hyperplane signature: bit j = (quantize(emb) . plane_j) > 0.
 
-    One Arrow-vectorized matrix multiply per batch (the only Python in
-    this module); planes are deterministic from ``seed`` and live in the
-    UDF closure (broadcast with the task, ~32 KB).
+    One Arrow-vectorized integer matrix multiply per batch (the only
+    Python in this module); planes are deterministic from ``seed`` and
+    live in the UDF closure (broadcast with the task, ~32 KB).
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = lsh_planes(dim, n_planes, seed)
     weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
 
     @F.pandas_udf(T.LongType())
     def sig(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy(object)).astype(np.float64)   # (B, dim)
-        bits = (m @ planes) > 0.0                              # (B, n_planes)
+        q = np.floor(m * 1000.0).astype(np.int64)             # exact quantize
+        bits = (q @ planes) > 0                                # (B, n_planes)
         out = (bits.astype(np.uint64) * weights).sum(axis=1)
         return pd.Series(out.astype(np.int64))
 
     return emb.select(id_col, sig(vec_col).alias("sig"))
 
 
+QDOT_EXPR = ("aggregate(zip_with(qe, ce, (x, y) -> "
+             "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)"
+             " * CAST(floor(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)), "
+             "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
 def ann_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, band_bits: int = 8,
-                    seed: int = 7) -> DataFrame:
-    """Approximate top-k cosine neighbors per query via sign-LSH buckets.
+                    seed: int = 7, rank_by: str = "cosine") -> DataFrame:
+    """Approximate top-k neighbors per query via sign-LSH buckets.
 
-    Query/candidate signatures band-joined (8x8-bit bands); exact cosine
-    reranking JVM-side (zip_with/aggregate — no Python in the rerank).
-    Output: (qid, cid, cosine, rnk<=k).  Recall improves with bands;
-    the brute-force exact path is ``contract.q_embed_topk``.
+    Query/candidate signatures band-joined (8x8-bit bands); candidate
+    ids are deduped FIRST (a narrow (qid, cid) distinct — never shuffle
+    the embedding arrays per band copy), then embeddings re-joined for
+    the exact rerank, JVM-side (zip_with/aggregate — no Python).
+
+    ``rank_by='cosine'`` ranks by exact float cosine; ``'qdot'`` ranks
+    by the integer-quantized dot product (order-independent and
+    bit-identical across engines — the oracle-checkable mode, same
+    scoring as the brute-force ``contract.q_embed_topk``).
+    Output: (qid, cid, qdot, cosine, rnk<=k).
     """
     from pyspark.sql import Window
 
@@ -249,25 +362,31 @@ def ann_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     bands_c = F.array(*[F.struct(F.lit(b).alias("band"),
                                  F.col("sig").bitwiseAND(F.lit(band_mask(b)))
                                  .alias("key")) for b in range(n_bands)])
-    qb = (queries.join(qs, id_col)
-          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "_qsig")
+    qb = (qs.select(F.col(id_col).alias("qid"), "_qsig")
           .withColumn("b", F.explode(bands_q))
-          .select("qid", "qe", F.col("b.band").alias("band"), F.col("b.key").alias("key")))
-    cb = (emb.join(cs, id_col)
-          .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), "sig")
+          .select("qid", F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    cb = (cs.select(F.col(id_col).alias("cid"), "sig")
           .withColumn("b", F.explode(bands_c))
-          .select("cid", "ce", F.col("b.band").alias("band"), F.col("b.key").alias("key")))
-    cand = (qb.join(cb, ["band", "key"])
-            .filter(F.col("qid") != F.col("cid"))
-            .select("qid", "qe", "cid", "ce").distinct())
-    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+          .select("cid", F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    cand_ids = (qb.join(cb, ["band", "key"])
+                .filter(F.col("qid") != F.col("cid"))
+                .select("qid", "cid").distinct())
+    qe = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    ce = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    cand = cand_ids.join(F.broadcast(qe), "qid").join(ce, "cid")
+    qdot = F.expr(QDOT_EXPR)
     nq = F.expr("sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
     nc = F.expr("sqrt(aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-    scored = cand.select("qid", "cid", (dot / (nq * nc)).alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = cand.select("qid", "cid", qdot.alias("qdot"),
+                         (dot / (nq * nc)).alias("cosine"))
+    if rank_by == "qdot":
+        w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
+    else:
+        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
 

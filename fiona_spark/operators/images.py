@@ -120,6 +120,11 @@ def phash_hamming_pairs(images: DataFrame, max_dist: int = 10,
     images within Hamming distance 3 share >= 1 exact band by
     pigeonhole).  Band equi-join produces candidates; the exact Hamming
     residual (JVM-side bit_count) filters.  No O(n^2) cross join.
+
+    Recall bound: with the defaults (max_dist=10, band_bits=16) the
+    pigeonhole guarantee covers only distance <= 3; pairs at distance
+    4..10 are returned IF they share a band (best-effort, exact-verified)
+    — pass band_bits <= 64 // (max_dist + 1) for full recall.
     """
     from .dedup import hamming_pairs
     out = hamming_pairs(images.select("image_id", "phash"), "image_id",

@@ -476,7 +476,8 @@ def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
              res: int | None = None, levels: int = 3,
              lng: str = "lng", lat: str = "lat",
              point_key: str = "image_id", zone_key: str = "zone_id",
-             zone_lng: str = "clng", zone_lat: str = "clat") -> DataFrame:
+             zone_lng: str = "clng", zone_lat: str = "clat",
+             eager_cleanup: bool = True) -> DataFrame:
     """Exact k nearest zones (by centroid euclidean degrees) per point.
 
     Plan (scale-first), a multi-resolution cascade:
@@ -557,6 +558,17 @@ def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
     out = cand2.select(point_key, zone_key, "knn_rank")
     for d in dones:
         out = out.unionByName(d)
+    if eager_cleanup and dones:
+        # Materialize the final union once (localCheckpoint: the k
+        # rows/point result lands in executor storage, spilling to disk)
+        # then drop the per-level caches — without this, repeated calls
+        # in a long-lived session leak one cached DataFrame per cascade
+        # level (the ContextCleaner only reclaims them on driver GC).
+        # Pass eager_cleanup=False for a fully lazy plan; then the
+        # caller owns unpersisting via spark.catalog.clearCache().
+        out = out.localCheckpoint(eager=True)
+        for d in dones:
+            d.unpersist()
     return out
 
 

@@ -133,6 +133,70 @@ def test_ann_cosine_finds_planted_neighbor(spark):
     assert top["cid"] == 50 and top["cosine"] > 0.99
 
 
+def test_short_docs_yield_no_shingles_and_no_crash(spark):
+    """Docs with fewer than n words must produce zero shingles, not a
+    runtime slice() error (the r1 whole-job crash)."""
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                        "text": ["one", "one two", "", "one two three four"]})
+    df = spark.createDataFrame(pdf)
+    sh = dedup.word_shingles(df).toPandas()
+    assert set(sh["doc_id"]) == {3}
+    dup = df.withColumn("doc_id", F.col("doc_id") + 10)
+    got = dedup.minhash_lsh_pairs(df.unionByName(dup), threshold=0.9).toPandas()
+    keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    assert (3, 13) in keys   # the only shingle-bearing doc still pairs
+
+
+def test_perm_hash_is_exact_universal_family(spark):
+    """Engine h_j(x) must equal (a_j*x + b_j) mod (2^61-1) EXACTLY —
+    regression for the r1 shiftleft int64-overflow bug."""
+    from fiona_spark.operators.dedup import _P, _perm_coeffs, _perm_hash_col
+    rng = np.random.default_rng(17)
+    xs = rng.integers(0, _P, 200, dtype=np.int64)
+    a, b = _perm_coeffs(4)
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    cols = [_perm_hash_col(F.col("x"), int(a[j]), int(b[j])).alias(f"h{j}")
+            for j in range(4)]
+    got = df.select("x", *cols).toPandas()
+    for j in range(4):
+        want = (int(a[j]) * got["x"].astype(object) + int(b[j])) % _P
+        assert (got[f"h{j}"].astype(object) == want).all()
+
+
+def test_lsh_bucket_guard_is_hot_side_broadcast(spark, docs):
+    """The degenerate-bucket guard must broadcast the (tiny) hot set
+    into a left_anti join — never the cold set — and dropping a planted
+    boilerplate bucket must not change the surviving pairs."""
+    from fiona_spark.plans import quality
+    boiler = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(1000, 1030),
+        "text": ["the same boilerplate text repeated here always"] * 30}))
+    d2 = docs.unionByName(boiler)
+    out = dedup.minhash_lsh_pairs(d2, threshold=0.5, max_bucket=10)
+    plan = quality.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan   # hot set rides a broadcast
+    got = out.toPandas()
+    keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5):
+        assert (2 * i, 2 * i + 1) in keys
+    assert not any(a >= 1000 or b >= 1000 for a, b in keys)  # bucket dropped
+
+
+def test_md5_hash_family_matches_xxhash_pipeline_shape(spark, docs, docs_pdf):
+    """The oracle-checkable md5_60 family finds the same planted pairs."""
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5_60",
+                                  band_key="concat").toPandas()
+    keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5):
+        assert (2 * i, 2 * i + 1) in keys
+    sim = dedup.simhash_pairs(
+        docs.unionByName(docs.filter("doc_id = 0")
+                         .withColumn("doc_id", F.lit(999))),
+        max_dist=3, hash_fn="md5_60").toPandas()
+    skeys = set(map(tuple, sim[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 999) in skeys
+
+
 def test_dedup_exact_keeps_min_id(spark, docs):
     dup = docs.filter("doc_id IN (0, 1)").withColumn(
         "doc_id", F.col("doc_id") + 1000)
