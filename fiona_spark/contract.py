@@ -478,9 +478,82 @@ def q_extent_images(spark, sf_dir):
     return aggregates.extent(spark.read.parquet(img))
 
 
+@register("pip_holes")
+def q_pip_holes(spark, sf_dir):
+    """PIP join against the MULTI-RING zone layer (holes, MultiPolygon,
+    nested hole+island — the reference's full geometry model,
+    fiona/model.py:18-115).  The oracle recomputes even-odd parity over
+    the nested ring lists in SQL, so a kernel that misclassifies
+    hole-interior points fails the hash."""
+    img, _ = _canon_paths()
+    zmulti = fixtures.ensure_canon_multi()
+    images = spark.read.parquet(img)
+    zones = spark.read.parquet(zmulti)
+    return spatial.pip_join(images, zones, res=6)
+
+
+@register("wkb_decode")
+def q_wkb_decode(spark, sf_dir):
+    """WKB codec differential: decode the binary geometry column and
+    recompute type/ring/vertex stats + quantized coordinate sums; the
+    oracle reads the ground-truth columns the fixture generator derived
+    from the SOURCE coordinates (fiona geometryRT discipline,
+    `fiona/_geometry.pyx:374-380`)."""
+    from . import wkb as wkbmod
+    path = fixtures.ensure_canon_wkb()
+    df = spark.read.parquet(path).select("gid", "wkb")
+    dec = wkbmod.read_wkb(df)
+    qsum = ("aggregate(flatten(transform({c}, r -> transform(r, "
+            "v -> CAST(floor(v * 1000000.0) AS BIGINT)))), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    return dec.select(
+        "gid", "geom_type",
+        F.size("rings_xs").cast("long").alias("n_rings"),
+        F.expr("aggregate(transform(rings_xs, r -> CAST(size(r) AS BIGINT)), "
+               "CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias("n_pts"),
+        F.expr(qsum.format(c="rings_xs")).alias("qsum_x"),
+        F.expr(qsum.format(c="rings_ys")).alias("qsum_y"))
+
+
+def _wkb_oracle_sql() -> str:
+    path = fixtures.ensure_canon_wkb()
+    return f"""
+SELECT gid, geom_type, n_rings, n_pts, qsum_x, qsum_y
+FROM read_parquet('{path}')
+"""
+
+
+def _ray_crossings_sql(px: str, py: str, rxs: str, rys: str) -> str:
+    """DuckDB crossings count for one ring — the same IEEE expression
+    tree as geom.points_in_edges_packed (strict px < x-intersection,
+    half-open (y0 > py) != (y1 > py) rule, closing edge via index wrap)."""
+    y0, y1 = f"{rys}[i]", f"{rys}[(i % len({rys})) + 1]"
+    x0, x1 = f"{rxs}[i]", f"{rxs}[(i % len({rxs})) + 1]"
+    return (f"len(list_filter(range(1, len({rxs}) + 1), i -> "
+            f"(({y0} > {py}) != ({y1} > {py})) AND "
+            f"({px} < {x0} + ({py} - {y0}) / ({y1} - {y0}) * ({x1} - {x0}))))")
+
+
+def _pip_holes_oracle_sql() -> str:
+    img, _ = _canon_paths()
+    zmulti = fixtures.ensure_canon_multi()
+    cross = _ray_crossings_sql("p.lng", "p.lat",
+                               "z.rings_xs[r]", "z.rings_ys[r]")
+    return f"""
+WITH p AS (SELECT image_id, lng, lat FROM read_parquet('{img}')),
+z AS (SELECT zone_id, rings_xs, rings_ys FROM read_parquet('{zmulti}'))
+SELECT p.image_id, z.zone_id
+FROM p, z
+WHERE (list_sum(list_transform(range(1, len(z.rings_xs) + 1),
+        r -> {cross})) % 2) = 1
+"""
+
+
 def _late_oracles():
     img, zon = _canon_paths()
     ORACLES["pip_images"] = _canon_pip_sql()
+    ORACLES["pip_holes"] = _pip_holes_oracle_sql()
+    ORACLES["wkb_decode"] = _wkb_oracle_sql()
     ORACLES["knn_images"] = f"""
 WITH p AS (SELECT image_id, lng, lat FROM read_parquet('{img}')),
 z AS (SELECT zone_id, clng, clat FROM read_parquet('{zon}')),

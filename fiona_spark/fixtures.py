@@ -211,6 +211,81 @@ def zones_path(spark, sf: float, cache_dir: str | None = None) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# multi-ring zones (holes / MultiPolygon — the reference's full geometry
+# model, fiona/model.py:18-115; implicit Polygon->MultiPolygon promotion
+# on write, fiona/collection.py:699-720)
+# ---------------------------------------------------------------------------
+
+ZONES_MULTI_SCHEMA = ("zone_id string, rings_xs array<array<double>>, "
+                      "rings_ys array<array<double>>, "
+                      "xmin double, ymin double, xmax double, ymax double, "
+                      "clng double, clat double, kind string, n_rings long")
+
+
+def _ellipse_ring(cx: float, cy: float, r1: float, r2: float, nv: int,
+                  phase: float, reverse: bool = False):
+    """Evenly-spaced convex ring (chords stay within cos(pi/nv) of the
+    ellipse, so concentric rings with radius ratio < cos(pi/nv) nest)."""
+    t = phase + np.arange(nv) * (2.0 * np.pi / nv)
+    xs = cx + r1 * np.cos(t)
+    ys = np.clip(cy + r2 * np.sin(t), -89.9, 89.9)
+    if reverse:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    return xs, ys
+
+
+def gen_zone_multi(j: int) -> dict:
+    """Deterministic multi-ring zone: cycles through hole-bearing,
+    MultiPolygon, nested (hole + island) and plain shapes."""
+    rng = np.random.default_rng(20_000_000 + SEED + j)
+    kind = ("holed", "multi", "nested", "plain")[j % 4]
+    if j == 0:
+        clng, clat = HOT_LNG + 0.5, HOT_LAT + 0.5   # hot cell stays covered
+    else:
+        clng = -170.0 + (j * ZPHI) % 340.0          # no antimeridian wrap
+        clat = -55.0 + (j * ZPHI2) % 110.0
+    nv = int(rng.integers(8, 21))
+    r1 = 2.0 if j == 0 else rng.uniform(0.8, 3.0)
+    r2 = 2.0 if j == 0 else rng.uniform(0.8, 3.0)
+    ph = rng.uniform(0.0, 2.0 * np.pi)
+    rings = []
+    if kind == "holed":
+        rings.append(_ellipse_ring(clng, clat, r1, r2, nv, ph))
+        rings.append(_ellipse_ring(clng, clat, 0.5 * r1, 0.5 * r2, nv, ph,
+                                   reverse=True))
+    elif kind == "multi":
+        off = r1 + 0.5
+        rings.append(_ellipse_ring(clng - off, clat, r1 * 0.8, r2 * 0.8, nv, ph))
+        rings.append(_ellipse_ring(clng + off, clat, r1 * 0.6, r2 * 0.6, nv, ph))
+    elif kind == "nested":
+        rings.append(_ellipse_ring(clng, clat, r1, r2, nv, ph))
+        rings.append(_ellipse_ring(clng, clat, 0.6 * r1, 0.6 * r2, nv, ph,
+                                   reverse=True))
+        rings.append(_ellipse_ring(clng, clat, 0.3 * r1, 0.3 * r2, nv, ph))
+    else:
+        rings.append(_ellipse_ring(clng, clat, r1, r2, nv, ph))
+    all_x = np.concatenate([r[0] for r in rings])
+    all_y = np.concatenate([r[1] for r in rings])
+    return {
+        "zone_id": f"m{j:06d}",
+        "rings_xs": [list(map(float, r[0])) for r in rings],
+        "rings_ys": [list(map(float, r[1])) for r in rings],
+        "xmin": float(all_x.min()), "ymin": float(all_y.min()),
+        "xmax": float(all_x.max()), "ymax": float(all_y.max()),
+        "clng": clng, "clat": clat, "kind": kind, "n_rings": len(rings),
+    }
+
+
+def gen_zones_multi_pdf(n: int) -> pd.DataFrame:
+    return pd.DataFrame([gen_zone_multi(j) for j in range(n)])
+
+
+def zones_multi_df(spark, n: int):
+    return spark.createDataFrame(gen_zones_multi_pdf(n),
+                                 schema=ZONES_MULTI_SCHEMA)
+
+
 # Canonical correctness-scale fixtures, written as single parquet files
 # with plain pyarrow (no Spark needed) so BOTH the Spark queries and the
 # DuckDB oracle SQL can read the identical bytes.
@@ -240,3 +315,68 @@ def ensure_canon(cache_dir: str | None = None) -> tuple[str, str]:
         pq.write_table(pa.Table.from_pandas(zdf, preserve_index=False), tmp)
         os.replace(tmp, zone_path)
     return img_path, zone_path
+
+
+def ensure_canon_wkb(cache_dir: str | None = None) -> str:
+    """WKB interchange fixture: geometry bytes + ground-truth stats.
+
+    Expected columns are computed from the SOURCE coordinate lists (not
+    via the decoder), so the contract query decoding ``wkb`` must
+    reproduce them — a differential on the codec.  Quantized integer
+    sums (floor(v*1e6)) keep the comparison exact across engines.
+    """
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import wkb as wkbmod
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_wkb.parquet")
+    if os.path.exists(path):
+        return path
+    zdf = gen_zones_multi_pdf(CANON_N_ZONES)
+    rows = []
+    for j, z in zdf.iterrows():
+        rings = []
+        for rx, ry in zip(z["rings_xs"], z["rings_ys"]):
+            ring = [[float(x), float(y)] for x, y in zip(rx, ry)]
+            ring.append(list(ring[0]))           # WKB rings are closed
+            rings.append(ring)
+        if j % 3 == 0 and len(rings) > 1:        # exercise MultiPolygon
+            g = {"type": "MultiPolygon", "coordinates": [[r] for r in rings]}
+        else:
+            g = {"type": "Polygon", "coordinates": rings}
+        flat = [p for ring in rings for p in ring]
+        rows.append({
+            "gid": f"g{j:04d}",
+            "wkb": wkbmod.encode(g),
+            "geom_type": g["type"],
+            "n_rings": len(rings),
+            "n_pts": len(flat),
+            "qsum_x": sum(int(math.floor(p[0] * 1e6)) for p in flat),
+            "qsum_y": sum(int(math.floor(p[1] * 1e6)) for p in flat),
+        })
+    pdf = pd.DataFrame(rows)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_canon_multi(cache_dir: str | None = None) -> str:
+    """Materialize the canonical MULTI-RING zone fixture; return path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones_multi.parquet")
+    if not os.path.exists(path):
+        zdf = gen_zones_multi_pdf(CANON_N_ZONES)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(zdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path

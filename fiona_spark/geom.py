@@ -168,6 +168,76 @@ def points_in_polygons_packed(px, py, ridx, offs, flat_x, flat_y) -> np.ndarray:
     return (parity % 2).astype(bool)
 
 
+def pack_feature_edges(rings_xs, rings_ys):
+    """Pack MULTI-RING features into flat edge arrays for the PIP kernel.
+
+    ``rings_xs[i]`` / ``rings_ys[i]`` are the per-ring coordinate arrays
+    of feature i (outer shells, holes and MultiPolygon parts all alike —
+    even-odd parity does not care about ring role).  Explicitly closed
+    rings have the duplicate end vertex dropped; each ring contributes
+    its closing edge via a roll.
+
+    Returns (edge_offs, ex0, ey0, ex1, ey1): feature i owns edges
+    [edge_offs[i], edge_offs[i+1]).
+    """
+    counts = np.empty(len(rings_xs), dtype=np.int64)
+    x0l, y0l, x1l, y1l = [], [], [], []
+    for i, (rx_list, ry_list) in enumerate(zip(rings_xs, rings_ys)):
+        n_e = 0
+        for rx, ry in zip(rx_list, ry_list):
+            xs = np.asarray(rx, np.float64)
+            ys = np.asarray(ry, np.float64)
+            if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]
+            x0l.append(xs); y0l.append(ys)
+            x1l.append(np.roll(xs, -1)); y1l.append(np.roll(ys, -1))
+            n_e += len(xs)
+        counts[i] = n_e
+    edge_offs = np.concatenate(([0], np.cumsum(counts)))
+    cat = (lambda lst: np.concatenate(lst) if lst else np.empty(0))
+    return edge_offs, cat(x0l), cat(y0l), cat(x1l), cat(y1l)
+
+
+def points_in_edges_packed(px, py, fidx, edge_offs, ex0, ey0, ex1, ey1) -> np.ndarray:
+    """Row-aligned even-odd PIP against PACKED EDGES, fully vectorized.
+
+    The multi-ring generalization of :func:`points_in_polygons_packed`:
+    parity is counted across ALL edges of the feature, so interior rings
+    (holes) exclude points and disjoint MultiPolygon parts include them
+    — the reference's full geometry model (`fiona/model.py:18-115`
+    normalizes OGR types to these shapes).  Crossing rule identical to
+    points_in_polygon: (y0 > py) != (y1 > py), strict px < x-intersection.
+    """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    fidx = np.asarray(fidx, np.int64)
+    n = len(px)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cnt = (edge_offs[fidx + 1] - edge_offs[fidx]).astype(np.int64)
+    total = int(cnt.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    starts = np.cumsum(cnt) - cnt
+    e = edge_offs[fidx][row] + (np.arange(total, dtype=np.int64) - starts[row])
+    x0, y0, x1, y1 = ex0[e], ey0[e], ex1[e], ey1[e]
+    pye, pxe = py[row], px[row]
+    cond = (y0 > pye) != (y1 > pye)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pye - y0) / (y1 - y0) * (x1 - x0)
+    crossing = cond & (pxe < xint)
+    parity = np.bincount(row[crossing], minlength=n)
+    return (parity % 2).astype(bool)
+
+
+def points_in_rings(px, py, rings_x, rings_y) -> np.ndarray:
+    """Many points against ONE multi-ring feature (even-odd across rings)."""
+    out = np.zeros(len(px), dtype=bool)
+    for rx, ry in zip(rings_x, rings_y):
+        out ^= points_in_polygon(px, py, np.asarray(rx, np.float64),
+                                 np.asarray(ry, np.float64))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Measures (fiona/features.py:206-211 equivalents)
 # ---------------------------------------------------------------------------

@@ -133,58 +133,78 @@ def salt_sides(probe: DataFrame, build: DataFrame, hot: DataFrame,
 
 def _pip_test_groups(key, pxv, pyv, lookup):
     """Shared residual kernel: group candidate rows by zone key, one
-    vectorized (points x edges) ray-cast per group; antimeridian zones
+    vectorized (points x edges) even-odd ray-cast per group (multi-ring:
+    holes and MultiPolygon parts XOR per ring); antimeridian zones
     re-test misses with +/-360-shifted points."""
     out = np.zeros(len(pxv), dtype=bool)
     codes, uniq = pd.factorize(key, sort=False)
     order = np.argsort(codes, kind="stable")
     cuts = np.flatnonzero(np.diff(codes[order])) + 1
     for grp in np.split(order, cuts):
-        poly_x, poly_y = lookup(grp[0])
-        hit = geom.points_in_polygon(pxv[grp], pyv[grp], poly_x, poly_y)
-        if poly_x.max() > 180.0 or poly_x.min() < -180.0:
+        rings_x, rings_y = lookup(grp[0])
+        hit = geom.points_in_rings(pxv[grp], pyv[grp], rings_x, rings_y)
+        gmax = max(np.max(r) for r in rings_x)
+        gmin = min(np.min(r) for r in rings_x)
+        if gmax > 180.0 or gmin < -180.0:
             for shift in (360.0, -360.0):
                 pend = np.flatnonzero(~hit)
                 if not len(pend):
                     break
-                hit[pend] |= geom.points_in_polygon(
-                    pxv[grp][pend] + shift, pyv[grp][pend], poly_x, poly_y)
+                hit[pend] |= geom.points_in_rings(
+                    pxv[grp][pend] + shift, pyv[grp][pend], rings_x, rings_y)
         out[grp] = hit
     return out
 
 
 def _pip_residual_packed_udf(poly_bc):
-    """Residual PIP against packed rings from a Spark broadcast variable.
+    """Residual PIP against packed feature edges from a Spark broadcast.
 
     Candidate rows carry only (_zidx int, lng, lat); each executor gets
-    every ring exactly once (flat arrays — pickles in one memcpy), and
-    the kernel is the fully-vectorized ragged pairwise ray-cast (no
-    per-polygon Python, immune to group-size collapse on large zone
-    layers).  Antimeridian-straddling rings re-test their misses with
+    every edge exactly once (flat arrays — pickles in one memcpy), and
+    the kernel is the fully-vectorized ragged pairwise even-odd
+    ray-cast (no per-polygon Python, immune to group-size collapse on
+    large zone layers; holes/MultiPolygon parts handled by parity).
+    Antimeridian-straddling features re-test their misses with
     +/-360-shifted points.
     """
     @F.pandas_udf(T.BooleanType())
     def pip(zidx: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
-        offs, flat_x, flat_y, wrap = poly_bc.value
+        edge_offs, ex0, ey0, ex1, ey1, wrap = poly_bc.value
         zi = zidx.to_numpy(np.int64)
         pxv = px.to_numpy(np.float64)
         pyv = py.to_numpy(np.float64)
-        out = geom.points_in_polygons_packed(pxv, pyv, zi, offs, flat_x, flat_y)
+        out = geom.points_in_edges_packed(pxv, pyv, zi, edge_offs,
+                                          ex0, ey0, ex1, ey1)
         pend = np.flatnonzero(wrap[zi] & ~out)
         for shift in (360.0, -360.0):
             if not len(pend):
                 break
-            hit = geom.points_in_polygons_packed(
-                pxv[pend] + shift, pyv[pend], zi[pend], offs, flat_x, flat_y)
+            hit = geom.points_in_edges_packed(
+                pxv[pend] + shift, pyv[pend], zi[pend], edge_offs,
+                ex0, ey0, ex1, ey1)
             out[pend] |= hit
             pend = pend[~hit]
         return pd.Series(out)
     return pip
 
 
-def _pip_residual_udf():
-    """Residual PIP with per-row polygon arrays (shuffled-zone path,
-    used when the zone side is too large to broadcast)."""
+def _pip_residual_udf(multi: bool = False):
+    """Residual PIP with per-row ring arrays (shuffled-zone path, used
+    when the zone side is too large to broadcast).  ``multi=True`` reads
+    array<array<double>> ring columns (holes / MultiPolygon)."""
+    if multi:
+        @F.pandas_udf(T.BooleanType())
+        def pip(key: pd.Series, px: pd.Series, py: pd.Series,
+                xs: pd.Series, ys: pd.Series) -> pd.Series:
+            xs_l = xs.to_numpy(object)
+            ys_l = ys.to_numpy(object)
+            return pd.Series(_pip_test_groups(
+                key.to_numpy(object), px.to_numpy(np.float64),
+                py.to_numpy(np.float64),
+                lambda i0: ([np.asarray(r, np.float64) for r in xs_l[i0]],
+                            [np.asarray(r, np.float64) for r in ys_l[i0]])))
+        return pip
+
     @F.pandas_udf(T.BooleanType())
     def pip(key: pd.Series, px: pd.Series, py: pd.Series,
             xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -193,8 +213,8 @@ def _pip_residual_udf():
         return pd.Series(_pip_test_groups(
             key.to_numpy(object), px.to_numpy(np.float64),
             py.to_numpy(np.float64),
-            lambda i0: (np.asarray(xs_l[i0], np.float64),
-                        np.asarray(ys_l[i0], np.float64))))
+            lambda i0: ([np.asarray(xs_l[i0], np.float64)],
+                        [np.asarray(ys_l[i0], np.float64)])))
     return pip
 
 
@@ -249,11 +269,15 @@ def _convex_pip_sql(lng: str, lat: str, shift: float) -> str:
             f"i -> ({cross}) < 0D)) = 0")
 
 
+MAX_BROADCAST_ZONES = 2_000_000
+
+
 def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
              lng: str = "lng", lat: str = "lat",
              point_cols=("image_id",), zone_cols=("zone_id",),
-             broadcast_zones: bool = True, convex: bool = False,
-             salt: int = 0, hot_threshold: int = 100_000) -> DataFrame:
+             broadcast_zones: bool | None = None, convex: bool = False,
+             salt: int = 0, hot_threshold: int = 100_000,
+             max_broadcast_zones: int = MAX_BROADCAST_ZONES) -> DataFrame:
     """Exact point-in-polygon join (the exact form of Fiona's mask filter).
 
     points x zones -> rows of point_cols + zone_cols where the point is
@@ -261,9 +285,25 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     against exploded zone coverings, then the vectorized PIP residual.
     Each point has exactly ONE cell, so candidate pairs are already
     unique — no dedup shuffle.
+
+    Geometry model: single-ring zones carry (xs, ys); multi-ring zones
+    (holes, MultiPolygon — `fiona/model.py:18-115` geometry normalization)
+    carry (rings_xs, rings_ys) as array<array<double>>; the even-odd
+    residual treats both identically.
+
+    ``broadcast_zones=None`` (default) auto-guards: the zone layer is
+    collected driver-side ONLY when its row count is <=
+    ``max_broadcast_zones``; bigger layers take the shuffled plan where
+    rings travel with the candidates.  (A 10^8-row zone table must never
+    be toPandas'd — that was r1 "what's wrong" #4.)
     """
     spark = points.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    multi = "rings_xs" in zones.columns
+    ring_cols = ("rings_xs", "rings_ys") if multi else ("xs", "ys")
+
+    if broadcast_zones is None:
+        broadcast_zones = zones.count() <= max_broadcast_zones
 
     if broadcast_zones and not convex:
         # Small-zone regime (the north_star case: zones << images), the
@@ -271,12 +311,12 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         # zone-side happens on the driver in vectorized numpy:
         #   * covering cells (incl. antimeridian wrap) -> a (cell, _zidx)
         #     DataFrame broadcast into the probe join;
-        #   * rings packed into flat arrays -> one sc.broadcast (a
+        #   * edges packed into flat arrays -> one sc.broadcast (a
         #     memcpy-pickle, not 10^5 object pickles);
         # and candidates cross the Arrow channel as (_zidx, lng, lat)
         # only.  Compared to the distributed-zone variant this removes a
         # repartition, a Python UDF stage and a collect-for-broadcast.
-        zpdf = zones.select(*zone_cols, "xs", "ys",
+        zpdf = zones.select(*zone_cols, *ring_cols,
                             "xmin", "ymin", "xmax", "ymax").toPandas()
         if res is None:
             w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
@@ -312,14 +352,20 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         zcov = spark.createDataFrame(
             pd.DataFrame({"_zidx": ridx_all, "cell": cell_all}))
 
-        offs, flat_x, flat_y = geom.pack_rings(zpdf["xs"].tolist(),
-                                               zpdf["ys"].tolist())
-        ring_wrap = np.zeros(len(zpdf), dtype=bool)
+        if multi:
+            rings_xs = zpdf["rings_xs"].tolist()
+            rings_ys = zpdf["rings_ys"].tolist()
+        else:
+            rings_xs = [[v] for v in zpdf["xs"].tolist()]
+            rings_ys = [[v] for v in zpdf["ys"].tolist()]
+        edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(rings_xs, rings_ys)
+        feat_wrap = np.zeros(len(zpdf), dtype=bool)
         for i in range(len(zpdf)):
-            ring_wrap[i] = (flat_x[offs[i]:offs[i + 1]].max() > 180.0
-                            or flat_x[offs[i]:offs[i + 1]].min() < -180.0) \
-                if offs[i + 1] > offs[i] else False
-        bc = spark.sparkContext.broadcast((offs, flat_x, flat_y, ring_wrap))
+            s, t = edge_offs[i], edge_offs[i + 1]
+            feat_wrap[i] = (ex0[s:t].max() > 180.0 or ex0[s:t].min() < -180.0) \
+                if t > s else False
+        bc = spark.sparkContext.broadcast((edge_offs, ex0, ey0, ex1, ey1,
+                                           feat_wrap))
         pip = _pip_residual_packed_udf(bc)
 
         z = zcov
@@ -341,7 +387,7 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         res = pip_res_for(zones)
     p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
     # zone layers usually arrive in 1-2 files; spread the covering UDF
-    # across the cluster before the (cheap) broadcast collect
+    # across the cluster before the cell equi-join
     zones = zones.repartition(n_shuffle)
 
     if convex:
@@ -361,11 +407,11 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         # Shuffled regime (zone side too large to broadcast): the ring
         # arrays travel with the candidate rows.
         z = with_covering_cells(
-            zones.select(*zone_cols, "xs", "ys", "xmin", "ymin", "xmax", "ymax"),
-            res).select(*zone_cols, "xs", "ys", "cell")
-        pip = _pip_residual_udf()
+            zones.select(*zone_cols, *ring_cols, "xmin", "ymin", "xmax", "ymax"),
+            res).select(*zone_cols, *ring_cols, "cell")
+        pip = _pip_residual_udf(multi=multi)
         pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat),
-                    F.col("xs"), F.col("ys"))
+                    F.col(ring_cols[0]), F.col(ring_cols[1]))
 
     if salt > 0:
         hot = hot_cells(p, threshold=hot_threshold)

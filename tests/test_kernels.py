@@ -290,3 +290,54 @@ def test_packed_pip_matches_per_polygon_kernel():
         for i in range(n)])
     assert (got == exp).all()
     assert 0 < got.sum() < n   # non-trivial mix of hits and misses
+
+
+def test_edges_packed_holes_and_multipolygon():
+    """Even-odd parity over packed feature edges: hole interior is OUT,
+    island-in-hole is IN, disjoint MultiPolygon parts are both IN."""
+    sq = lambda cx, cy, r: (np.array([cx - r, cx + r, cx + r, cx - r]),
+                            np.array([cy - r, cy - r, cy + r, cy + r]))
+    # feature 0: square with a square hole and an island inside the hole
+    f0_x, f0_y = zip(sq(0, 0, 4), sq(0, 0, 2), sq(0, 0, 0.5))
+    # feature 1: two disjoint squares (MultiPolygon)
+    f1_x, f1_y = zip(sq(10, 0, 1), sq(14, 0, 1))
+    eo, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(
+        [list(f0_x), list(f1_x)], [list(f0_y), list(f1_y)])
+    px = np.array([3.0, 1.0, 0.0, 10.0, 14.0, 12.0, 0.0])
+    py = np.array([0.0, 1.0, 0.0, 0.5, -0.5, 0.0, 10.0])
+    fi = np.array([0, 0, 0, 1, 1, 1, 0])
+    got = geom.points_in_edges_packed(px, py, fi, eo, ex0, ey0, ex1, ey1)
+    #      shell  hole   island part1  part2  gap   outside
+    assert got.tolist() == [True, False, True, True, True, False, False]
+
+
+def test_edges_packed_matches_single_ring_kernel():
+    """Single-ring features through the edge kernel == the r1 packed
+    ring kernel (regression for the pip_join kernel swap)."""
+    rng = np.random.default_rng(8)
+    rings_x, rings_y = [], []
+    for _ in range(20):
+        nv = rng.integers(4, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        cx, cy = rng.uniform(-50, 50, 2)
+        rings_x.append(cx + rng.uniform(1, 3) * np.cos(ang))
+        rings_y.append(cy + rng.uniform(1, 3) * np.sin(ang))
+    px = rng.uniform(-60, 60, 500)
+    py = rng.uniform(-60, 60, 500)
+    ridx = rng.integers(0, 20, 500)
+    offs, fx, fy = geom.pack_rings(rings_x, rings_y)
+    want = geom.points_in_polygons_packed(px, py, ridx, offs, fx, fy)
+    eo, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(
+        [[r] for r in rings_x], [[r] for r in rings_y])
+    got = geom.points_in_edges_packed(px, py, ridx, eo, ex0, ey0, ex1, ey1)
+    assert (got == want).all()
+
+
+def test_points_in_rings_equals_xor_of_rings():
+    sq = lambda cx, cy, r: (np.array([cx - r, cx + r, cx + r, cx - r]),
+                            np.array([cy - r, cy - r, cy + r, cy + r]))
+    outer, hole = sq(0, 0, 3), sq(0, 0, 1)
+    px = np.array([2.0, 0.0, 5.0])
+    py = np.array([0.0, 0.0, 0.0])
+    got = geom.points_in_rings(px, py, [outer[0], hole[0]], [outer[1], hole[1]])
+    assert got.tolist() == [True, False, False]

@@ -62,7 +62,7 @@ def test_point_cell_is_jvm_only(spark, images_path):
 
 def test_knn_probe_side_has_no_python(spark, images_path, zones):
     img = spark.read.parquet(images_path)
-    q = spatial.knn_join(img, zones, k=3, res=4)
+    q = spatial.knn_join(img, zones, k=3, res=4, eager_cleanup=False)
     # kNN plan is pure JVM: disk explode is SQL arithmetic, ranking is a
     # window — no pandas UDF anywhere
     assert quality.python_eval_count(q) == 0
