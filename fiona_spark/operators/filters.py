@@ -77,32 +77,87 @@ def filter_mask(df: DataFrame, mask_xs, mask_ys, lng: str = "lng", lat: str = "l
     return env.filter(pip(lng, lat))
 
 
+def _global_row_number(df: DataFrame, order_by: str,
+                       n_buckets: int = 64) -> DataFrame:
+    """Ascending 0-based position of each row under order_by, WITHOUT a
+    single-partition global window.
+
+    Three fully-parallel passes: (1) approx-percentile split points of
+    the key (a deterministic dataset aggregate), (2) per-bucket counts
+    -> driver-side prefix offsets (n_buckets values), (3) a window
+    partitioned BY BUCKET whose row_number is shifted by the bucket
+    offset.  Bucket assignment is a pure monotone function of the key
+    (count of splits <= value), so the two passes agree without any
+    persist.  Falls back to the global window when the key is
+    non-numeric or the table fits one bucket.
+    """
+    numeric = isinstance(df.schema[order_by].dataType, T.NumericType)
+    splits: list = []
+    if numeric:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.select(F.percentile_approx(order_by, probs, 10_000)
+                        .alias("s")).collect()[0]["s"]
+        splits = sorted(set(row or []))
+    if not splits:
+        # tiny/constant key domain: the global window is the honest plan
+        w = Window.orderBy(order_by)
+        return df.withColumn("_rn", F.row_number().over(w) - 1)
+    lit_arr = F.array(*[F.lit(s) for s in splits])
+    bucket = F.size(F.filter(lit_arr, lambda s: F.col(order_by) >= s))
+    b = df.withColumn("_bkt", bucket)
+    cnt = {r["_bkt"]: r["count"]
+           for r in b.groupBy("_bkt").count().collect()}
+    offs, acc = [], 0
+    for i in range(len(splits) + 1):
+        offs.append(acc)
+        acc += cnt.get(i, 0)
+    off_arr = F.array(*[F.lit(int(o)) for o in offs])
+    w = Window.partitionBy("_bkt").orderBy(order_by)
+    return (b.withColumn(
+        "_rn", F.element_at(off_arr, F.col("_bkt") + 1)
+        + F.row_number().over(w) - 1).drop("_bkt"))
+
+
 def slice_rows(df: DataFrame, start=None, stop=None, step=None,
                order_by: str = "id") -> DataFrame:
-    """Deterministic slice with start/stop/step.
+    """Deterministic slice with start/stop/step (negative step included).
 
-    Fiona slices the driver's FID order (`fiona/ogrext.pyx:1852-1910`);
-    a distributed table has no storage order, so the contract here is
-    an explicit ``order_by`` column.  Negative indices require a total
-    count — same as the reference's force-count for negative slices
-    (`fiona/ogrext.pyx:1862-1877`).
+    Fiona slices the driver's FID order (`fiona/ogrext.pyx:1852-1910`,
+    step<0 at `:1852-1910`); a distributed table has no storage order,
+    so the contract here is an explicit ``order_by`` column (unique for
+    a deterministic result).  Negative indices and negative step require
+    a total count — same as the reference's force-count for negative
+    slices (`fiona/ogrext.pyx:1862-1877`).  Row numbering is the
+    bucketed parallel form (no single-partition exchange — r1 scale
+    killer #3).
     """
     step = 1 if step is None else int(step)
-    if step <= 0:
-        raise ValueError("only positive step supported in set-oriented slicing")
-    start_i = 0 if start is None else int(start)
-    stop_i = stop if stop is None else int(stop)
-    if start_i < 0 or (stop_i is not None and stop_i < 0):
-        total = df.count()
-        if start_i < 0:
-            start_i = max(0, total + start_i)
-        if stop_i is not None and stop_i < 0:
-            stop_i = total + stop_i
-    w = Window.orderBy(order_by)
-    out = df.withColumn("_rn", F.row_number().over(w) - 1)
-    cond = (F.col("_rn") >= start_i) & (((F.col("_rn") - start_i) % step) == 0)
-    if stop_i is not None:
-        cond = cond & (F.col("_rn") < stop_i)
+    if step == 0:
+        raise ValueError("slice step cannot be zero")
+    start_i = None if start is None else int(start)
+    stop_i = None if stop is None else int(stop)
+    need_total = (step < 0 or (start_i is not None and start_i < 0)
+                  or (stop_i is not None and stop_i < 0))
+    total = df.count() if need_total else None
+    if start_i is not None and start_i < 0:
+        start_i = max(0, total + start_i)
+    if stop_i is not None and stop_i < 0:
+        stop_i = total + stop_i
+
+    out = _global_row_number(df, order_by)
+    rn = F.col("_rn")
+    if step > 0:
+        s0 = 0 if start_i is None else start_i
+        cond = (rn >= s0) & (((rn - s0) % step) == 0)
+        if stop_i is not None:
+            cond = cond & (rn < stop_i)
+    else:
+        # python sequence semantics: seq[start:stop:step], step < 0
+        s0 = total - 1 if start_i is None else min(start_i, total - 1)
+        k = -step
+        cond = (rn <= s0) & (((s0 - rn) % k) == 0)
+        if stop_i is not None:
+            cond = cond & (rn > stop_i)
     return out.filter(cond).drop("_rn")
 
 

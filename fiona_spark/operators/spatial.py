@@ -276,7 +276,7 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
              lng: str = "lng", lat: str = "lat",
              point_cols=("image_id",), zone_cols=("zone_id",),
              broadcast_zones: bool | None = None, convex: bool = False,
-             salt: int = 0, hot_threshold: int = 100_000,
+             salt: int | str = "auto", hot_threshold: int = 100_000,
              max_broadcast_zones: int = MAX_BROADCAST_ZONES) -> DataFrame:
     """Exact point-in-polygon join (the exact form of Fiona's mask filter).
 
@@ -296,6 +296,13 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     ``max_broadcast_zones``; bigger layers take the shuffled plan where
     rings travel with the candidates.  (A 10^8-row zone table must never
     be toPandas'd — that was r1 "what's wrong" #4.)
+
+    Skew: ``salt='auto'`` salts hot cells ONLY on the shuffled plan —
+    a broadcast join never moves probe rows, so a hot cell cannot
+    concentrate a reducer there and salting would only replicate build
+    rows for nothing.  On the shuffled plan a ``hot_cells`` pre-pass
+    (one map-side-combined count) decides; no hot cells -> unsalted.
+    Pass an int to force (0 disables).
     """
     spark = points.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -369,9 +376,10 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         pip = _pip_residual_packed_udf(bc)
 
         z = zcov
-        if salt > 0:
+        n_salt = 0 if salt == "auto" else int(salt)   # broadcast: no shuffle skew
+        if n_salt > 0:
             hot = hot_cells(p, threshold=hot_threshold)
-            p, z = salt_sides(p, z, hot, salt, probe_key=point_cols[0])
+            p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
             join_keys = ["cell", "_salt"]
         else:
             join_keys = ["cell"]
@@ -413,9 +421,17 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat),
                     F.col(ring_cols[0]), F.col(ring_cols[1]))
 
-    if salt > 0:
+    if salt == "auto":
+        # shuffled join: a hot cell = one overloaded reducer.  One
+        # map-side-combined count decides; the hot set is tiny.
         hot = hot_cells(p, threshold=hot_threshold)
-        p, z = salt_sides(p, z, hot, salt, probe_key=point_cols[0])
+        n_salt = 8 if (not broadcast_zones
+                       and hot.limit(1).count() > 0) else 0
+    else:
+        n_salt = int(salt)
+        hot = hot_cells(p, threshold=hot_threshold) if n_salt > 0 else None
+    if n_salt > 0:
+        p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
         join_keys = ["cell", "_salt"]
     else:
         join_keys = ["cell"]

@@ -84,14 +84,21 @@ def write_collection(df: DataFrame, path: str, id_col: str = "id",
 def read_feature_seq(spark, path: str) -> DataFrame:
     """``fio load`` source: newline/RS-delimited features -> rows.
 
-    Schema inference from the data (spark.read.json ~ the reference's
-    first-feature inference, `fio/load.py:84-97`).  Ring columns are
-    rebuilt from the first polygon ring / point coords.
-    """
+    Schema inference from the FIRST feature (schema_of_json on one
+    sampled line — exactly the reference's infer-from-first-feature,
+    `fio/load.py:84-97`), then a JVM-side from_json over the cleaned
+    text: no per-row Python anywhere on the read path (the r1 version
+    round-tripped through raw.rdd.map, pickling every row)."""
     raw = spark.read.text(path).select(
         F.regexp_replace("value", RS, "").alias("value")).filter(
         F.length("value") > 0)
-    js = spark.read.json(raw.rdd.map(lambda r: r.value))
+    first = raw.limit(1).collect()
+    if not first:
+        raise ValueError(f"no features found in {path}")
+    schema = spark.range(1).select(
+        F.schema_of_json(F.lit(first[0]["value"])).alias("s")
+    ).collect()[0]["s"]
+    js = raw.select(F.from_json("value", schema).alias("f")).select("f.*")
     return _features_to_rows(js)
 
 
@@ -107,26 +114,44 @@ def _features_to_rows(js: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     # The JSON-inferred type of geometry.coordinates depends on the
-    # geometry kind actually present (Point: array<double>, Polygon:
-    # array<array<double>>); a CASE across both would fail analysis, so
-    # branch on the inferred schema (mirrors fio load's infer-from-first
-    # -feature, `fiona/fio/load.py:84-97`).
+    # geometry kind actually present (Point: array<double>, LineString:
+    # 2-deep, Polygon: 3-deep, MultiPolygon: 4-deep); a CASE across
+    # depths would fail analysis, so branch on the inferred schema
+    # (mirrors fio load's infer-from-first-feature, `fio/load.py:84-97`).
     coords_t = js.select(F.col("geometry.coordinates").alias("c")).schema[0].dataType
-    nested = isinstance(coords_t, T.ArrayType) and \
-        isinstance(coords_t.elementType, T.ArrayType)
-    if nested:
-        xs = F.expr("transform(geometry.coordinates[0], c -> c[0])")
-        ys = F.expr("transform(geometry.coordinates[0], c -> c[1])")
-    else:
-        xs = F.expr("array(CAST(geometry.coordinates[0] AS DOUBLE))")
-        ys = F.expr("array(CAST(geometry.coordinates[1] AS DOUBLE))")
+    depth = 0
+    t = coords_t
+    while isinstance(t, T.ArrayType):
+        depth += 1
+        t = t.elementType
+    if depth >= 4:        # MultiPolygon: parts x rings -> flat ring list
+        rx = F.expr("flatten(transform(geometry.coordinates, "
+                    "part -> transform(part, ring -> transform(ring, c -> c[0]))))")
+        ry = F.expr("flatten(transform(geometry.coordinates, "
+                    "part -> transform(part, ring -> transform(ring, c -> c[1]))))")
+    elif depth == 3:      # Polygon: shell + holes, all rings kept
+        rx = F.expr("transform(geometry.coordinates, ring -> transform(ring, c -> c[0]))")
+        ry = F.expr("transform(geometry.coordinates, ring -> transform(ring, c -> c[1]))")
+    elif depth == 2:      # LineString / MultiPoint
+        rx = F.expr("array(transform(geometry.coordinates, c -> c[0]))")
+        ry = F.expr("array(transform(geometry.coordinates, c -> c[1]))")
+    else:                 # Point
+        rx = F.expr("array(array(CAST(geometry.coordinates[0] AS DOUBLE)))")
+        ry = F.expr("array(array(CAST(geometry.coordinates[1] AS DOUBLE)))")
     out = js.select(
         F.col("id"),
         F.col("geometry.type").alias("geom_type"),
-        xs.alias("xs"), ys.alias("ys"),
+        rx.alias("rings_xs"), ry.alias("rings_ys"),
         F.col("properties.*"))
     return (out
-            .withColumn("xmin", F.array_min("xs"))
-            .withColumn("ymin", F.array_min("ys"))
-            .withColumn("xmax", F.array_max("xs"))
-            .withColumn("ymax", F.array_max("ys")))
+            # first ring kept as flat (xs, ys) for single-ring consumers
+            .withColumn("xs", F.expr("rings_xs[0]"))
+            .withColumn("ys", F.expr("rings_ys[0]"))
+            .withColumn("xmin", F.array_min(F.expr(
+                "transform(rings_xs, r -> array_min(r))")))
+            .withColumn("ymin", F.array_min(F.expr(
+                "transform(rings_ys, r -> array_min(r))")))
+            .withColumn("xmax", F.array_max(F.expr(
+                "transform(rings_xs, r -> array_max(r))")))
+            .withColumn("ymax", F.array_max(F.expr(
+                "transform(rings_ys, r -> array_max(r))"))))

@@ -240,3 +240,20 @@ def test_register_all_sql(spark, zones):
         "SELECT fs_area(xs, ys) AS a, fs_vertex_count(xs) AS nv "
         "FROM zones_v WHERE zone_id = 'z000001'").first()
     assert row["a"] > 0 and row["nv"] >= 8
+
+
+def test_slice_matches_python_semantics_including_negative_step(spark):
+    """slice_rows == list slicing over the ordered key, all sign cases
+    (negative step is the r1 'missing' #7)."""
+    import numpy as np
+    import pandas as pd
+
+    from fiona_spark.operators import filters as fl
+    pdf = pd.DataFrame({"k": np.random.default_rng(1).permutation(2000)})
+    df = spark.createDataFrame(pdf)
+    seq = sorted(pdf["k"])
+    for a, b, s in [(100, 1000, 7), (None, None, None), (-50, None, 3),
+                    (None, -10, 2), (None, None, -1), (1500, 200, -13),
+                    (-1, -1500, -7), (10, 5, 1)]:
+        got = sorted(r["k"] for r in fl.slice_rows(df, a, b, s, "k").collect())
+        assert got == sorted(seq[slice(a, b, s)]), (a, b, s)

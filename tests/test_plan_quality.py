@@ -85,3 +85,26 @@ def test_assert_quality_raises_with_plan(spark, images_path):
     with pytest.raises(AssertionError) as ei:
         quality.assert_quality(q, read_only={"image_id"})
     assert "bytes" in str(ei.value)
+
+
+def test_slice_has_no_single_partition_exchange(spark):
+    """slice_rows must never funnel the table through one task (r1
+    scale killer): bucketed row numbering, no Exchange SinglePartition."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    q = filters.slice_rows(orders, 100, 1000, 7, "o_orderkey")
+    assert "Exchange SinglePartition" not in quality.formatted_plan(q)
+
+
+def test_geojson_read_path_is_python_free(spark, tmp_path):
+    """fio-load source: from_json JVM path, zero Batch/ArrowEvalPython."""
+    import pandas as pd
+
+    from fiona_spark.sources import geojson
+    src = spark.createDataFrame(pd.DataFrame({
+        "id": ["a"], "xs": [[0.0, 4.0, 2.0]], "ys": [[0.0, 0.0, 3.0]],
+        "xmin": [0.0], "ymin": [0.0], "xmax": [4.0], "ymax": [3.0],
+        "NAME": ["x"]}))
+    p = str(tmp_path / "feats")
+    geojson.write_feature_seq(src, p)
+    back = geojson.read_feature_seq(spark, p)
+    assert quality.python_eval_count(back) == 0

@@ -218,8 +218,13 @@ def test_slice_semantics(spark, images, images_pdf):
                filters.slice_rows(images, -20, None, 5, "image_id")
                .orderBy("image_id").select("image_id").collect()]
     assert got_neg == ids[-20::5]
+    # negative step (reference ogrext.pyx:1852-1910 backwards iteration)
+    got_rev = sorted(r["image_id"] for r in
+                     filters.slice_rows(images, 50, 10, -7, "image_id")
+                     .select("image_id").collect())
+    assert got_rev == sorted(ids[50:10:-7])
     with pytest.raises(ValueError):
-        filters.slice_rows(images, 0, 10, -1, "image_id")
+        filters.slice_rows(images, 0, 10, 0, "image_id")
 
 
 def test_fid_access(spark, images):
