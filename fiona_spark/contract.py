@@ -796,6 +796,32 @@ def q_snuggs_filter(spark, sf_dir):
     ).select("zone_id")
 
 
+@register("snuggs_hof")
+def q_snuggs_hof(spark, sf_dir):
+    """snuggs higher-order pipeline (map/partial/reduce/methodcaller —
+    reference `_vendor/snuggs.py:132-140`), compiled to one Catalyst
+    Column; oracle recomputes the same fold in DuckDB list arithmetic."""
+    from . import snuggs
+    _, zon = _canon_paths()
+    zones = spark.read.parquet(zon)
+    return snuggs.filter_features(
+        zones,
+        '(& (> (reduce + (map (partial * 2.0) xs) 0.0) 100.0) '
+        '(== ((methodcaller "upper") AGBUR) "FS"))').select("zone_id")
+
+
+@register("csv_source")
+def q_csv_source(spark, sf_dir):
+    """CSV driver + format-from-extension inference
+    (`fiona/drvsupport.py:231-254` driver_from_extension parity)."""
+    from .sources import drivers
+    path = fixtures.ensure_canon_csv()
+    df = drivers.open_dataset(spark, path)
+    return (df.filter("WILDRNP020 % 3 = 0")
+            .select("zone_id", "NAME", "AGBUR",
+                    F.col("WILDRNP020").cast("long").alias("WILDRNP020")))
+
+
 @register("geom_measures")
 def q_geom_measures(spark, sf_dir):
     """Shoelace area + ring perimeter vs an independent SQL formulation
@@ -853,6 +879,19 @@ def _late_oracles2():
     img, zon = _canon_paths()
     ORACLES["snuggs_filter"] = f"""
 SELECT zone_id FROM read_parquet('{zon}') WHERE AREA > 2 AND len(xs) < 20
+"""
+    # list_prepend(0.0, ...) replicates the engine's fold init exactly
+    ORACLES["snuggs_hof"] = f"""
+SELECT zone_id FROM read_parquet('{zon}')
+WHERE list_reduce(list_prepend(0.0, list_transform(xs, x -> 2.0 * x)),
+                  (a, b) -> a + b) > 100.0
+  AND upper(AGBUR) = 'FS'
+"""
+    csv_path = fixtures.ensure_canon_csv()
+    ORACLES["csv_source"] = f"""
+SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020
+FROM read_csv_auto('{csv_path}', header = true)
+WHERE WILDRNP020 % 3 = 0
 """
     # shoelace with explicit ring closure; 1-based DuckDB list indexing
     shoelace = """0.5 * abs(list_sum(list_transform(range(1, len(xs)),

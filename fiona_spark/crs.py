@@ -1,0 +1,206 @@
+"""CRS metadata surface (reference `fiona/crs.pyx:56-852` subset).
+
+The reference wraps PROJ; this engine computes with closed-form
+transforms (fiona_spark.geom / functions.geometry.transform_udf), so the
+CRS class here is a METADATA object: it records which system a table's
+coordinates are in, round-trips through WKT/EPSG/dict/proj4 forms, and
+travels with datasets as an iceberg-like table property — the reference
+stores exactly this in each layer's metadata (`fiona/collection.py`
+crs/crs_wkt properties).
+
+Only the systems the engine can actually transform (plus a registry of
+common codes) are bundled; ``from_user_input`` accepts the same input
+shapes as the reference (`crs.pyx:731-803`): CRS, int, "EPSG:nnnn",
+"epsg:nnnn", proj4 strings, WKT strings, and {'init': 'epsg:nnnn'} /
+proj4 dicts.
+"""
+
+from __future__ import annotations
+
+import re
+
+# code -> (name, kind, unit, proj4)
+_REGISTRY: dict[int, tuple[str, str, str, str]] = {
+    4326: ("WGS 84", "geographic", "degree",
+           "+proj=longlat +datum=WGS84 +no_defs"),
+    3857: ("WGS 84 / Pseudo-Mercator", "projected", "metre",
+           "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+           "+y_0=0 +k=1 +units=m +nadgrids=@null +wktext +no_defs"),
+    6933: ("WGS 84 / NSIDC EASE-Grid 2.0 Global", "projected", "metre",
+           "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 "
+           "+units=m +no_defs"),
+    4269: ("NAD83", "geographic", "degree",
+           "+proj=longlat +datum=NAD83 +no_defs"),
+    32633: ("WGS 84 / UTM zone 33N", "projected", "metre",
+            "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"),
+}
+
+_WKT_AUTH = re.compile(
+    r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]\s*\]\s*$', re.IGNORECASE)
+_WKT2_ID = re.compile(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$',
+                      re.IGNORECASE)
+
+
+class CRSError(ValueError):
+    """Unrecognized CRS input (reference fiona.errors.CRSError)."""
+
+
+class CRS:
+    """Immutable EPSG-backed coordinate reference system descriptor."""
+
+    __slots__ = ("_code",)
+
+    def __init__(self, code: int):
+        code = int(code)
+        if code not in _REGISTRY:
+            raise CRSError(f"EPSG:{code} is not in the bundled registry")
+        object.__setattr__(self, "_code", code)
+
+    def __setattr__(self, *a):  # immutability, like the cdef class
+        raise AttributeError("CRS objects are immutable")
+
+    # -- constructors (crs.pyx:545-852) ----------------------------------
+
+    @staticmethod
+    def from_epsg(code: int) -> "CRS":
+        if int(code) <= 0:
+            raise CRSError("EPSG codes are positive integers")
+        return CRS(int(code))
+
+    @staticmethod
+    def from_wkt(wkt: str) -> "CRS":
+        m = _WKT_AUTH.search(wkt.strip()) or _WKT2_ID.search(wkt.strip())
+        if not m:
+            # last-resort name sniffing for authority-less WKT
+            for code, (name, _k, _u, _p) in _REGISTRY.items():
+                if f'"{name}"' in wkt:
+                    return CRS(code)
+            raise CRSError("WKT carries no EPSG authority this engine knows")
+        return CRS(int(m.group(1)))
+
+    @staticmethod
+    def from_string(value: str) -> "CRS":
+        v = value.strip()
+        if not v:
+            raise CRSError("empty CRS string")
+        if v.upper().startswith("EPSG:"):
+            return CRS.from_epsg(int(v.split(":", 1)[1]))
+        if v.startswith("+"):   # proj4
+            for code, (_n, _k, _u, proj4) in _REGISTRY.items():
+                if _proj4_dict(v) == _proj4_dict(proj4):
+                    return CRS(code)
+            raise CRSError(f"unrecognized proj4 string {v!r}")
+        if "[" in v:            # WKT-ish
+            return CRS.from_wkt(v)
+        raise CRSError(f"unrecognized CRS string {value!r}")
+
+    @staticmethod
+    def from_dict(data: dict) -> "CRS":
+        if "init" in data:
+            return CRS.from_string(str(data["init"]).upper())
+        parts = " ".join(f"+{k}={v}" if v is not True else f"+{k}"
+                         for k, v in data.items())
+        return CRS.from_string(parts)
+
+    @staticmethod
+    def from_user_input(value) -> "CRS":
+        if isinstance(value, CRS):
+            return value
+        if isinstance(value, int):
+            return CRS.from_epsg(value)
+        if isinstance(value, dict):
+            return CRS.from_dict(value)
+        if isinstance(value, str):
+            return CRS.from_string(value)
+        raise CRSError(f"cannot build a CRS from {value!r}")
+
+    # -- accessors (crs.pyx:126-438) --------------------------------------
+
+    @property
+    def is_geographic(self) -> bool:
+        return _REGISTRY[self._code][1] == "geographic"
+
+    @property
+    def is_projected(self) -> bool:
+        return _REGISTRY[self._code][1] == "projected"
+
+    @property
+    def is_valid(self) -> bool:
+        return True
+
+    @property
+    def linear_units(self) -> str:
+        return _REGISTRY[self._code][2]
+
+    @property
+    def name(self) -> str:
+        return _REGISTRY[self._code][0]
+
+    def to_epsg(self) -> int:
+        return self._code
+
+    def to_authority(self) -> tuple[str, str]:
+        return ("EPSG", str(self._code))
+
+    def to_dict(self) -> dict:
+        return _proj4_dict(_REGISTRY[self._code][3])
+
+    def to_proj4(self) -> str:
+        return _REGISTRY[self._code][3]
+
+    def to_wkt(self) -> str:
+        name, kind, unit, _ = _REGISTRY[self._code]
+        geog = ('GEOGCS["WGS 84",DATUM["WGS_1984",'
+                'SPHEROID["WGS 84",6378137,298.257223563]],'
+                'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]')
+        if kind == "geographic":
+            return f'{geog},AUTHORITY["EPSG","{self._code}"]]'
+        return (f'PROJCS["{name}",{geog}],UNIT["{unit}",1],'
+                f'AUTHORITY["EPSG","{self._code}"]]')
+
+    # -- protocol ----------------------------------------------------------
+
+    def __eq__(self, other) -> bool:
+        try:
+            return CRS.from_user_input(other)._code == self._code
+        except CRSError:
+            return NotImplemented
+
+    def __hash__(self):
+        return hash(("CRS", self._code))
+
+    def __repr__(self):
+        return f"CRS.from_epsg({self._code})"
+
+    def __str__(self):
+        return f"EPSG:{self._code}"
+
+
+def _proj4_dict(s: str) -> dict:
+    out = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            out[k] = v
+        elif tok:
+            out[tok] = True
+    return out
+
+
+# table-property plumbing (the engine's layer metadata slot) -------------
+
+CRS_PROPERTY = "fiona_spark.crs"
+
+
+def attach_crs(props: dict, crs) -> dict:
+    """Record a CRS in a table-properties dict (iceberg_like manifests /
+    catalog tags) the way the reference stores crs_wkt per layer."""
+    out = dict(props or {})
+    out[CRS_PROPERTY] = str(CRS.from_user_input(crs))
+    return out
+
+
+def crs_of(props: dict) -> CRS | None:
+    v = (props or {}).get(CRS_PROPERTY)
+    return CRS.from_user_input(v) if v else None

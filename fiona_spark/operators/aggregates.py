@@ -90,6 +90,31 @@ def dissolve_union(df: DataFrame, xs: str = "xs", ys: str = "ys") -> tuple:
     return geom.convex_hull(px, py)
 
 
+def reduce_zip_properties(df: DataFrame, prop_cols: list[str],
+                          order_by: str, xs: str = "xs",
+                          ys: str = "ys") -> DataFrame:
+    """``fio reduce --zip-properties`` (`fiona/fio/features.py:242-248`):
+    reduce the collection to ONE feature whose properties are LISTS of
+    the input values, alongside the collected geometry parts.
+
+    ``order_by`` fixes the list order (the reference inherits stdin
+    order; a distributed table needs an explicit key).  Single shuffle:
+    sort-within-struct via collect_list of (key, value) + array_sort.
+    """
+    aggs = []
+    for c in prop_cols:
+        pair = F.struct(F.col(order_by).alias("k"), F.col(c).alias("v"))
+        aggs.append(F.transform(F.array_sort(F.collect_list(pair)),
+                                lambda s: s["v"]).alias(c))
+    geom_pair = F.struct(F.col(order_by).alias("k"),
+                         F.col(xs).alias("xs"), F.col(ys).alias("ys"))
+    sorted_geoms = F.array_sort(F.collect_list(geom_pair))
+    aggs.append(F.transform(sorted_geoms, lambda s: s["xs"]).alias("xs_list"))
+    aggs.append(F.transform(sorted_geoms, lambda s: s["ys"]).alias("ys_list"))
+    aggs.append(F.count(F.lit(1)).alias("n_features"))
+    return df.agg(*aggs)
+
+
 def collect_geometries(df: DataFrame, keys, xs: str = "xs", ys: str = "ys") -> DataFrame:
     """N geometries -> one GeometryCollection-style row per key
     (`fiona/features.py:45-58` collect)."""

@@ -88,6 +88,28 @@ _BINOPS = {
     "&": lambda a, b: a & b, "|": lambda a, b: a | b,
 }
 
+# Python-builtin-style scalars the reference exposes through its
+# func_map fallback (`fiona/_vendor/snuggs.py` resolve_func + docs
+# "Python builtins such as dict, list, and map").
+_BUILTINS = {
+    "upper": lambda c: F.upper(c),
+    "lower": lambda c: F.lower(c),
+    "abs": lambda c: F.abs(c),
+    "int": lambda c: c.cast("long"),
+    "float": lambda c: c.cast("double"),
+    "str": lambda c: c.cast("string"),
+    "round": lambda c, n=None: F.round(c, 0 if n is None else n),
+    "len": lambda c: F.length(c),
+    "list": lambda *cs: F.array(*cs),
+}
+
+# Higher-order names (`fiona/_vendor/snuggs.py:132-140`): these are
+# COMPILE-TIME combinators here — they build Column-functions that the
+# enclosing expression applies, which is the only way the reference's
+# own pipelines consume them (a lambda never escapes an expression).
+_HIGHER = ("map", "reduce", "partial", "compose", "attrgetter",
+           "itemgetter", "methodcaller")
+
 
 class Compiler:
     """Compile parsed snuggs to a Column against a feature DataFrame.
@@ -147,6 +169,10 @@ class Compiler:
         if isinstance(head, tuple) and head[0] == "sym":
             op = head[1]
             args = node[1:]
+            if op in _HIGHER:
+                return self._higher(op, args)
+            if op in ("simplify", "buffer", "set_precision"):
+                return self._constructive(op, args)
             if op in _BINOPS:
                 cols = [self._c(a) for a in args]
                 out = cols[0]
@@ -181,8 +207,128 @@ class Compiler:
                 cargs = [self._c(a) for a in args
                          if not (isinstance(a, tuple) and a[1] in ("g", "f", "c"))]
                 return self.funcs[op](*cargs)
+            if op in _BUILTINS:
+                cargs = [self._c(a) for a in args
+                         if not (isinstance(a, tuple) and a[1] in ("g", "f", "c"))]
+                # Python-truthy strings pass bare: (upper f) applies to
+                # the feature context -> no usable column; require args
+                if not cargs:
+                    raise ExpressionError(f"{op!r} needs a column argument")
+                return _BUILTINS[op](*cargs)
             raise ExpressionError(f"unknown function {op!r}")
+        if isinstance(head, list):
+            # ((partial + 1) x): applying a compiled higher-order result
+            fn = self._c(head)
+            if not callable(fn):
+                raise ExpressionError(f"cannot apply non-function {head!r}")
+            return fn(*[self._c(a) for a in node[1:]])
         raise ExpressionError(f"cannot apply {head!r}")
+
+    # -- higher-order support (reference _vendor/snuggs.py:132-140) ------
+
+    def _fn(self, node):
+        """Resolve a node to a Column-function (for HOF argument slots)."""
+        if isinstance(node, tuple) and node[0] == "sym":
+            name = node[1]
+            if name in _BINOPS:
+                return _BINOPS[name]
+            if name in _BUILTINS:
+                return _BUILTINS[name]
+            if name in self.funcs:
+                return self.funcs[name]
+            raise ExpressionError(f"{name!r} is not a function")
+        out = self._c(node)
+        if not callable(out):
+            raise ExpressionError(f"expected a function, got {node!r}")
+        return out
+
+    def _split_kwargs(self, args):
+        """Split raw arg nodes into (positional, kwargs) — the
+        ``:name value`` convention of the reference parser
+        (`_vendor/snuggs.py:189-196` KeywordArg handling)."""
+        pos, kwds = [], {}
+        it = iter(args)
+        for a in it:
+            if isinstance(a, tuple) and a[0] == "kw":
+                try:
+                    kwds[a[1]] = next(it)
+                except StopIteration:
+                    raise ExpressionError(f"keyword :{a[1]} missing a value")
+            else:
+                pos.append(a)
+        return pos, kwds
+
+    def _higher(self, op, args):
+        if op == "map":
+            fn = self._fn(args[0])
+            seq = self._c(args[1])
+            return F.transform(seq, lambda x: fn(x))
+        if op == "reduce":
+            fn = self._fn(args[0])
+            seq = self._c(args[1])
+            if len(args) > 2:
+                init = self._c(args[2])
+                return F.aggregate(seq, init, fn)
+            # no init: fold the tail onto the head, like functools.reduce
+            rest = F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0)))
+            return F.aggregate(rest, F.element_at(seq, 1), fn)
+        if op == "partial":
+            fn = self._fn(args[0])
+            pre, kw = self._split_kwargs(args[1:])
+            pre_c = [self._c(a) for a in pre]
+            kw_c = {k: self._c(v) for k, v in kw.items()}
+            return lambda *more: fn(*pre_c, *more, **kw_c)
+        if op == "compose":
+            fns = [self._fn(a) for a in args]
+            def composed(*xs, _fns=fns):
+                out = _fns[-1](*xs)
+                for f in reversed(_fns[:-1]):
+                    out = f(out)
+                return out
+            return composed
+        if op == "attrgetter":
+            key = args[0]
+            if key[0] != "str":
+                raise ExpressionError("(attrgetter \"name\") needs a string")
+            return lambda c: c.getField(key[1])
+        if op == "itemgetter":
+            idx = args[0]
+            if idx[0] != "num":
+                raise ExpressionError("(itemgetter n) needs a number")
+            return lambda c: c.getItem(int(idx[1]))
+        if op == "methodcaller":
+            key = args[0]
+            if key[0] != "str" or key[1] not in _BUILTINS:
+                known = sorted(_BUILTINS)
+                raise ExpressionError(
+                    f"methodcaller supports {known}, got {key!r}")
+            extra = [self._c(a) for a in args[1:]]
+            return lambda c: _BUILTINS[key[1]](c, *extra)
+        raise ExpressionError(f"unhandled higher-order {op!r}")
+
+    def _constructive(self, op, args):
+        """Geometry-returning functions with :kwarg support — simplify /
+        buffer / set_precision (`fiona/features.py:128-211`), over the
+        engine's (xs, ys) ring columns; returns a struct(xs, ys)."""
+        from .functions import geometry as gf
+        pos, kw = self._split_kwargs(
+            [a for a in args if not (isinstance(a, tuple)
+                                     and a[1] in ("g", "f", "c"))])
+
+        def lit_of(node, name):
+            if isinstance(node, tuple) and node[0] == "num":
+                return float(node[1])
+            raise ExpressionError(f"{op} {name} must be a number literal")
+
+        if op == "simplify":
+            tol = lit_of(pos[0] if pos else kw.get("tolerance"), "tolerance")
+            return gf.simplify_udf(tol)("xs", "ys")
+        if op == "buffer":
+            dist = lit_of(pos[0] if pos else kw.get("distance"), "distance")
+            return gf.buffer_udf(dist)("xs", "ys")
+        gs = lit_of(pos[0] if pos else kw.get("grid_size"), "grid_size")
+        return F.struct(gf.set_precision_expr(F.col("xs"), gs).alias("xs"),
+                        gf.set_precision_expr(F.col("ys"), gs).alias("ys"))
 
 
 def compile_expr(text: str, funcs: dict | None = None) -> Column:

@@ -1,0 +1,174 @@
+"""Driver registry + format-from-extension inference + encoding fallback.
+
+The reference maintains a 52-entry driver table with per-driver mode
+capabilities (`fiona/drvsupport.py:10-230`) and infers the driver from
+the path extension (`fiona/drvsupport.py:231-254` driver_from_extension);
+its encoding rule is: trust UTF-8-capable layers, else fall back to a
+format-specific default — ISO-8859-1 for shapefiles
+(`fiona/ogrext.pyx:940-983`).
+
+Spark-side, a "driver" is a reader/writer pair over a DataFrame; the
+formats below are the ones a Spark cluster natively executes (parquet /
+csv / json / text) plus the engine's GeoJSON feature-sequence shapes.
+Unknown extensions raise DriverError, mirroring the reference's
+"no driver for extension" error.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..errors import DriverError
+
+# name -> (reader, writer, modes)
+_REGISTRY: dict = {}
+
+
+def register_driver(name: str, reader, writer, modes: str = "rw") -> None:
+    _REGISTRY[name] = (reader, writer, modes)
+
+
+def supported_drivers() -> dict[str, str]:
+    """name -> modes, like fiona.drvsupport.supported_drivers."""
+    return {k: v[2] for k, v in sorted(_REGISTRY.items())}
+
+
+_EXT_TO_DRIVER = {
+    ".parquet": "parquet", ".pq": "parquet",
+    ".csv": "csv", ".tsv": "csv",
+    ".json": "json", ".ndjson": "json", ".jsonl": "json",
+    ".geojson": "geojson", ".geojsons": "geojson_seq",
+    ".txt": "text", ".text": "text",
+}
+
+
+def driver_from_extension(path: str) -> str:
+    """`fiona/drvsupport.py:231-254` parity: infer driver from the path.
+
+    Directories resolve to parquet (Spark's native dataset layout).
+    """
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_TO_DRIVER:
+        # extension wins even for directories: Spark writers produce a
+        # directory named data.csv/data.json for those formats
+        return _EXT_TO_DRIVER[ext]
+    if os.path.isdir(path):
+        return "parquet"
+    raise DriverError(
+        f"Unable to detect driver for path {path!r} "
+        f"(known extensions: {sorted(_EXT_TO_DRIVER)})")
+
+
+def detect_encoding(path: str, sample_bytes: int = 65536) -> str:
+    """UTF-8 if the head of the first data file decodes as UTF-8, else
+    ISO-8859-1 — the reference's shapefile fallback rule
+    (`fiona/ogrext.pyx:940-983` _get_fallback_encoding)."""
+    probe = path
+    if os.path.isdir(path):
+        for root, _d, files in os.walk(path):
+            data = [f for f in files if not f.startswith(("_", "."))]
+            if data:
+                probe = os.path.join(root, sorted(data)[0])
+                break
+    try:
+        with open(probe, "rb") as fh:
+            head = fh.read(sample_bytes)
+        head.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        return "ISO-8859-1"
+    except OSError:
+        return "UTF-8"
+
+
+# ---------------------------------------------------------------------------
+# built-in drivers
+# ---------------------------------------------------------------------------
+
+def _read_parquet(spark, path, **opts):
+    return spark.read.options(**opts).parquet(path)
+
+
+def _write_parquet(df: DataFrame, path, mode="overwrite", **opts):
+    df.write.mode(mode).options(**opts).parquet(path)
+
+
+def _read_csv(spark, path, encoding=None, **opts):
+    o = {"header": "true", "inferSchema": "true"}
+    o.update(opts)
+    o["encoding"] = encoding or detect_encoding(path)
+    if path.endswith(".tsv"):
+        o.setdefault("sep", "\t")
+    return spark.read.options(**o).csv(path)
+
+
+def _write_csv(df: DataFrame, path, mode="overwrite", **opts):
+    o = {"header": "true"}
+    o.update(opts)
+    df.write.mode(mode).options(**o).csv(path)
+
+
+def _read_json(spark, path, encoding=None, **opts):
+    o = dict(opts)
+    o["encoding"] = encoding or detect_encoding(path)
+    return spark.read.options(**o).json(path)
+
+
+def _write_json(df: DataFrame, path, mode="overwrite", **opts):
+    df.write.mode(mode).options(**opts).json(path)
+
+
+def _read_text(spark, path, **opts):
+    return spark.read.options(**opts).text(path)
+
+
+def _write_text(df: DataFrame, path, mode="overwrite", **opts):
+    df.write.mode(mode).options(**opts).text(path)
+
+
+def _read_geojson(spark, path, **opts):
+    from . import geojson
+    return geojson.read_collection(spark, path)
+
+
+def _write_geojson(df: DataFrame, path, **opts):
+    from . import geojson
+    geojson.write_collection(df, path, **opts)
+
+
+def _read_geojson_seq(spark, path, **opts):
+    from . import geojson
+    return geojson.read_feature_seq(spark, path)
+
+
+def _write_geojson_seq(df: DataFrame, path, **opts):
+    from . import geojson
+    geojson.write_feature_seq(df, path, **opts)
+
+
+register_driver("parquet", _read_parquet, _write_parquet, "raw")
+register_driver("csv", _read_csv, _write_csv, "raw")
+register_driver("json", _read_json, _write_json, "raw")
+register_driver("text", _read_text, _write_text, "raw")
+register_driver("geojson", _read_geojson, _write_geojson, "rw")
+register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
+
+
+def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
+    """``fiona.open(path)`` analogue: driver from extension unless given."""
+    name = driver or driver_from_extension(path)
+    if name not in _REGISTRY:
+        raise DriverError(f"unknown driver {name!r}")
+    reader, _w, _m = _REGISTRY[name]
+    return reader(spark, path, **opts)
+
+
+def write_dataset(df: DataFrame, path: str, driver: str | None = None,
+                  **opts) -> None:
+    name = driver or driver_from_extension(path)
+    if name not in _REGISTRY:
+        raise DriverError(f"unknown driver {name!r}")
+    _r, writer, _m = _REGISTRY[name]
+    writer(df, path, **opts)

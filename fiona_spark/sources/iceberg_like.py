@@ -83,7 +83,8 @@ def _write_files(df: DataFrame, path: str, partition_by: str | None) -> list[dic
 
 
 def _commit(path: str, files: list[dict], schema_json: str,
-            partition_by: str | None, op: str) -> int:
+            partition_by: str | None, op: str,
+            properties: dict | None = None) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     prev = current_snapshot_id(path)
     sid = (prev or 0) + 1
@@ -91,6 +92,7 @@ def _commit(path: str, files: list[dict], schema_json: str,
            "partition_by": partition_by,
            "committed_at_epoch": time.time(),
            "total_rows": sum(f["rows"] for f in files),
+           "properties": dict(properties or {}),
            "files": files, "schema": schema_json}
     final = os.path.join(_snap_dir(path), f"v{sid}.json")
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
@@ -100,18 +102,35 @@ def _commit(path: str, files: list[dict], schema_json: str,
     return sid
 
 
-def write_table(df: DataFrame, path: str, partition_by: str | None = None) -> int:
-    """Create/replace the table: new snapshot referencing ONLY new files."""
+def write_table(df: DataFrame, path: str, partition_by: str | None = None,
+                crs=None, properties: dict | None = None) -> int:
+    """Create/replace the table: new snapshot referencing ONLY new files.
+
+    ``crs`` records the layer's coordinate system as a table property
+    (the reference stores crs/crs_wkt in every layer's metadata,
+    `fiona/collection.py`); it round-trips via :func:`table_crs`.
+    """
+    from ..crs import attach_crs
+    props = attach_crs(properties, crs) if crs is not None else properties
     files = _write_files(df, path, partition_by)
-    return _commit(path, files, df.schema.json(), partition_by, "overwrite")
+    return _commit(path, files, df.schema.json(), partition_by, "overwrite",
+                   props)
 
 
 def append_table(df: DataFrame, path: str) -> int:
-    """Append commit: snapshot = parent's files + new files."""
+    """Append commit: snapshot = parent's files + new files (parent's
+    table properties — CRS included — carry forward)."""
     man = read_manifest(path)
     files = _write_files(df, path, man.get("partition_by"))
     return _commit(path, man["files"] + files, man["schema"],
-                   man.get("partition_by"), "append")
+                   man.get("partition_by"), "append",
+                   man.get("properties"))
+
+
+def table_crs(path: str, snapshot: int | None = None):
+    """CRS recorded on the table, or None (reference Collection.crs)."""
+    from ..crs import crs_of
+    return crs_of(read_manifest(path, snapshot).get("properties"))
 
 
 def read_table(spark, path: str, snapshot: int | None = None,
