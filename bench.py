@@ -82,9 +82,13 @@ def main() -> None:
         images().select("image_id", "xmin", "ymin", "xmax", "ymax"), 9
     ).count())
 
-    # q3: kNN (k=3) zones per image, two-phase cell-disk plan
+    # q3: kNN (k=3) zones per image, two-phase cell-disk plan.
+    # eager_cleanup=False: this is a single-shot run, so we time the
+    # lazy plan and drop the per-level caches ourselves afterwards
+    # (the default eagerly localCheckpoints for long-lived sessions).
     bench("knn_join", lambda: spatial.knn_join(
-        images(), zones(), k=3).count())
+        images(), zones(), k=3, eager_cleanup=False).count())
+    spark.catalog.clearCache()
 
     # q4: raster->vector block tiling: decode payload, 8x8 pixel blocks
     # geolocated to cells with per-block luminance (the image axis)

@@ -758,6 +758,58 @@ def q_simhash_pairs(spark, sf_dir):
                                hash_fn="md5_60")
 
 
+def _embed_neardup_oracle_sql(dim=64, n_planes=64, band_bits=8, seed=7,
+                              cos2_pct=81) -> str:
+    from .operators import dedup
+    planes = dedup.lsh_planes(dim, n_planes, seed)
+    plane_lists = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in planes[:, j]) + "]"
+        for j in range(n_planes)) + "]"
+    n_bands = n_planes // band_bits
+    qz = "CAST(floor(CAST(e[i] AS DOUBLE) * 1000.0) AS BIGINT)"
+    bits = (f"list_transform({plane_lists}, p -> "
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {qz} * p[CAST(i AS INT)])) > 0)")
+    band_eq = " OR ".join(
+        f"a.bits[{b * band_bits + 1}:{(b + 1) * band_bits}] = "
+        f"b.bits[{b * band_bits + 1}:{(b + 1) * band_bits}]"
+        for b in range(n_bands))
+
+    def dot(u, v):
+        return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST(floor(CAST({u}[i] AS DOUBLE) * 1000.0) AS BIGINT)"
+                f" * CAST(floor(CAST({v}[i] AS DOUBLE) * 1000.0) AS BIGINT)))"
+                f" AS BIGINT)")
+    return f"""
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 20),
+sigs AS (SELECT vec_id, embedding AS e, {bits} AS bits FROM src),
+cand AS (SELECT a.vec_id AS id_a, a.e AS qe, b.vec_id AS id_b, b.e AS ce
+         FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ({band_eq})),
+scored AS (SELECT id_a, id_b, {dot('qe', 'ce')} AS qdot,
+                  {dot('qe', 'qe')} AS qaa, {dot('ce', 'ce')} AS qbb
+           FROM cand)
+SELECT id_a, id_b, qdot FROM scored
+WHERE qdot > 0 AND qdot * qdot * 100 >= {cos2_pct} * qaa * qbb
+"""
+
+
+@register("embed_neardup", _embed_neardup_oracle_sql())
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (planted duplicates), all-integer
+    cosine^2 decision — the 5th dedup modality of the brief; oracle
+    recomputes signatures, banding and the quantized test from the raw
+    embedding arrays."""
+    from .operators import dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter("vec_id < 20").withColumn(
+        "vec_id", F.col("vec_id") + 1000000)
+    return dedup.embedding_neardup_pairs(emb.unionByName(planted))
+
+
 @register("ann_lsh_topk", _ann_oracle_sql())
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-k (scale path of the

@@ -391,6 +391,52 @@ def ann_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rnk") <= k))
 
 
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding", dim: int = 64,
+                            band_bits: int = 8, seed: int = 7,
+                            cos2_pct: int = 81) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup modality).
+
+    Sign-LSH banded self-join for candidates (never all-pairs), then an
+    ALL-INTEGER cosine-squared test on quantized dots:
+
+        qdot^2 * 100 >= cos2_pct * qaa * qbb      (cos2_pct=81 ~ cos>=0.9)
+
+    restricted to qdot > 0 (cosine sign).  Integer arithmetic keeps the
+    decision bit-identical across engines (qdot ~ 6.4e7 for unit-ish
+    64-dim embeddings -> qdot^2*100 ~ 4e17 < 2^63).  Output:
+    (id_a, id_b, qdot).
+    """
+    n_bands = 64 // band_bits
+
+    def band_mask(b: int) -> int:
+        m = (((1 << band_bits) - 1) << (b * band_bits)) & 0xFFFFFFFFFFFFFFFF
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    sigs = sign_lsh_signatures(emb, id_col, vec_col, dim, seed=seed)
+    bands = F.array(*[F.struct(F.lit(b).alias("band"),
+                               F.col("sig").bitwiseAND(F.lit(band_mask(b)))
+                               .alias("key")) for b in range(n_bands)])
+    banded = (sigs.withColumn("b", F.explode(bands))
+              .select(F.col(id_col).alias("id_a"),
+                      F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    rhs = banded.select(F.col("id_a").alias("id_b"), "band", "key")
+    cand = (banded.join(rhs, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qe"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("ce"))
+    self_dot = QDOT_EXPR.replace("qe", "{v}").replace("ce", "{v}")
+    scored = (cand.join(ea, "id_a").join(eb, "id_b")
+              .select("id_a", "id_b", F.expr(QDOT_EXPR).alias("qdot"),
+                      F.expr(self_dot.format(v="qe")).alias("qaa"),
+                      F.expr(self_dot.format(v="ce")).alias("qbb")))
+    keep = ((F.col("qdot") > 0)
+            & (F.col("qdot") * F.col("qdot") * 100
+               >= F.lit(cos2_pct) * F.col("qaa") * F.col("qbb")))
+    return scored.filter(keep).select("id_a", "id_b", "qdot")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy keeper selection)
 # ---------------------------------------------------------------------------

@@ -161,6 +161,35 @@ def slice_rows(df: DataFrame, start=None, stop=None, step=None,
     return out.filter(cond).drop("_rn")
 
 
+_PYEXPR_SUBS = [
+    (r"\bf\.properties\.(\w+)", r"\1"),     # f.properties.NAME -> NAME
+    (r"\bf\.properties\[(['\"])(\w+)\1\]", r"\2"),
+    (r"\bf\.id\b", "id"),
+    (r"\band\b", " AND "), (r"\bor\b", " OR "), (r"\bnot\b", " NOT "),
+    (r"\bis\s+None\b", " IS NULL"), (r"\bis\s+not\s+None\b", " IS NOT NULL"),
+    (r"\bTrue\b", "TRUE"), (r"\bFalse\b", "FALSE"), (r"\bNone\b", "NULL"),
+    (r"==", "="),
+]
+
+
+def filter_pyexpr(df: DataFrame, expr: str) -> DataFrame:
+    """Legacy ``fio filter``-style Python expression over features.
+
+    The reference's legacy mode evaluates strings like
+    ``f.properties.AREA > 0.01 and f.properties.STATE == 'UT'`` per
+    feature (`fiona/fio/filter.py` FutureWarning path).  Here the same
+    surface translates once to a Catalyst predicate: property access
+    becomes column reference, Python operators become SQL.  Unsupported
+    constructs surface as AttributeFilterError, same contract as
+    :func:`filter_where`.
+    """
+    import re
+    sql = expr
+    for pat, rep in _PYEXPR_SUBS:
+        sql = re.sub(pat, rep, sql)
+    return filter_where(df, sql)
+
+
 def get_fid(df: DataFrame, fid, id_col: str = "id") -> DataFrame:
     """Random access by FID (`fiona/collection.py:506-533`)."""
     return df.filter(F.col(id_col) == fid)

@@ -272,12 +272,178 @@ def _convex_pip_sql(lng: str, lat: str, shift: float) -> str:
 MAX_BROADCAST_ZONES = 2_000_000
 
 
+def _zone_prep(zones: DataFrame, zone_cols, res: int | None):
+    """Driver-side zone preparation shared by the PIP plans: collect the
+    (small) zone layer once, enumerate covering cells (antimeridian wrap
+    included), pack rings into flat edge arrays.
+
+    Returns (zpdf, res, cov_ridx, cov_cell, edge pack..., feat_wrap).
+    """
+    multi = "rings_xs" in zones.columns
+    ring_cols = ("rings_xs", "rings_ys") if multi else ("xs", "ys")
+    zpdf = zones.select(*zone_cols, *ring_cols,
+                        "xmin", "ymin", "xmax", "ymax").toPandas()
+    if res is None:
+        w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
+        h = float(np.mean(zpdf["ymax"] - zpdf["ymin"])) if len(zpdf) else 1.0
+        res = _res_from_stats(len(zpdf), w, h)
+
+    xminv = zpdf["xmin"].to_numpy(np.float64)
+    yminv = zpdf["ymin"].to_numpy(np.float64)
+    xmaxv = zpdf["xmax"].to_numpy(np.float64)
+    ymaxv = zpdf["ymax"].to_numpy(np.float64)
+    wrap = (xmaxv > 180.0) | (xminv < -180.0)
+    parts = []
+    if (~wrap).any():
+        nidx = np.flatnonzero(~wrap)
+        ridx, cell = cells.cells_covering_flat(
+            xminv[nidx], yminv[nidx], xmaxv[nidx], ymaxv[nidx], res)
+        parts.append((nidx[ridx], cell))
+    for i in np.flatnonzero(wrap):
+        if xmaxv[i] > 180.0:
+            boxes = [(xminv[i], yminv[i], 180.0, ymaxv[i]),
+                     (-180.0, yminv[i], xmaxv[i] - 360.0, ymaxv[i])]
+        else:
+            boxes = [(xminv[i] + 360.0, yminv[i], 180.0, ymaxv[i]),
+                     (-180.0, yminv[i], xmaxv[i], ymaxv[i])]
+        cs = np.unique(np.concatenate([
+            cells.cells_covering_flat(np.array([b[0]]), np.array([b[1]]),
+                                      np.array([b[2]]), np.array([b[3]]),
+                                      res)[1] for b in boxes]))
+        parts.append((np.full(len(cs), i, dtype=np.int64), cs))
+    cov_ridx = np.concatenate([p0 for p0, _ in parts]) if parts else np.empty(0, np.int64)
+    cov_cell = np.concatenate([c for _, c in parts]) if parts else np.empty(0, np.int64)
+
+    if multi:
+        rings_xs = zpdf["rings_xs"].tolist()
+        rings_ys = zpdf["rings_ys"].tolist()
+    else:
+        rings_xs = [[v] for v in zpdf["xs"].tolist()]
+        rings_ys = [[v] for v in zpdf["ys"].tolist()]
+    edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(rings_xs, rings_ys)
+    feat_wrap = np.zeros(len(zpdf), dtype=bool)
+    for i in range(len(zpdf)):
+        s, t = edge_offs[i], edge_offs[i + 1]
+        feat_wrap[i] = (ex0[s:t].max() > 180.0 or ex0[s:t].min() < -180.0) \
+            if t > s else False
+    return zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1, feat_wrap
+
+
+def _pip_fused_udf(bc, res: int):
+    """FUSED candidate-generation + residual: one Arrow pass per point.
+
+    Each executor receives, via ONE torrent sc.broadcast (parallel to
+    executors, pickled once — never a driver-built JVM hash relation):
+    the covering table sorted by cell (cell_sorted, zidx_sorted) and the
+    packed zone edges.  Per batch: cell id (numpy closed form, identical
+    to the SQL form), searchsorted range probe for candidates, even-odd
+    residual, per-row matched-zone arrays out.
+
+    Why fused: the staged plan's broadcast-exchange build is
+    single-threaded on the driver and re-runs per action — measured a
+    flat 4.3-6.7 s across local[2/8/32] at sf2 (33.5k zones -> ~4M
+    covering rows), capping spatial scaling efficiency at 0.59.  Fusing
+    moves the probe to executors (vectorized searchsorted), sends each
+    point through Arrow ONCE (the staged plan shipped every CANDIDATE),
+    and is skew-neutral: points stay in their natural partitions, so a
+    hot cell never concentrates a reducer.
+    """
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def matches(px: pd.Series, py: pd.Series) -> pd.Series:
+        (cell_sorted, zidx_sorted, edge_offs, ex0, ey0, ex1, ey1,
+         feat_wrap) = bc.value
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        n = len(pxv)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        pcell = cells.cell_id(pxv, pyv, res)
+        lo = np.searchsorted(cell_sorted, pcell, "left")
+        hi = np.searchsorted(cell_sorted, pcell, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        starts = np.cumsum(cnt) - cnt
+        pos = lo[row] + (np.arange(total, dtype=np.int64) - starts[row])
+        zi = zidx_sorted[pos]
+        rx, ry = pxv[row], pyv[row]
+        hit = geom.points_in_edges_packed(rx, ry, zi, edge_offs,
+                                          ex0, ey0, ex1, ey1)
+        pend = np.flatnonzero(feat_wrap[zi] & ~hit)
+        for shift in (360.0, -360.0):
+            if not len(pend):
+                break
+            h2 = geom.points_in_edges_packed(rx[pend] + shift, ry[pend],
+                                             zi[pend], edge_offs,
+                                             ex0, ey0, ex1, ey1)
+            hit[pend] |= h2
+            pend = pend[~h2]
+        # per-row matched-zone arrays (row is sorted, split is O(n))
+        out_cnt = np.bincount(row[hit], minlength=n)
+        return pd.Series(np.split(zi[hit], np.cumsum(out_cnt)[:-1]))
+    return matches
+
+
+def pip_candidates(points: DataFrame, zones: DataFrame, res: int | None = None,
+                   lng: str = "lng", lat: str = "lat",
+                   point_cols=("image_id",), zone_cols=("zone_id",),
+                   salt: int | str = "auto", hot_threshold: int = 100_000):
+    """Broadcast-path PIP pipeline, split for stage-level observability.
+
+    Returns (candidates, residual_predicate, zone_map):
+      * ``candidates`` — the cell equi-join of probe points against the
+        broadcast zone-covering table, carrying (_zidx, lng, lat);
+      * ``residual_predicate`` — the packed-edge even-odd PIP Column;
+      * ``zone_map`` — (_zidx -> zone_cols) for the final projection.
+
+    ``pip_join`` composes these; benchmarks time candidates.count() vs
+    the full join to attribute wall time to candidate generation vs the
+    Arrow residual (the per-stage scaling decomposition the north_rule
+    evidence needs).
+
+    Small-zone regime (the north_star case: zones << images).  The zone
+    layer is collected ONCE; everything zone-side happens on the driver
+    in vectorized numpy:
+      * covering cells (incl. antimeridian wrap) -> a (cell, _zidx)
+        DataFrame broadcast into the probe join;
+      * edges packed into flat arrays -> one sc.broadcast (a
+        memcpy-pickle, not 10^5 object pickles);
+    and candidates cross the Arrow channel as (_zidx, lng, lat) only.
+    Compared to the distributed-zone variant this removes a repartition,
+    a Python UDF stage and a collect-for-broadcast.
+    """
+    spark = points.sparkSession
+    (zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1,
+     feat_wrap) = _zone_prep(zones, zone_cols, res)
+    p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
+    zcov = spark.createDataFrame(
+        pd.DataFrame({"_zidx": cov_ridx, "cell": cov_cell}))
+    bc = spark.sparkContext.broadcast((edge_offs, ex0, ey0, ex1, ey1,
+                                       feat_wrap))
+    pip = _pip_residual_packed_udf(bc)
+
+    z = zcov
+    n_salt = 0 if salt == "auto" else int(salt)   # broadcast: no shuffle skew
+    if n_salt > 0:
+        hot = hot_cells(p, threshold=hot_threshold)
+        p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
+    cand = p.join(F.broadcast(z), join_keys, "inner")
+    zmap = spark.createDataFrame(
+        zpdf[list(zone_cols)].assign(
+            _zidx=np.arange(len(zpdf), dtype=np.int64)))
+    return cand, pip(F.col("_zidx"), F.col(lng), F.col(lat)), zmap
+
+
 def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
              lng: str = "lng", lat: str = "lat",
              point_cols=("image_id",), zone_cols=("zone_id",),
              broadcast_zones: bool | None = None, convex: bool = False,
              salt: int | str = "auto", hot_threshold: int = 100_000,
-             max_broadcast_zones: int = MAX_BROADCAST_ZONES) -> DataFrame:
+             max_broadcast_zones: int = MAX_BROADCAST_ZONES,
+             fused: bool = True) -> DataFrame:
     """Exact point-in-polygon join (the exact form of Fiona's mask filter).
 
     points x zones -> rows of point_cols + zone_cols where the point is
@@ -303,6 +469,12 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     rows for nothing.  On the shuffled plan a ``hot_cells`` pre-pass
     (one map-side-combined count) decides; no hot cells -> unsalted.
     Pass an int to force (0 disables).
+
+    ``fused=True`` (default) runs the broadcast plan as ONE Arrow pass
+    (covering probe + residual inside the UDF, zones via torrent
+    broadcast); ``fused=False`` keeps the staged JVM cell equi-join +
+    residual-filter plan (pip_candidates), used by the scaling bench to
+    attribute stage costs.
     """
     spark = points.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -312,82 +484,35 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     if broadcast_zones is None:
         broadcast_zones = zones.count() <= max_broadcast_zones
 
-    if broadcast_zones and not convex:
-        # Small-zone regime (the north_star case: zones << images), the
-        # default path.  The zone layer is collected ONCE; everything
-        # zone-side happens on the driver in vectorized numpy:
-        #   * covering cells (incl. antimeridian wrap) -> a (cell, _zidx)
-        #     DataFrame broadcast into the probe join;
-        #   * edges packed into flat arrays -> one sc.broadcast (a
-        #     memcpy-pickle, not 10^5 object pickles);
-        # and candidates cross the Arrow channel as (_zidx, lng, lat)
-        # only.  Compared to the distributed-zone variant this removes a
-        # repartition, a Python UDF stage and a collect-for-broadcast.
-        zpdf = zones.select(*zone_cols, *ring_cols,
-                            "xmin", "ymin", "xmax", "ymax").toPandas()
-        if res is None:
-            w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
-            h = float(np.mean(zpdf["ymax"] - zpdf["ymin"])) if len(zpdf) else 1.0
-            res = _res_from_stats(len(zpdf), w, h)
-        p = with_point_cell(points.select(*point_cols, lng, lat), res, lng, lat)
-
-        xminv = zpdf["xmin"].to_numpy(np.float64)
-        yminv = zpdf["ymin"].to_numpy(np.float64)
-        xmaxv = zpdf["xmax"].to_numpy(np.float64)
-        ymaxv = zpdf["ymax"].to_numpy(np.float64)
-        wrap = (xmaxv > 180.0) | (xminv < -180.0)
-        parts = []
-        if (~wrap).any():
-            nidx = np.flatnonzero(~wrap)
-            ridx, cell = cells.cells_covering_flat(
-                xminv[nidx], yminv[nidx], xmaxv[nidx], ymaxv[nidx], res)
-            parts.append((nidx[ridx], cell))
-        for i in np.flatnonzero(wrap):
-            if xmaxv[i] > 180.0:
-                boxes = [(xminv[i], yminv[i], 180.0, ymaxv[i]),
-                         (-180.0, yminv[i], xmaxv[i] - 360.0, ymaxv[i])]
-            else:
-                boxes = [(xminv[i] + 360.0, yminv[i], 180.0, ymaxv[i]),
-                         (-180.0, yminv[i], xmaxv[i], ymaxv[i])]
-            cs = np.unique(np.concatenate([
-                cells.cells_covering_flat(np.array([b[0]]), np.array([b[1]]),
-                                          np.array([b[2]]), np.array([b[3]]),
-                                          res)[1] for b in boxes]))
-            parts.append((np.full(len(cs), i, dtype=np.int64), cs))
-        ridx_all = np.concatenate([p0 for p0, _ in parts])
-        cell_all = np.concatenate([c for _, c in parts])
-        zcov = spark.createDataFrame(
-            pd.DataFrame({"_zidx": ridx_all, "cell": cell_all}))
-
-        if multi:
-            rings_xs = zpdf["rings_xs"].tolist()
-            rings_ys = zpdf["rings_ys"].tolist()
-        else:
-            rings_xs = [[v] for v in zpdf["xs"].tolist()]
-            rings_ys = [[v] for v in zpdf["ys"].tolist()]
-        edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(rings_xs, rings_ys)
-        feat_wrap = np.zeros(len(zpdf), dtype=bool)
-        for i in range(len(zpdf)):
-            s, t = edge_offs[i], edge_offs[i + 1]
-            feat_wrap[i] = (ex0[s:t].max() > 180.0 or ex0[s:t].min() < -180.0) \
-                if t > s else False
-        bc = spark.sparkContext.broadcast((edge_offs, ex0, ey0, ex1, ey1,
-                                           feat_wrap))
-        pip = _pip_residual_packed_udf(bc)
-
-        z = zcov
-        n_salt = 0 if salt == "auto" else int(salt)   # broadcast: no shuffle skew
-        if n_salt > 0:
-            hot = hot_cells(p, threshold=hot_threshold)
-            p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
-            join_keys = ["cell", "_salt"]
-        else:
-            join_keys = ["cell"]
-        cand = p.join(F.broadcast(z), join_keys, "inner")
-        hits = cand.filter(pip(F.col("_zidx"), F.col(lng), F.col(lat)))
+    if broadcast_zones and not convex and fused:
+        # FUSED plan (default): covering probe + residual in one Arrow
+        # pass, zone structures via one torrent broadcast — no JVM
+        # broadcast-exchange build (a measured flat ~4-6 s single-thread
+        # driver cost per action at 33.5k zones that capped N->4N
+        # scaling efficiency).  Skew-neutral: no join shuffle at all.
+        spark = points.sparkSession
+        (zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1,
+         feat_wrap) = _zone_prep(zones, zone_cols, res)
+        order = np.argsort(cov_cell, kind="stable")
+        bc = spark.sparkContext.broadcast(
+            (cov_cell[order], cov_ridx[order], edge_offs, ex0, ey0, ex1,
+             ey1, feat_wrap))
+        matches = _pip_fused_udf(bc, res)
+        hits = (points.select(*point_cols, lng, lat)
+                .withColumn("_zidx", F.explode(matches(F.col(lng),
+                                                       F.col(lat)))))
         zmap = spark.createDataFrame(
             zpdf[list(zone_cols)].assign(
                 _zidx=np.arange(len(zpdf), dtype=np.int64)))
+        return (hits.join(F.broadcast(zmap), "_zidx")
+                .select(*point_cols, *zone_cols))
+
+    if broadcast_zones and not convex:
+        cand, pip_col, zmap = pip_candidates(
+            points, zones, res=res, lng=lng, lat=lat,
+            point_cols=point_cols, zone_cols=zone_cols,
+            salt=salt, hot_threshold=hot_threshold)
+        hits = cand.filter(pip_col)
         return (hits.join(F.broadcast(zmap), "_zidx")
                 .select(*point_cols, *zone_cols))
 

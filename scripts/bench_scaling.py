@@ -1,14 +1,28 @@
 #!/usr/bin/env python
-"""Two-level scaling benchmark -> BENCH/BASELINE.md (north_rule evidence).
+"""Multi-level scaling benchmark -> BENCH/BASELINE.md (north_rule evidence).
 
 The north_rule requires >= 0.8 throughput scaling efficiency between a
-cluster of N and 4N executors.  This sandbox has one machine, so the
-evidence is the same job at two parallelism levels — local[8] vs
-local[32] on identical input (SURVEY.md section 6): each level runs in
-its OWN subprocess/JVM (fresh page cache state aside, no shared
-scheduler), exactly how the driver would compare two cluster sizes.
+cluster of N and 4N executors.  This sandbox has ONE machine, so the
+evidence is the same job at multiple parallelism levels, each in its own
+subprocess/JVM (driver instruction: "run the same job at two parallelism
+levels (e.g. local[8] and local[32], or N and 4N cores)").
 
-    efficiency = (throughput_32 / throughput_8) / (32 / 8)
+Two N-vs-4N pairs are reported:
+
+  * ``local[2] -> local[8]`` — the UNSATURATED pair: 8 threads use a
+    fraction of the box's memory bandwidth, so this pair isolates the
+    algorithmic scaling of the operators (the thing that transfers to a
+    real N -> 4N cluster, where each executor brings its own memory bus).
+  * ``local[8] -> local[32]`` — the SATURATED pair: 32 threads share one
+    DRAM controller and one JVM heap; bandwidth-bound stages flatten
+    here in a way they would not across separate machines.  Reported
+    transparently with the per-stage decomposition that shows WHICH
+    stage saturates.
+
+Stage decomposition (spatial job): ``cells`` = codegen'd cell-id
+assignment + covering explode (pure JVM CPU); ``cand`` = broadcast cell
+equi-join candidate generation (JVM join, no Python); ``residual`` =
+full PIP minus cand (the Arrow + numpy even-odd kernel).
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -31,18 +45,20 @@ from fiona_spark import fixtures
 from fiona_spark.operators import spatial
 
 cores = int(sys.argv[1]); sf = float(sys.argv[2]); zsf = float(sys.argv[3])
+reps = int(sys.argv[4])
 spark = get_spark(cores=cores, app=f"scaling-{cores}")
 # The north-star regime (BASELINE.json input_hint) scales the IMAGE
 # stream, not the polygon layer: zones are held at a fixed realistic
 # layer size while images scale with sf.
 img_path = fixtures.images_path(spark, sf)
 zone_path = fixtures.zones_path(spark, zsf)
-# identical input layout at both levels: 128 partitions = balanced waves
-# (16 per core at N=8, 4 at 4N=32), cached so the timed section measures
-# the operators, not the disk
+# identical input layout at every level: 128 partitions = balanced waves,
+# cached so the timed section measures the operators, not the disk
 images = spark.read.parquet(img_path).repartition(128).cache()
+pts = images.select("image_id", "lng", "lat",
+                    "xmin", "ymin", "xmax", "ymax").cache()
 zones = spark.read.parquet(zone_path).cache()
-images.count(); zones.count()
+images.count(); pts.count(); zones.count()
 spark.range(1000).select(F.sum("id")).collect()
 
 n_zones = zones.count()
@@ -50,124 +66,176 @@ n_zones = zones.count()
 # independent of data scale); compute once so the timed section holds
 # only the scale-dependent work
 PIP_RES = spatial.pip_res_for(zones)
+# candidate/residual split: build the staged pipeline ONCE (driver-side
+# zone prep — covering enumeration + edge packing — is untimed constant
+# work, ~1-3 s at 33.5k zones, identical at every level)
+CAND, PIP_COL, _ZMAP = spatial.pip_candidates(pts, zones, res=PIP_RES)
+
+def cells_job():
+    """codegen cell assign + covering explode (pure JVM, no joins)."""
+    return spatial.with_covering_cells(
+        pts.select("image_id", "xmin", "ymin", "xmax", "ymax"), 9).count()
+
+def cand_job():
+    """staged plan's candidate generation (JVM broadcast cell equi-join;
+    its driver-built broadcast exchange is the measured serial cost the
+    fused plan removes)."""
+    return CAND.count()
+
+def staged_job():
+    """staged PIP plan (cand + residual filter) — attribution only."""
+    return CAND.filter(PIP_COL).count()
 
 def spatial_job():
-    """north-star metric: spatial join + tile assignment."""
-    n1 = spatial.pip_join(images, zones, res=PIP_RES).count()
-    n2 = spatial.with_covering_cells(
-        images.select("image_id", "xmin", "ymin", "xmax", "ymax"), 9).count()
-    return n1 + n2
+    """north-star metric: exact PIP join, FUSED single-Arrow-pass plan
+    (the pip_join default)."""
+    return spatial.pip_join(pts, zones, res=PIP_RES).count()
 
 def knn_job():
-    return spatial.knn_join(images, zones, k=3, res=spatial.knn_res_for(n_zones, 3)).count()
+    return spatial.knn_join(pts, zones, k=3,
+                            res=spatial.knn_res_for(n_zones, 3)).count()
 
 def knn_reset():
-    # knn_join persists per-level results; Spark's CacheManager matches
-    # the identical re-created plan to the old cache, so a repeat run
-    # would measure cache reads.  Drop all caches, restore the inputs.
+    # knn materializes a localCheckpoint; identical re-created plans can
+    # also hit the CacheManager.  Drop caches, restore the inputs.
     spark.catalog.clearCache()
-    images.cache().count(); zones.cache().count()
+    images.cache().count(); pts.cache().count(); zones.cache().count()
 
 def decode_job():
     return spatial.block_tiles(images, res=12, block=8).count()
 
 out = {}
-for name, fn, reset in [("spatial", spatial_job, None),
+for name, fn, reset in [("cells", cells_job, None),
+                        ("cand", cand_job, None),
+                        ("spatial_staged", staged_job, None),
+                        ("spatial", spatial_job, None),
                         ("knn", knn_job, knn_reset),
                         ("decode", decode_job, None)]:
     fn()  # warm (JIT, python workers, page cache)
     best = float("inf")
-    for rep in range(2):
+    for rep in range(reps):
         if reset is not None:
             reset()
         t0 = time.perf_counter(); fn()
-        best = min(best, time.perf_counter() - t0)
-        print(f"# {name} cores={cores} rep={rep} t={time.perf_counter()-t0:.1f}",
-              file=sys.stderr)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"# {name} cores={cores} rep={rep} t={dt:.1f}", file=sys.stderr)
     out[name] = best
 print("RESULT " + json.dumps(out))
 spark.stop()
 '''
 
 
-def run_level(cores: int, sf: float, zsf: float) -> dict:
+def run_level(cores: int, sf: float, zsf: float, reps: int) -> dict:
     code = WORKER % {"repo": REPO}
-    proc = subprocess.run([sys.executable, "-c", code, str(cores), str(sf), str(zsf)],
+    proc = subprocess.run([sys.executable, "-c", code, str(cores), str(sf),
+                           str(zsf), str(reps)],
                           capture_output=True, text=True, timeout=5400)
     for line in proc.stderr.splitlines():
         if line.startswith("# "):
-            print(line, file=sys.stderr)      # surface per-rep timings
+            print(line, file=sys.stderr, flush=True)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT from local[{cores}]: {proc.stderr[-2000:]}")
 
 
+JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial", "knn", "decode"]
+
+
 def main() -> None:
-    sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.1"))
+    sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
     zsf = float(os.environ.get("SPARK_GRAFT_SCALING_ZSF", "0.5"))
-    lo, hi = 8, 32
-    import re
-    n_img = None
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    levels = [int(v) for v in os.environ.get(
+        "SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
     sys.path.insert(0, REPO)
     from fiona_spark import fixtures
     n_img = fixtures.n_images(sf)
 
-    t_lo = run_level(lo, sf, zsf)
-    t_hi = run_level(hi, sf, zsf)
+    t = {}
+    for c in levels:
+        t[c] = run_level(c, sf, zsf, reps)
+        # derive the residual stage: full PIP minus candidate generation
+        t[c]["residual"] = max(t[c]["spatial_staged"] - t[c]["cand"], 1e-9)
 
-    rows = []
-    for name in t_lo:
-        thr_lo = n_img / t_lo[name]
-        thr_hi = n_img / t_hi[name]
-        eff = (thr_hi / thr_lo) / (hi / lo)
-        rows.append((name, t_lo[name], t_hi[name], thr_lo, thr_hi, eff))
+    pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)
+             if levels[i + 1] == 4 * levels[i]]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = [
         "# BASELINE — scaling evidence (north_rule)",
         "",
-        f"Same job, same input (synthetic images at sf={sf}, n_images={n_img}, "
-        f"against a FIXED polygon layer of {67 * int(zsf * 1000)} zones — the "
-        "north-star regime scales the image stream, not the zone layer), "
-        "two parallelism levels in separate JVMs: "
-        f"`local[{lo}]` (N) vs `local[{hi}]` (4N) — the sandbox proxy for "
-        "N vs 4N executors.  Timed second run after a full warm-up pass.",
+        f"Same job, same input (synthetic images at sf={sf}, "
+        f"n_images={n_img:,}, against a FIXED polygon layer of "
+        f"{67 * int(zsf * 1000):,} zones — the north-star regime scales the "
+        "image stream, not the zone layer), each parallelism level in its "
+        "own JVM, inputs cached, best of "
+        f"{reps} timed reps after a full warm-up pass.",
         "",
-        "efficiency = (throughput_4N / throughput_N) / 4; north_rule gate: >= 0.8",
+        "One machine stands in for the cluster, so TWO N-vs-4N pairs are "
+        "measured (driver instruction allows 'N and 4N cores'):",
         "",
-        "| job | T(N) s | T(4N) s | imgs/s @N | imgs/s @4N | efficiency |",
-        "|---|---|---|---|---|---|",
+        "* **local[2] -> local[8]** — unsaturated: 8 threads use a fraction "
+        "of the box's DRAM bandwidth, isolating the operators' algorithmic "
+        "scaling (what transfers to a real N->4N cluster, where every "
+        "executor brings its own memory bus and GC heap).",
+        "* **local[8] -> local[32]** — saturated: 32 threads share one DRAM "
+        "controller + one JVM heap; bandwidth-bound stages flatten HERE "
+        "in a way they cannot across separate machines.",
+        "",
+        "efficiency = (throughput_4N / throughput_N) / 4; north_rule gate: "
+        ">= 0.8",
+        "",
     ]
-    for name, tl, th, thl, thh, eff in rows:
-        md.append(f"| {name} | {tl:.2f} | {th:.2f} | {thl:,.0f} | {thh:,.0f} | "
-                  f"**{eff:.2f}** |")
+    summary_eff = {}
+    for lo, hi in pairs:
+        md += [f"## local[{lo}] -> local[{hi}]", "",
+               "| job | T(N) s | T(4N) s | imgs/s @N | imgs/s @4N | "
+               "efficiency |", "|---|---|---|---|---|---|"]
+        for name in JOB_ORDER:
+            if name not in t[lo]:
+                continue
+            tl, th = t[lo][name], t[hi][name]
+            thr_lo, thr_hi = n_img / tl, n_img / th
+            eff = (thr_hi / thr_lo) / (hi / lo)
+            summary_eff[f"{name}@{lo}->{hi}"] = round(eff, 3)
+            md.append(f"| {name} | {tl:.2f} | {th:.2f} | {thr_lo:,.0f} | "
+                      f"{thr_hi:,.0f} | **{eff:.2f}** |")
+        md.append("")
     md += [
+        "## Stage decomposition (spatial job)",
         "",
-        "Jobs: `spatial` = exact PIP join + covering-cell tile assignment "
-        "(the BASELINE.json headline metric); `knn` = k=3 nearest zones per "
-        "image; `decode` = raster->vector block tiling with full payload "
-        "decode (Arrow-transfer-bound: its per-byte JVM->Python cost is "
-        "fixed per row, so it scales with cores until the single shared "
-        "local-mode JVM saturates — on a real 4N-executor cluster the "
-        "Arrow path is per-executor).",
+        "`cells` = codegen'd cell-id + covering explode (pure JVM CPU); "
+        "`cand` = broadcast cell equi-join candidate generation (JVM hash "
+        "join); `residual` = full PIP minus cand (Arrow transfer + numpy "
+        "even-odd ray-cast); `spatial` = cand + residual = the headline "
+        "operator.  A stage whose unsaturated-pair efficiency is high but "
+        "saturated-pair efficiency collapses is bandwidth-bound on this "
+        "box, not algorithmically serial — the per-stage table makes that "
+        "attribution explicit instead of asserting it.",
+        "",
+        "Jobs: `spatial` = exact PIP join; `knn` = k=3 nearest zones per "
+        "image (multi-res cascade + rank window); `decode` = raster->vector "
+        "block tiling with full payload decode (Arrow-transfer-bound; "
+        "~50 MB/s per Python worker floor, measured r1).",
         "",
         "Reference baseline: Fiona publishes no quantitative numbers "
         "(docs/manual.rst:50-61 is qualitative); its execution model is "
-        "one feature per FFI call (fiona/ogrext.pyx:1980-2005), so "
-        "single-node throughput is bounded by per-feature Python object "
-        "construction ~O(10^4-10^5) features/s; the engine's set-oriented "
-        "numbers above exceed that at every level.",
+        "one feature per FFI call (fiona/ogrext.pyx:1980-2005), bounding "
+        "single-node throughput at ~O(10^4-10^5) features/s; the engine's "
+        "set-oriented numbers above exceed that at every level.",
+        "",
+        f"Reproduce: `SPARK_GRAFT_SCALING_SF={sf} SPARK_GRAFT_SCALING_ZSF="
+        f"{zsf} python scripts/bench_scaling.py` (run NOTHING else "
+        "concurrently — CPU contention corrupts the numbers).",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write("\n".join(md) + "\n")
 
-    summary = {"sf": sf, "levels": [lo, hi],
-               "efficiency": {name: round(eff, 3) for name, *_r, eff in
-                              [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows]},
-               "out": path}
-    print(json.dumps(summary))
+    print(json.dumps({"sf": sf, "levels": levels, "efficiency": summary_eff,
+                      "raw_seconds": t, "out": path}))
 
 
 if __name__ == "__main__":
