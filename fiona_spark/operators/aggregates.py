@@ -90,6 +90,85 @@ def dissolve_union(df: DataFrame, xs: str = "xs", ys: str = "ys") -> tuple:
     return geom.convex_hull(px, py)
 
 
+def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",
+                        ys: str = "ys", max_pairs: int = 2_000_000) -> DataFrame:
+    """Connected-component dissolve: exact for disjoint geometry, hull
+    only WITHIN an overlapping component.
+
+    `fio reduce '(unary_union c)'` semantics improved over the global
+    convex hull (r1 "what's missing" #5: wrong for any disjoint layer):
+    features whose envelopes touch are grouped into connected components
+    (distributed range join for candidate edges, driver union-find over
+    the — tiny, output-bounded — edge list), then each component
+    dissolves independently: singleton components keep their EXACT
+    rings; multi-member components fall back to the convex hull of the
+    component (the engine has no general polygon clipper — flagged per
+    row in ``exact``).  Output: one row per component
+    (component, rings_xs, rings_ys, n_members, exact).
+
+    Scale shape: the edge list of a dissolve is bounded by the overlap
+    degree, not the table size; ``max_pairs`` guards the driver collect.
+    """
+    from . import spatial
+
+    env = (df.select(id_col, xs, ys)
+           .withColumn("xmin", F.array_min(xs))
+           .withColumn("ymin", F.array_min(ys))
+           .withColumn("xmax", F.array_max(xs))
+           .withColumn("ymax", F.array_max(ys)))
+    a = env.select(F.col(id_col).alias("ida"), "xmin", "ymin", "xmax", "ymax")
+    b = env.select(F.col(id_col).alias("idb"), "xmin", "ymin", "xmax", "ymax")
+    pairs_df = (spatial.range_join(a, b, a_cols=("ida",), b_cols=("idb",),
+                                   broadcast_b=False)
+                .filter(F.col("ida") < F.col("idb")))
+    n_pairs = pairs_df.count()
+    if n_pairs > max_pairs:
+        raise ReduceError(
+            f"{n_pairs} overlap edges exceed max_pairs={max_pairs}; "
+            "dissolve the layer in chunks or raise the guard")
+    pairs = pairs_df.collect()
+    ids = [r[id_col] for r in df.select(id_col).collect()]
+    parent = {i: i for i in ids}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in pairs:
+        ra, rb = find(r["ida"]), find(r["idb"])
+        if ra != rb:
+            parent[ra] = rb
+    comp = {i: find(i) for i in ids}
+    spark = df.sparkSession
+    comp_df = spark.createDataFrame(
+        pd.DataFrame({id_col: list(comp), "component": list(comp.values())}))
+
+    def union_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = pdf["component"].iloc[0]
+        if len(pdf) == 1:
+            return pd.DataFrame({
+                "component": [cid],
+                "rings_xs": [[list(map(float, pdf[xs].iloc[0]))]],
+                "rings_ys": [[list(map(float, pdf[ys].iloc[0]))]],
+                "n_members": [1], "exact": [True]})
+        px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
+        py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
+        hx, hy = geom.convex_hull(px, py)
+        return pd.DataFrame({
+            "component": [cid], "rings_xs": [[hx.tolist()]],
+            "rings_ys": [[hy.tolist()]],
+            "n_members": [len(pdf)], "exact": [False]})
+
+    schema = ("component string, rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, n_members long, exact boolean")
+    if not isinstance(ids[0] if ids else "", str):
+        schema = schema.replace("component string", "component long")
+    joined = df.select(id_col, xs, ys).join(F.broadcast(comp_df), id_col)
+    return joined.groupBy("component").applyInPandas(union_component, schema)
+
+
 def reduce_zip_properties(df: DataFrame, prop_cols: list[str],
                           order_by: str, xs: str = "xs",
                           ys: str = "ys") -> DataFrame:

@@ -207,9 +207,14 @@ def main() -> None:
         "## Stage decomposition (spatial job)",
         "",
         "`cells` = codegen'd cell-id + covering explode (pure JVM CPU); "
-        "`cand` = broadcast cell equi-join candidate generation (JVM hash "
-        "join); `residual` = full PIP minus cand (Arrow transfer + numpy "
-        "even-odd ray-cast); `spatial` = cand + residual = the headline "
+        "`cand` = the STAGED plan's broadcast cell equi-join candidate "
+        "generation (JVM hash join; its driver-built broadcast exchange "
+        "is a serial per-action cost — visibly FLAT across levels); "
+        "`residual` = staged PIP minus cand (Arrow transfer + numpy "
+        "even-odd ray-cast); `spatial_staged` = cand + residual; "
+        "`spatial` = the FUSED single-Arrow-pass plan (pip_join default: "
+        "covering probe via torrent-broadcast searchsorted inside the "
+        "residual UDF — no JVM broadcast-exchange build), the headline "
         "operator.  A stage whose unsaturated-pair efficiency is high but "
         "saturated-pair efficiency collapses is bandwidth-bound on this "
         "box, not algorithmically serial — the per-stage table makes that "

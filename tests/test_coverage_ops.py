@@ -183,3 +183,26 @@ def test_reduce_zip_properties(spark, zdf):
     assert out["AREA"] == [10.0, 0.5, 25.0]
     assert out["n_features"] == 3
     assert out["xs_list"][0] == [0.0, 10.0, 10.0]
+
+
+def test_dissolve_components_exact_for_disjoint(spark):
+    """r1 missing #5: dissolve must not hull DISJOINT features together.
+
+    Three disjoint squares + one overlapping pair: 4 components, the
+    three singletons exact, the overlap pair hull-approximated."""
+    sq = lambda cx, cy, r: ([cx - r, cx + r, cx + r, cx - r],
+                            [cy - r, cy - r, cy + r, cy + r])
+    rows = []
+    for i, (cx, cy, r) in enumerate([(0, 0, 1), (10, 0, 1), (20, 0, 1),
+                                     (30, 0, 1), (31, 0, 1)]):
+        xs, ys = sq(cx, cy, r)
+        rows.append({"fid": i, "xs": xs, "ys": ys})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = aggregates.dissolve_components(df, "fid").toPandas()
+    assert len(out) == 4
+    singles = out[out["n_members"] == 1]
+    assert len(singles) == 3 and singles["exact"].all()
+    merged = out[out["n_members"] == 2].iloc[0]
+    assert not merged["exact"]
+    hx = merged["rings_xs"][0]
+    assert min(hx) == 29.0 and max(hx) == 32.0   # hull spans both squares
