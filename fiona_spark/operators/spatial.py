@@ -272,17 +272,28 @@ def _convex_pip_sql(lng: str, lat: str, shift: float) -> str:
 MAX_BROADCAST_ZONES = 2_000_000
 
 
-def _zone_prep(zones: DataFrame, zone_cols, res: int | None):
+def _zone_prep(zones: DataFrame, zone_cols, res: int | None,
+               row_guard: int | None = None):
     """Driver-side zone preparation shared by the PIP plans: collect the
     (small) zone layer once, enumerate covering cells (antimeridian wrap
     included), pack rings into flat edge arrays.
+
+    ``row_guard``: collect at most guard+1 rows; returns None if the
+    layer exceeds the guard (caller falls back to the shuffled plan) —
+    one job instead of a count() followed by a collect.
 
     Returns (zpdf, res, cov_ridx, cov_cell, edge pack..., feat_wrap).
     """
     multi = "rings_xs" in zones.columns
     ring_cols = ("rings_xs", "rings_ys") if multi else ("xs", "ys")
-    zpdf = zones.select(*zone_cols, *ring_cols,
-                        "xmin", "ymin", "xmax", "ymax").toPandas()
+    sel = zones.select(*zone_cols, *ring_cols,
+                       "xmin", "ymin", "xmax", "ymax")
+    if row_guard is not None:
+        zpdf = sel.limit(row_guard + 1).toPandas()
+        if len(zpdf) > row_guard:
+            return None
+    else:
+        zpdf = sel.toPandas()
     if res is None:
         w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
         h = float(np.mean(zpdf["ymax"] - zpdf["ymin"])) if len(zpdf) else 1.0
@@ -481,7 +492,14 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
     multi = "rings_xs" in zones.columns
     ring_cols = ("rings_xs", "rings_ys") if multi else ("xs", "ys")
 
-    if broadcast_zones is None:
+    prep = None
+    if broadcast_zones is None and not convex and fused:
+        # merge the size guard into the collect: limit(max+1).toPandas()
+        # is ONE job; a count() would be a second full pass over zones
+        prep = _zone_prep(zones, zone_cols, res,
+                          row_guard=max_broadcast_zones)
+        broadcast_zones = prep is not None
+    elif broadcast_zones is None:
         broadcast_zones = zones.count() <= max_broadcast_zones
 
     if broadcast_zones and not convex and fused:
@@ -490,9 +508,10 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         # broadcast-exchange build (a measured flat ~4-6 s single-thread
         # driver cost per action at 33.5k zones that capped N->4N
         # scaling efficiency).  Skew-neutral: no join shuffle at all.
-        spark = points.sparkSession
+        if prep is None:
+            prep = _zone_prep(zones, zone_cols, res)
         (zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1,
-         feat_wrap) = _zone_prep(zones, zone_cols, res)
+         feat_wrap) = prep
         order = np.argsort(cov_cell, kind="stable")
         bc = spark.sparkContext.broadcast(
             (cov_cell[order], cov_ridx[order], edge_offs, ex0, ey0, ex1,
@@ -659,12 +678,146 @@ def _disk_cells_sql(cell_col: str, res: int) -> "F.Column":
         f"o -> {base}L + ({yi} + o.dy) * {n}L + pmod({xi} + o.dx, {n}L)))")
 
 
+def _disk1_table(zc: np.ndarray, r: int):
+    """Vectorized disk(1) replication: every (neighbor_cell, zone_idx)
+    pair for all zones at res r, deduped (lon wrap aliases dx=+-1 at
+    tiny n) and sorted by cell for searchsorted probing."""
+    xi, yi, _res = cells.unpack(zc)
+    n = np.int64(1) << r
+    base = np.int64(r) * cells.RES_SHIFT
+    nz = len(zc)
+    cell_list, zidx_list = [], []
+    for dy in (-1, 0, 1):
+        ny = yi + dy
+        ok = (ny >= 0) & (ny < n)
+        for dx in (-1, 0, 1):
+            nx = (xi + dx) % n
+            cell_list.append(np.where(ok, base + ny * n + nx, np.int64(-1)))
+            zidx_list.append(np.arange(nz, dtype=np.int64))
+    cell = np.concatenate(cell_list)
+    zidx = np.concatenate(zidx_list)
+    keep = cell >= 0
+    cell, zidx = cell[keep], zidx[keep]
+    # dedup (cell, zidx) pairs from wrap aliasing
+    combo = cell * np.int64(len(zc) + 1) + zidx if nz else cell
+    _u, ui = np.unique(combo, return_index=True)
+    cell, zidx = cell[ui], zidx[ui]
+    order = np.argsort(cell, kind="stable")
+    return cell[order], zidx[order]
+
+
+def _knn_join_fused(points: DataFrame, zones: DataFrame, k: int,
+                    res: int | None, levels: int, lng: str, lat: str,
+                    point_key: str, zone_key: str,
+                    zone_lng: str, zone_lat: str) -> DataFrame:
+    """Fused kNN: the ENTIRE multi-resolution cascade + exact fallback
+    in one Arrow pass per point (same plan shape as the fused PIP).
+
+    Zone structures — centroids + per-level disk(1) cell tables — ride
+    one torrent sc.broadcast; per batch, each level probes the point's
+    own cell via searchsorted, applies the provable-finish rule
+    (>= k candidates with dist < cell_height inside disk(1) guarantees
+    the filtered set contains the true top-k), and the surviving tail
+    brute-forces against all zone centroids in bounded row chunks with
+    a STABLE dist sort (zones pre-sorted by key, so ties resolve by
+    zone key exactly like the (dist, zone_key) window ordering of the
+    staged plan and the DuckDB oracle).  No shuffles, no windows, no
+    per-level caches to clean up.
+    """
+    spark = points.sparkSession
+    zpdf = (zones.select(zone_key, zone_lng, zone_lat).toPandas()
+            .sort_values(zone_key).reset_index(drop=True))
+    zx = zpdf[zone_lng].to_numpy(np.float64)
+    zy = zpdf[zone_lat].to_numpy(np.float64)
+    nz = len(zpdf)
+    if res is None:
+        res = knn_res_for(nz, k)
+    level_tables = []
+    r = res
+    for _li in range(levels):
+        if r < 1:
+            break
+        zc = cells.cell_id(zx, zy, r)
+        cs, zs = _disk1_table(zc, r)
+        level_tables.append((r, 180.0 / (1 << r), cs, zs))
+        r -= 2
+    bc = spark.sparkContext.broadcast((zx, zy, level_tables))
+    kk = min(k, nz)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def knn_arr(px: pd.Series, py: pd.Series) -> pd.Series:
+        zxv, zyv, lts = bc.value
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        n = len(pxv)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.full((n, kk), -1, dtype=np.int64)
+        remaining = np.arange(n, dtype=np.int64)
+        for (r, cell_h, cs, zs) in lts:
+            if not len(remaining):
+                break
+            rx, ry = pxv[remaining], pyv[remaining]
+            pc = cells.cell_id(rx, ry, r)
+            lo = np.searchsorted(cs, pc, "left")
+            hi = np.searchsorted(cs, pc, "right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            m = len(remaining)
+            row = np.repeat(np.arange(m, dtype=np.int64), cnt)
+            starts = np.cumsum(cnt) - cnt
+            pos = lo[row] + (np.arange(total, dtype=np.int64) - starts[row])
+            zi = zs[pos]
+            dx = rx[row] - zxv[zi]
+            dy = ry[row] - zyv[zi]
+            dist = np.sqrt(dx * dx + dy * dy)
+            close = dist < cell_h
+            ccnt = np.bincount(row[close], minlength=m)
+            fin = ccnt >= kk
+            sel = close & fin[row]
+            if sel.any():
+                rs, ds, zsel = row[sel], dist[sel], zi[sel]
+                order = np.lexsort((zsel, ds, rs))
+                rs_o, z_o = rs[order], zsel[order]
+                first = np.concatenate(([True], rs_o[1:] != rs_o[:-1]))
+                seg_start = np.maximum.accumulate(
+                    np.where(first, np.arange(len(rs_o)), 0))
+                rank = np.arange(len(rs_o)) - seg_start
+                topk = rank < kk
+                out[remaining[rs_o[topk]], rank[topk]] = z_o[topk]
+            remaining = remaining[~fin]
+        # exact fallback for the sparse tail, bounded chunks
+        CH = 128
+        for s in range(0, len(remaining), CH):
+            idx = remaining[s:s + CH]
+            dx = pxv[idx][:, None] - zxv[None, :]
+            dy = pyv[idx][:, None] - zyv[None, :]
+            d = np.sqrt(dx * dx + dy * dy)
+            # stable sort on dist: ties fall back to ascending zone idx,
+            # i.e. ascending zone_key (zones pre-sorted by key)
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            out[idx, :] = order
+        return pd.Series(list(out))
+
+    zmap = spark.createDataFrame(
+        zpdf[[zone_key]].assign(_zidx=np.arange(nz, dtype=np.int64)))
+    hits = (points.select(point_key, lng, lat)
+            .select(point_key, F.posexplode(knn_arr(F.col(lng), F.col(lat)))
+                    .alias("_rk", "_zidx"))
+            .filter(F.col("_zidx") >= 0)
+            .withColumn("knn_rank", (F.col("_rk") + 1).cast("integer")))
+    return (hits.join(F.broadcast(zmap), "_zidx")
+            .select(point_key, zone_key, "knn_rank"))
+
+
 def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
              res: int | None = None, levels: int = 3,
              lng: str = "lng", lat: str = "lat",
              point_key: str = "image_id", zone_key: str = "zone_id",
              zone_lng: str = "clng", zone_lat: str = "clat",
-             eager_cleanup: bool = True) -> DataFrame:
+             eager_cleanup: bool = True, fused: bool = True) -> DataFrame:
     """Exact k nearest zones (by centroid euclidean degrees) per point.
 
     Plan (scale-first), a multi-resolution cascade:
@@ -691,6 +844,10 @@ def knn_join(points: DataFrame, zones: DataFrame, k: int = 3,
     Output: (point_key, zone_key, knn_rank), rank 1..k by
     (distance, zone_key) for determinism.
     """
+    if fused:
+        return _knn_join_fused(points, zones, k, res, levels, lng, lat,
+                               point_key, zone_key, zone_lng, zone_lat)
+
     if res is None:
         res = knn_res_for(zones.count(), k)
 

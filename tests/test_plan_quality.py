@@ -60,13 +60,24 @@ def test_point_cell_is_jvm_only(spark, images_path):
     assert quality.codegen_stage_count(q) >= 1
 
 
-def test_knn_probe_side_has_no_python(spark, images_path, zones):
+def test_knn_staged_plan_has_no_python(spark, images_path, zones):
     img = spark.read.parquet(images_path)
-    q = spatial.knn_join(img, zones, k=3, res=4, eager_cleanup=False)
-    # kNN plan is pure JVM: disk explode is SQL arithmetic, ranking is a
-    # window — no pandas UDF anywhere
+    q = spatial.knn_join(img, zones, k=3, res=4, eager_cleanup=False,
+                         fused=False)
+    # staged kNN plan is pure JVM: disk explode is SQL arithmetic,
+    # ranking is a window — no pandas UDF anywhere
     assert quality.python_eval_count(q) == 0
     assert quality.broadcast_join_count(q) >= 1
+
+
+def test_knn_fused_plan_is_one_arrow_pass(spark, images_path, zones):
+    img = spark.read.parquet(images_path)
+    q = spatial.knn_join(img, zones, k=3, res=4)
+    # fused kNN: exactly one Arrow UDF (the whole cascade), no window
+    # exchanges, zone map rides a broadcast join
+    assert quality.python_eval_count(q) == 1
+    assert quality.broadcast_join_count(q) >= 1
+    assert quality.shuffle_count(q) == 0
 
 
 def test_tpch_q1_single_shuffle(spark):

@@ -284,3 +284,27 @@ def test_fixture_phash_recomputable(spark, images):
     out = (images.mapInPandas(recompute, "image_id string, stored long, fresh long")
            .filter("stored <> fresh").count())
     assert out == 0
+
+
+def test_knn_fused_matches_staged_including_sparse_tail(spark, zones):
+    """Fused one-pass kNN == staged cascade plan on a point set that
+    forces every path: dense cells, sparse tail (polar points far from
+    any zone -> exact fallback), and at least one exact-tie candidate."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "image_id": [f"p{i:04d}" for i in range(400)],
+        "lng": np.concatenate([rng.uniform(-180, 180, 380),
+                               rng.uniform(-180, 180, 20)]),
+        "lat": np.concatenate([rng.uniform(-60, 60, 380),
+                               rng.uniform(85, 89, 20)])})  # sparse tail
+    pts = spark.createDataFrame(pdf)
+    fused = spatial.knn_join(pts, zones, k=3).toPandas()
+    staged = spatial.knn_join(pts, zones, k=3, fused=False,
+                              eager_cleanup=False).toPandas()
+    key = ["image_id", "knn_rank"]
+    f = fused.sort_values(key).reset_index(drop=True)
+    s = staged.sort_values(key).reset_index(drop=True)
+    assert f[["image_id", "zone_id", "knn_rank"]].equals(
+        s[["image_id", "zone_id", "knn_rank"]])
