@@ -1045,6 +1045,34 @@ def q_langid_heur(spark, sf_dir):
         F.when(n_the >= 2, F.lit("en-like")).otherwise(F.lit("other")).alias("lang_guess"))
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+g AS (SELECT doc_id,
+        list_transform(range(1, length(text) - {_WINNOW_K - 1} + 1),
+                       i -> substr(text, CAST(i AS INT), {_WINNOW_K})) AS grams
+      FROM d WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+h AS (SELECT doc_id,
+        list_transform(grams, g -> {_DDB_HEX60.format(s='g')}) AS hs
+      FROM g)
+SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(hs) - {_WINNOW_W - 1} + 1),
+         i -> list_min(hs[CAST(i AS INT):CAST(i + {_WINNOW_W - 1} AS INT)]))) AS fp
+FROM h
+"""
+
+
+@register("winnow_fp", _WINNOW_ORACLE)
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (rolling char k-gram hashes,
+    window minima) — text-analysis fingerprinting; the oracle replays
+    the scheme over the same md5_60 hashes in DuckDB list arithmetic."""
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return dedup.winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
 @register("dedup_exact", """
 SELECT substr(text, 1, 30) AS k, min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1

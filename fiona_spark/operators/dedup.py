@@ -437,6 +437,110 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     return scored.filter(keep).select("id_a", "id_b", "qdot")
 
 
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4, hash_fn: str = "md5_60") -> DataFrame:
+    """Winnowing document fingerprints (rolling character k-grams).
+
+    The classic local document-fingerprint scheme: hash every character
+    k-gram, slide a window of ``w`` hashes, keep each window's MINIMUM —
+    any shared substring of length >= k + w - 1 between two documents
+    guarantees a shared fingerprint.  Entirely JVM (substr/transform/
+    array_min inside codegen); md5_60 keeps it ANSI-reproducible.
+    Output: (id_col, fp) distinct fingerprint rows.
+    """
+    grams = (f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)), "
+             f"i -> substring({text_col}, i, {k}))")
+    if hash_fn == "md5_60":
+        hashes = (f"transform({grams}, g -> "
+                  f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))")
+    else:
+        hashes = f"transform({grams}, g -> xxhash64(g))"
+    fps = (f"transform(sequence(1, greatest(size({hashes}) - {w - 1}, 0)), "
+           f"i -> array_min(slice({hashes}, i, {w})))")
+    return (docs
+            .filter(F.length(text_col) >= k + w - 1)
+            .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+            .distinct())
+
+
+def ivf_index(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
+              n_centroids: int = 32, n_iter: int = 5,
+              sample_rows: int = 20_000, seed: int = 7) -> np.ndarray:
+    """IVF coarse quantizer: numpy k-means over a bounded sample.
+
+    The sample is a deterministic LIMIT (documents arrive hash-
+    distributed, so a prefix is unbiased enough for a coarse quantizer);
+    centroid training is driver-side numpy — centroids are a (C, dim)
+    array shipped to executors in the assignment UDF closure.
+    """
+    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy(object)).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                         replace=False)]
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               out: str = "bucket") -> DataFrame:
+    """Nearest-centroid bucket per vector (one Arrow matrix op/batch)."""
+    cents = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy(object)).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn(out, assign(vec_col))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_centroids: int = 32, nprobe: int = 4,
+             seed: int = 7) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    buckets per query, exact rerank on the probed candidates only.
+
+    The scale path alternative to sign-LSH banding: candidates shrink to
+    ~nprobe/C of the table per query; the bucket equi-join shuffles int
+    keys, never all-pairs.  Output (qid, cid, qdot, rnk<=k) with the
+    same integer-quantized rerank as ann_cosine_topk(rank_by='qdot').
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_index(emb, vec_col, dim, n_centroids, seed=seed)
+    cand_b = ivf_assign(emb, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), "bucket")
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy(object)).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    qb = (queries.select(F.col(id_col).alias("qid"),
+                         F.col(vec_col).alias("qe"),
+                         F.explode(probes(vec_col)).alias("bucket")))
+    cand = (qb.join(cand_b, "bucket")
+            .filter(F.col("qid") != F.col("cid")))
+    qdot = F.expr(QDOT_EXPR)
+    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
+    return (cand.select("qid", "cid", qdot.alias("qdot"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy keeper selection)
 # ---------------------------------------------------------------------------

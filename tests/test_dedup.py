@@ -204,3 +204,37 @@ def test_dedup_exact_keeps_min_id(spark, docs):
     out = dedup.dedup_exact(d2, ["text"]).toPandas()
     assert len(out) == docs.count()
     assert set(out["doc_id"]) == set(range(docs.count()))
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing property: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; short docs drop out cleanly."""
+    common = "the quick brown fox jumps over it"   # > k+w-1 chars
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["AAA " + common + " tail one",
+                 "prefix two " + common + " ZZZ",
+                 "completely different words here altogether",
+                 "short"]})
+    df = spark.createDataFrame(pdf)
+    fp = dedup.winnow_fingerprints(df, k=8, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2]              # shared substring detected
+    assert by_doc[3]                          # unrelated doc fingerprints too
+    assert 4 not in by_doc                    # shorter than k+w-1
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 64))
+    vecs[200] = vecs[11] + rng.standard_normal(64) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(300),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter("vec_id = 11")
+    got = dedup.ivf_topk(emb.filter("vec_id != 11"), q, k=5,
+                         n_centroids=16, nprobe=4).toPandas()
+    top = got[got["rnk"] == 1].iloc[0]
+    assert top["cid"] == 200
+    # bucketed candidates only: far fewer than the full table reranked
+    assert len(got) <= 5
