@@ -119,3 +119,27 @@ def test_geojson_read_path_is_python_free(spark, tmp_path):
     geojson.write_feature_seq(src, p)
     back = geojson.read_feature_seq(spark, p)
     assert quality.python_eval_count(back) == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables join WITHOUT any shuffle exchange —
+    the persisted form of repartition() co-location (100 TB join shape)."""
+    import pandas as pd
+
+    from fiona_spark.sources import bucketed
+    a = spark.createDataFrame(pd.DataFrame(
+        {"cell": [i % 50 for i in range(2000)], "v": range(2000)}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {"cell": [i % 50 for i in range(500)], "w": range(500)}))
+    bucketed.write_bucketed(a, "bt_a", "cell", 8, sort_col="cell")
+    bucketed.write_bucketed(b, "bt_b", "cell", 8, sort_col="cell")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = bucketed.colocated_join(spark, "bt_a", "bt_b", "cell")
+        assert quality.shuffle_count(q) == 0, quality.formatted_plan(q)
+        assert q.count() == 2000 * 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
