@@ -935,7 +935,10 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            recs = {"image_id": [], "bx": [], "by": [], "cell": [], "mean_lum": []}
+            # per-image decode is irreducible (variable-shape payloads);
+            # everything AFTER decode accumulates numpy arrays and
+            # concatenates once per batch — no per-tile Python lists
+            ids, bxs_l, bys_l, cells_l, lums_l = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 img = codec.decode(bytes(row.bytes), row.fmt, int(row.w), int(row.h))
                 nbx, nby = int(row.w) // block, int(row.h) // block
@@ -948,14 +951,25 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
                 cy = row.ymax - (np.arange(nby) + 0.5) / nby * (row.ymax - row.ymin)
                 gx, gy = np.meshgrid(cx, cy)
                 cell = cells.cell_id(gx.ravel(), gy.ravel(), res)
-                bxs, bys = np.meshgrid(np.arange(nbx), np.arange(nby))
-                n = nbx * nby
-                recs["image_id"].extend([row.image_id] * n)
-                recs["bx"].extend(bxs.ravel().tolist())
-                recs["by"].extend(bys.ravel().tolist())
-                recs["cell"].extend(cell.tolist())
-                recs["mean_lum"].extend(means.ravel().tolist())
-            yield pd.DataFrame(recs)
+                bxg, byg = np.meshgrid(np.arange(nbx, dtype=np.int32),
+                                       np.arange(nby, dtype=np.int32))
+                ids.append(np.repeat(row.image_id, nbx * nby))
+                bxs_l.append(bxg.ravel())
+                bys_l.append(byg.ravel())
+                cells_l.append(cell)
+                lums_l.append(means.ravel())
+            if not ids:
+                yield pd.DataFrame({"image_id": pd.Series([], dtype=object),
+                                    "bx": pd.Series([], dtype=np.int32),
+                                    "by": pd.Series([], dtype=np.int32),
+                                    "cell": pd.Series([], dtype=np.int64),
+                                    "mean_lum": pd.Series([], dtype=np.float64)})
+                continue
+            yield pd.DataFrame({"image_id": np.concatenate(ids),
+                                "bx": np.concatenate(bxs_l),
+                                "by": np.concatenate(bys_l),
+                                "cell": np.concatenate(cells_l),
+                                "mean_lum": np.concatenate(lums_l)})
 
     cols = ["image_id", "bytes", "fmt", "w", "h", "xmin", "ymin", "xmax", "ymax"]
     return images.select(*cols).mapInPandas(run, out_schema)
