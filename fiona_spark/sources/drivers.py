@@ -61,26 +61,41 @@ def driver_from_extension(path: str) -> str:
         f"(known extensions: {sorted(_EXT_TO_DRIVER)})")
 
 
-def detect_encoding(path: str, sample_bytes: int = 65536) -> str:
-    """UTF-8 if the head of the first data file decodes as UTF-8, else
+def detect_encoding(path: str, sample_bytes: int = 65536,
+                    max_parts: int = 3) -> str:
+    """UTF-8 if the heads of the first data files decode as UTF-8, else
     ISO-8859-1 — the reference's shapefile fallback rule
-    (`fiona/ogrext.pyx:940-983` _get_fallback_encoding)."""
-    probe = path
+    (`fiona/ogrext.pyx:940-983` _get_fallback_encoding).
+
+    The probe decodes incrementally with ``final=False`` so a multibyte
+    UTF-8 sequence cut at the ``sample_bytes`` boundary is NOT treated
+    as invalid (a strict ``bytes.decode`` would falsely flip a valid
+    file to ISO-8859-1).  Multi-part datasets probe up to ``max_parts``
+    part files, not just the first.
+    """
+    import codecs
+
+    probes = [path]
     if os.path.isdir(path):
+        probes = []
         for root, _d, files in os.walk(path):
-            data = [f for f in files if not f.startswith(("_", "."))]
-            if data:
-                probe = os.path.join(root, sorted(data)[0])
+            data = sorted(f for f in files if not f.startswith(("_", ".")))
+            probes.extend(os.path.join(root, f) for f in data)
+            if len(probes) >= max_parts:
                 break
-    try:
-        with open(probe, "rb") as fh:
-            head = fh.read(sample_bytes)
-        head.decode("utf-8")
-        return "UTF-8"
-    except UnicodeDecodeError:
-        return "ISO-8859-1"
-    except OSError:
-        return "UTF-8"
+        probes = probes[:max_parts] or [path]
+    for probe in probes:
+        try:
+            with open(probe, "rb") as fh:
+                head = fh.read(sample_bytes)
+            truncated = len(head) == sample_bytes
+            dec = codecs.getincrementaldecoder("utf-8")()
+            dec.decode(head, final=not truncated)
+        except UnicodeDecodeError:
+            return "ISO-8859-1"
+        except OSError:
+            continue
+    return "UTF-8"
 
 
 # ---------------------------------------------------------------------------

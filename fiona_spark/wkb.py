@@ -38,10 +38,28 @@ TYPE_NAMES = {
     WKB_GEOMETRYCOLLECTION: "GeometryCollection",
 }
 TYPE_CODES = {v: k for k, v in TYPE_NAMES.items()}
+# Non-linear / surface ISO types, normalized on decode exactly like the
+# reference (fiona/_geometry.pyx:222-231): curves linearize to
+# LineString/Polygon equivalents (OGR_G_GetLinearGeometry), Triangle
+# forces to Polygon, PolyhedralSurface/TIN force to MultiPolygon.
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+WKB_POLYHEDRALSURFACE = 15
+WKB_TIN = 16
+WKB_TRIANGLE = 17
 # 3D (Z) variants: reference normalizes the OGR 2.5D flag (0x80000000)
-# and ISO +1000 codes to a has_z bool (fiona/_geometry.pyx:47-92)
+# and ISO +1000 codes to a has_z bool; ISO M (+2000) drops to 2D and
+# ZM (+3000) to 3D — "Fiona 1.x does not support M"
+# (fiona/_geometry.pyx:64-92 normalize/base_geometry_type_code).
 _ISO_Z = 1000
 _OGR_25D = 0x80000000
+_OGR_M = 0x40000000
+# default arc linearization step, degrees of arc per segment — OGR's
+# OGRGeometryFactory::curveToLineString default (4 deg)
+ARC_STEP_DEG = 4.0
 
 
 class WKBError(ValueError):
@@ -53,15 +71,30 @@ class WKBError(ValueError):
 # ---------------------------------------------------------------------------
 
 def _read_header(buf: memoryview, off: int):
+    """Returns (little, base_code, has_z, has_m, off).
+
+    Dimension decoding covers the OGR 2.5D flag (0x80000000), the OGR M
+    flag (0x40000000) and the ISO offset ranges Z=+1000, M=+2000,
+    ZM=+3000.  M ordinates are parsed (so coordinates stay aligned
+    inside Multi*/Collection payloads) and then DROPPED, matching the
+    reference's normalize_geometry_type_code: M -> 2D, ZM -> 3D
+    (fiona/_geometry.pyx:64-81).
+    """
     if off + 5 > len(buf):
         raise WKBError("truncated header")
     byte_order = buf[off]
     fmt = "<I" if byte_order == 1 else ">I"
     (raw,) = struct.unpack_from(fmt, buf, off + 1)
-    has_z = bool(raw & _OGR_25D) or (1000 <= (raw & 0x0FFFFFFF) < 2000)
-    code = (raw & 0x0FFFFFFF) % _ISO_Z if raw & 0x0FFFFFFF >= _ISO_Z \
-        else raw & 0x7FFFFFFF
-    return byte_order == 1, code, has_z, off + 5
+    has_z = bool(raw & _OGR_25D)
+    has_m = bool(raw & _OGR_M)
+    base = raw & 0x3FFFFFFF
+    if base >= 3000:
+        has_z, has_m, base = True, True, base - 3000
+    elif base >= 2000:
+        has_m, base = True, base - 2000
+    elif base >= _ISO_Z:
+        has_z, base = True, base - _ISO_Z
+    return byte_order == 1, base, has_z, has_m, off + 5
 
 
 def _read_coords(buf: memoryview, off: int, n: int, little: bool, ndim: int):
@@ -78,26 +111,125 @@ def _read_count(buf: memoryview, off: int, little: bool):
     return n, off + 4
 
 
+def _arc_sweep(a0: float, a1: float, ccw: bool) -> float:
+    """Signed sweep from angle a0 to a1 in the given direction."""
+    d = (a1 - a0) % (2 * np.pi)
+    if ccw:
+        return d if d > 1e-12 else 2 * np.pi
+    d = d - 2 * np.pi
+    return d if d < -1e-12 else -2 * np.pi
+
+
+def _linearize_arcs(pts: np.ndarray, step_deg: float = ARC_STEP_DEG):
+    """CircularString vertices (odd n, arcs on consecutive point
+    triplets) -> densified vertex array, OGR GetLinearGeometry analogue
+    (fiona/_geometry.pyx:224 linearization of curve types).
+
+    Each arc (p0, p1, p2) samples the circle through the three points
+    from p0 to p2 passing p1, one vertex every ``step_deg`` degrees of
+    arc; collinear triplets degrade to the two straight segments.
+    Original vertices (including every p1) are kept exactly; any Z
+    interpolates linearly with arc length.
+    """
+    if len(pts) < 3 or len(pts) % 2 == 0:
+        raise WKBError(f"circularstring needs odd vertex count >= 3, "
+                       f"got {len(pts)}")
+    out = [pts[0]]
+    for i in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[i], pts[i + 1], pts[i + 2]
+        ax, ay = p0[0], p0[1]
+        bx, by = p1[0], p1[1]
+        cx, cy = p2[0], p2[1]
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:          # collinear: straight chords
+            out.extend([p1, p2])
+            continue
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        r = float(np.hypot(ax - ux, ay - uy))
+        t0 = float(np.arctan2(ay - uy, ax - ux))
+        t1 = float(np.arctan2(by - uy, bx - ux))
+        t2 = float(np.arctan2(cy - uy, cx - ux))
+        # orientation: the arc runs p0 -> p1 -> p2; pick the direction
+        # whose p0->p1 sweep is shorter than p0->p2 in that direction
+        ccw = (_arc_sweep(t0, t1, True) <= _arc_sweep(t0, t2, True))
+        s01 = _arc_sweep(t0, t1, ccw)
+        s12 = _arc_sweep(t1, t2, ccw)
+        step = np.deg2rad(step_deg)
+        for (ta, sw, pa, pb) in ((t0, s01, p0, p1), (t1, s12, p1, p2)):
+            nseg = max(1, int(np.ceil(abs(sw) / step)))
+            ts = ta + sw * np.arange(1, nseg) / nseg
+            mids = np.empty((len(ts), pts.shape[1]))
+            mids[:, 0] = ux + r * np.cos(ts)
+            mids[:, 1] = uy + r * np.sin(ts)
+            if pts.shape[1] > 2:   # linear Z along the sweep
+                mids[:, 2:] = pa[2:] + (pb[2:] - pa[2:]) \
+                    * (np.arange(1, nseg) / nseg)[:, None]
+            out.extend(mids)
+            out.append(pb)
+    return np.asarray(out)
+
+
+def _decode_ring(buf: memoryview, off: int):
+    """One CurvePolygon ring: a full sub-geometry (LineString,
+    CircularString or CompoundCurve) -> linear vertex list."""
+    t, coords, off = _decode_body(buf, off)
+    if t != "LineString":
+        raise WKBError(f"unsupported curve-polygon ring type {t}")
+    return coords, off
+
+
 def _decode_body(buf: memoryview, off: int):
-    little, code, has_z, off = _read_header(buf, off)
-    ndim = 3 if has_z else 2
+    little, code, has_z, has_m, off = _read_header(buf, off)
+    ndim = 2 + has_z + has_m
+    keep = 3 if has_z else 2
+
+    def coords_of(pts: np.ndarray) -> list:
+        return pts[:, :keep].tolist()
+
     if code == WKB_POINT:
         pts, off = _read_coords(buf, off, 1, little, ndim)
-        return TYPE_NAMES[code], pts[0].tolist(), off
+        return TYPE_NAMES[code], pts[0, :keep].tolist(), off
     if code == WKB_LINESTRING:
         n, off = _read_count(buf, off, little)
         pts, off = _read_coords(buf, off, n, little, ndim)
-        return TYPE_NAMES[code], pts.tolist(), off
-    if code == WKB_POLYGON:
+        return TYPE_NAMES[code], coords_of(pts), off
+    if code == WKB_CIRCULARSTRING:
+        n, off = _read_count(buf, off, little)
+        pts, off = _read_coords(buf, off, n, little, ndim)
+        return "LineString", coords_of(_linearize_arcs(pts[:, :keep])), off
+    if code == WKB_COMPOUNDCURVE:
+        # members (LineString | CircularString) chain end-to-start
+        n_parts, off = _read_count(buf, off, little)
+        chain: list = []
+        for _ in range(n_parts):
+            t, coords, off = _decode_body(buf, off)
+            if t != "LineString":
+                raise WKBError(f"unsupported compound-curve member {t}")
+            chain.extend(coords if not chain else coords[1:])
+        return "LineString", chain, off
+    if code in (WKB_POLYGON, WKB_TRIANGLE):
         n_rings, off = _read_count(buf, off, little)
         rings = []
         for _ in range(n_rings):
             n, off = _read_count(buf, off, little)
             pts, off = _read_coords(buf, off, n, little, ndim)
-            rings.append(pts.tolist())
-        return TYPE_NAMES[code], rings, off
+            rings.append(coords_of(pts))
+        # Triangle -> Polygon (reference: OGR_G_ForceToPolygon,
+        # fiona/_geometry.pyx:227-229)
+        return "Polygon", rings, off
+    if code == WKB_CURVEPOLYGON:
+        n_rings, off = _read_count(buf, off, little)
+        rings = []
+        for _ in range(n_rings):
+            ring, off = _decode_ring(buf, off)
+            rings.append(ring)
+        return "Polygon", rings, off
     if code in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
-                WKB_GEOMETRYCOLLECTION):
+                WKB_GEOMETRYCOLLECTION, WKB_MULTICURVE, WKB_MULTISURFACE,
+                WKB_POLYHEDRALSURFACE, WKB_TIN):
         n_parts, off = _read_count(buf, off, little)
         parts, types = [], []
         for _ in range(n_parts):
@@ -105,6 +237,12 @@ def _decode_body(buf: memoryview, off: int):
             types.append(t)
             parts.append(coords if code != WKB_GEOMETRYCOLLECTION
                          else {"type": t, "coordinates": coords})
+        if code == WKB_MULTICURVE:       # members already linearized
+            return "MultiLineString", parts, off
+        if code in (WKB_MULTISURFACE, WKB_POLYHEDRALSURFACE, WKB_TIN):
+            # -> MultiPolygon (OGR_G_ForceToMultiPolygon,
+            # fiona/_geometry.pyx:230-231)
+            return "MultiPolygon", parts, off
         return TYPE_NAMES[code], parts, off
     raise WKBError(f"unsupported wkb type code {code}")
 

@@ -254,6 +254,8 @@ def test_slice_matches_python_semantics_including_negative_step(spark):
     seq = sorted(pdf["k"])
     for a, b, s in [(100, 1000, 7), (None, None, None), (-50, None, 3),
                     (None, -10, 2), (None, None, -1), (1500, 200, -13),
-                    (-1, -1500, -7), (10, 5, 1)]:
+                    (-1, -1500, -7), (10, 5, 1),
+                    (-5000, None, -7),   # start underflow + neg step: empty
+                    (-5000, None, 7)]:   # start underflow + pos step: all
         got = sorted(r["k"] for r in fl.slice_rows(df, a, b, s, "k").collect())
         assert got == sorted(seq[slice(a, b, s)]), (a, b, s)
