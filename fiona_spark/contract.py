@@ -472,10 +472,9 @@ def q_tiles_images(spark, sf_dir):
         .select("image_id", "cell"))
 
 
-@register("extent_images")
-def q_extent_images(spark, sf_dir):
-    img, _ = _canon_paths()
-    return aggregates.extent(spark.read.parquet(img))
+# (extent over the images table was a second `extent` row; retired in
+# r3 to keep the registry at the driver's 50-query cap — the operator
+# stays verified by extent_pts + tests/test_spatial_ops.py)
 
 
 @register("pip_holes")
@@ -579,9 +578,10 @@ SELECT image_id,
            yi -> {base} + yi * {n} + xi)))) AS cell
 FROM i
 """
-    ORACLES["extent_images"] = f"""
-SELECT min(xmin) AS xmin, min(ymin) AS ymin, max(xmax) AS xmax, max(ymax) AS ymax
-FROM read_parquet('{img}')
+    dt_path = fixtures.ensure_canon_datetime()
+    ORACLES["datetime_tz"] = f"""
+SELECT rid, y, mo, dd, hh, mi, ss, us, tzm, tzc, gmt
+FROM read_parquet('{dt_path}')
 """
 
 
@@ -590,15 +590,9 @@ FROM read_parquet('{img}')
 #    dedup/LSH, raster->vector blocks (v4-v6 surface)
 # ===========================================================================
 
-@register("dedup_exact_rows", """
-SELECT doc_id FROM documents
-WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
-""")
-def q_dedup_exact_rows(spark, sf_dir):
-    """Exact dedup keeper selection (hash-groupBy, min-id keeper)."""
-    from .operators import dedup
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_exact(docs, ["text"]).select("doc_id")
+# (dedup_exact_rows was a doc_id-only projection of the dedup_exact
+# query below; retired in r3 for the 50-query cap — same operator, same
+# oracle family, still covered by dedup_exact)
 
 
 # -- LSH dedup queries: the engine runs its md5_60 hash family here (the
@@ -1165,6 +1159,31 @@ def q_embed_topk(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
     return (d.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 10).select("qid", "cid", "qdot", "rnk"))
+
+
+@register("datetime_tz")
+def q_datetime_tz(spark, sf_dir):
+    """RFC3339 timezone matrix (fiona/ogrext.pyx:480-547 + rfc3339.py):
+    parse mixed-offset strings entirely JVM-side (regexp + integer
+    arithmetic, zero Python), emit the reference's tuple fields, the
+    OGR 15-minute tz code, and the GMT-normalized write form.  The
+    oracle reads ground-truth columns the fixture generator derived
+    from the SOURCE strings with an independent stdlib parser —
+    including the quirks: trailing 'Z' = unknown zone, bare 2-digit
+    offsets bind to minutes."""
+    from .functions import datetime as dtf
+    path = fixtures.ensure_canon_datetime()
+    df = spark.read.parquet(path).select("rid", "dt_str")
+    p = dtf.parse_datetime_parts(F.col("dt_str"))
+    return df.select(
+        "rid",
+        p["y"].cast("long").alias("y"), p["m"].cast("long").alias("mo"),
+        p["d"].cast("long").alias("dd"), p["hh"].cast("long").alias("hh"),
+        p["mm"].cast("long").alias("mi"), p["ss"].cast("long").alias("ss"),
+        p["us"].cast("long").alias("us"),
+        p["tz_min"].cast("int").alias("tzm"),
+        dtf.tz_code(p["tz_min"]).cast("long").alias("tzc"),
+        dtf.format_gmt(p).alias("gmt"))
 
 
 _late_oracles()

@@ -400,3 +400,115 @@ def ensure_canon_multi(cache_dir: str | None = None) -> str:
         pq.write_table(pa.Table.from_pandas(zdf, preserve_index=False), tmp)
         os.replace(tmp, path)
     return path
+
+
+def _rfc3339_truth(text: str):
+    """Independent ground-truth parse for the datetime fixture: the
+    reference's tuple semantics (fiona/rfc3339.py:89-122) computed with
+    a digit scanner, NOT the engine's Spark regex — so the contract
+    query is a true differential.  Returns (y, m, d, hh, mm, ss, us,
+    tz_min | None)."""
+    i, n = 0, len(text)
+
+    def digits(k):
+        nonlocal i
+        s = text[i:i + k]
+        if len(s) == k and s.isdigit():
+            i += k
+            return int(s)
+        return None
+
+    def sep(chars):
+        nonlocal i
+        if i < n and text[i] in chars:
+            i += 1
+
+    y = digits(4)
+    sep("-")
+    mo = digits(2)
+    sep("-")
+    d = digits(2)
+    sep("Tt ")
+    hh = digits(2)
+    sep(":")
+    mi = digits(2)
+    sep(":")
+    ss = digits(2) or 0
+    us = 0
+    if i < n and text[i] == ".":
+        j = i + 1
+        while j < n and text[j].isdigit():
+            j += 1
+        us = int((text[i + 1:j] + "000000")[:6])
+        i = j
+    tz = None
+    if i < n and text[i] in "+-":
+        sign = -1 if text[i] == "-" else 1
+        i += 1
+        a = digits(2)
+        sep(":")
+        b = digits(2)
+        if b is None:            # the '+05' backtrack quirk: 2 digits
+            a, b = 0, a          # alone bind to the MINUTES group
+        tz = sign * ((a or 0) * 60 + (b or 0))
+    # trailing Z: reference leaves tz unknown (tests/test_rfc3339.py:34)
+    return y, mo, d, hh, mi, ss, us, tz
+
+
+def ensure_canon_datetime(cache_dir: str | None = None) -> str:
+    """Mixed-timezone RFC3339 fixture + ground truth (tz matrix of
+    fiona/ogrext.pyx:480-547: 15-minute codes, GMT normalization).
+
+    Truth columns (y..us, tzm nullable, tzc, gmt) are derived from the
+    SOURCE strings with ``_rfc3339_truth`` + stdlib datetime, never via
+    the engine.
+    """
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_datetime.parquet")
+    if os.path.exists(path):
+        return path
+    forms = [
+        "2012-01-29T10:11:12",            # naive
+        "2012-01-29T10:11:12Z",           # Z -> unknown zone (quirk)
+        "2012-01-29T10:11:12+01:30",      # +90 min -> code 106
+        "2012-01-29T10:11:12-01:30",      # -90 min -> code 94
+        "2018-03-25T01:02:03.456789+05:45",   # Nepal, 15-min code 123
+        "2018-03-25T01:02:03.42-03:45",   # code 85
+        "20200129T1011",                  # compact, no seconds
+        "1999-12-31 23:59:59+00:15",      # space sep, code 101
+        "1999-12-31T23:59:59-00:15",      # code 99
+        "2005-06-07T08:09:10+05",         # 2-digit offset = 5 MINUTES
+        "2005-06-07T08:09:10+0530",       # +330 min -> code 122
+        "2021-11-05T00:10:00-11:00",      # day-crossing GMT shift
+    ]
+    rows = []
+    for k in range(60):
+        text = forms[k % len(forms)]
+        # vary the day so rows are distinct (keep two digits valid)
+        text = text[:8] + f"{10 + (k // len(forms)) * 4:02d}" + text[10:] \
+            if text[4] == "-" else text
+        y, mo, dd, hh, mi, ss, us, tzm = _rfc3339_truth(text)
+        base = _dt.datetime(y, mo, dd, hh, mi, ss, us)
+        gmt_dt = base - _dt.timedelta(minutes=tzm or 0)
+        gmt = gmt_dt.strftime("%Y-%m-%dT%H:%M:%S")
+        if us:
+            gmt += f".{us:06d}"
+        if tzm is not None:
+            gmt += "Z"
+        rows.append({
+            "rid": k, "dt_str": text, "y": y, "mo": mo, "dd": dd,
+            "hh": hh, "mi": mi, "ss": ss, "us": us,
+            "tzm": tzm, "tzc": int(tzm / 15.0 + 100) if tzm is not None else 0,
+            "gmt": gmt})
+    pdf = pd.DataFrame(rows)
+    pdf["tzm"] = pdf["tzm"].astype("Int32")
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path

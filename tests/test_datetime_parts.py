@@ -53,3 +53,80 @@ def test_collect_dump_roundtrip(spark):
     orig = {tuple(r["xs"]) for r in z.select("xs").collect()}
     got = {tuple(r["xs"]) for r in back.select("xs").collect()}
     assert got == orig
+
+
+# -- tz matrix (r2 "what's missing" #3: fiona/ogrext.pyx:428-547,
+# -- rfc3339.py:30-122, tests/test_rfc3339.py expectations) ----------------
+
+REF_DATETIME_CASES = [
+    # (text, (y, m, d, hh, mm, ss, us, tz_min))  — reference tuples
+    ("2012-01-29T10:11:12", (2012, 1, 29, 10, 11, 12, 0, None)),
+    ("2012-01-29T10:11:12+01:30", (2012, 1, 29, 10, 11, 12, 0, 90)),
+    ("2012-01-29T10:11:12-01:30", (2012, 1, 29, 10, 11, 12, 0, -90)),
+    ("2012-01-29T10:11:12Z", (2012, 1, 29, 10, 11, 12, 0, None)),  # quirk
+    ("2012-01-29T10:11:12.42-03:45", (2012, 1, 29, 10, 11, 12, 420000, -225)),
+    ("20120129T1011", (2012, 1, 29, 10, 11, 0, 0, None)),   # compact
+    ("2012-01-29T10:11:12+05", (2012, 1, 29, 10, 11, 12, 0, 5)),  # min quirk
+    ("2012-01-29T10:11:12+0530", (2012, 1, 29, 10, 11, 12, 0, 330)),
+]
+
+
+def test_parse_datetime_parts_reference_matrix(spark):
+    df = spark.createDataFrame([(t,) for t, _ in REF_DATETIME_CASES],
+                               "s string")
+    got = df.select(fdt.parse_datetime_parts("s").alias("p")).toPandas()["p"]
+    for (txt, want), row in zip(REF_DATETIME_CASES, got):
+        vals = tuple(row[k] for k in ("y", "m", "d", "hh", "mm", "ss", "us"))
+        assert vals == want[:7], txt
+        assert row["tz_min"] == (want[7] if want[7] is not None else None), txt
+
+
+REF_TIME_CASES = [
+    ("10:11:12", (10, 11, 12, 0, None)),
+    ("10:11", (10, 11, 0, 0, None)),
+    ("10:11:12.42", (10, 11, 12, 420000, None)),
+    ("10:11:12Z", (10, 11, 12, 0, None)),
+    ("10:11:12-01:30", (10, 11, 12, 0, -90)),
+    ("10:11:12+01:30", (10, 11, 12, 0, 90)),
+]
+
+
+def test_parse_time_parts_reference_matrix(spark):
+    df = spark.createDataFrame([(t,) for t, _ in REF_TIME_CASES], "s string")
+    got = df.select(fdt.parse_time_parts("s").alias("p")).toPandas()["p"]
+    for (txt, want), row in zip(REF_TIME_CASES, got):
+        vals = tuple(row[k] for k in ("hh", "mm", "ss", "us", "tz_min"))
+        assert vals == want, txt
+
+
+def test_tz_code_matrix(spark):
+    """OGR 15-minute codes: 100=GMT, 101=GMT+15m, 99=GMT-15m, 0=unknown
+    (ogrext.pyx:480-486), truncation toward zero like Python int()."""
+    cases = [(None, 0), (0, 100), (15, 101), (-15, 99), (90, 106),
+             (-90, 94), (345, 123), (-660, 56), (5, 100), (-5, 99)]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "m int")
+    out = df.select(fdt.tz_code(F.col("m")).alias("c")).toPandas()["c"]
+    assert list(out) == [c for _, c in cases]
+    back = df.select(fdt.tz_minutes_from_code(
+        fdt.tz_code(F.col("m"))).alias("m2")).toPandas()["m2"]
+    for (m, _), m2 in zip(cases, back):
+        if m is None:
+            assert m2 is None or np.isnan(m2)
+        else:
+            assert int(m2) == (m // 15) * 15 if m >= 0 else True
+
+
+def test_format_gmt_normalization(spark):
+    """Write-side GMT rule (rfc3339.py:2-5): offset-aware -> shifted,
+    'Z'-suffixed; unknown zone -> unshifted, no suffix."""
+    cases = [
+        ("2021-11-05T00:10:00-11:00", "2021-11-05T11:10:00Z"),  # day cross
+        ("2012-01-29T10:11:12+01:30", "2012-01-29T08:41:12Z"),
+        ("2012-01-29T10:11:12", "2012-01-29T10:11:12"),
+        ("2012-01-29T10:11:12Z", "2012-01-29T10:11:12"),        # Z quirk
+        ("2018-03-25T01:02:03.456789+05:45", "2018-03-24T19:17:03.456789Z"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "s string")
+    got = df.select(fdt.format_gmt(
+        fdt.parse_datetime_parts("s")).alias("g")).toPandas()["g"]
+    assert list(got) == [w for _, w in cases]
