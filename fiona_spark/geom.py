@@ -412,3 +412,195 @@ def convex_hull(px: np.ndarray, py: np.ndarray):
 def vertex_count(xs_list) -> np.ndarray:
     """Per-row vertex counts (fiona/features.py:103-125)."""
     return np.array([len(v) for v in xs_list], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Exact even-odd polygon union (fio reduce '(unary_union c)' parity,
+# fiona/features.py:282-316 — the reference delegates to shapely's
+# unary_union; this is a from-scratch numpy boundary-fragment union)
+# ---------------------------------------------------------------------------
+
+class UnionDegeneracyError(ValueError):
+    """Input not in general position (collinear overlapping edges,
+    pinch vertices): caller should fall back to an approximation."""
+
+
+def _canon_ring(xs: np.ndarray, ys: np.ndarray):
+    """Open the ring, orient CCW, rotate the lexicographically smallest
+    vertex first (so exact duplicates compare equal)."""
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    signed = np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys) * 0.5
+    if signed < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    k = np.lexsort((ys, xs))[0]
+    return np.roll(xs, -k), np.roll(ys, -k)
+
+
+def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
+    """Exact boolean union of simple polygons (one CCW-normalized ring
+    each), even-odd semantics.  Returns (rings_xs, rings_ys): the union
+    boundary — outer rings CCW, holes CW, so the SIGNED shoelace sum is
+    the exact union area and the rings drop straight into the engine's
+    even-odd PIP kernels.
+
+    Boundary-fragment algorithm, all numpy:
+      1. split every edge at its proper intersections with edges of
+         other polygons (intersection points computed once per pair, so
+         both owners share bit-identical split coordinates);
+      2. keep a fragment iff its midpoint lies strictly outside every
+         other polygon (even-odd, packed-edge kernel);
+      3. stitch kept fragments end-to-start (exact float matching) into
+         closed rings.
+    In general position every stitch vertex has exactly one outgoing
+    fragment; degeneracies (collinear overlapping edges, T-touches that
+    pinch the boundary) raise :class:`UnionDegeneracyError`.
+    Exact duplicate rings are deduplicated up-front.
+    """
+    rings = {}
+    for rx, ry in zip(polys_x, polys_y):
+        xs, ys = _canon_ring(np.asarray(rx, np.float64),
+                             np.asarray(ry, np.float64))
+        rings[(xs.tobytes(), ys.tobytes())] = (xs, ys)
+    polys = list(rings.values())
+    if len(polys) == 1:
+        return [polys[0][0]], [polys[0][1]]
+
+    owner_l, x0_l, y0_l, x1_l, y1_l = [], [], [], [], []
+    for i, (xs, ys) in enumerate(polys):
+        owner_l.append(np.full(len(xs), i, dtype=np.int64))
+        x0_l.append(xs); y0_l.append(ys)
+        x1_l.append(np.roll(xs, -1)); y1_l.append(np.roll(ys, -1))
+    owner = np.concatenate(owner_l)
+    x0 = np.concatenate(x0_l); y0 = np.concatenate(y0_l)
+    x1 = np.concatenate(x1_l); y1 = np.concatenate(y1_l)
+    ne = len(owner)
+    if ne > max_edges:
+        raise UnionDegeneracyError(f"{ne} edges exceed max_edges={max_edges}")
+
+    # --- 1. pairwise proper intersections (chunked O(E^2) with bbox cut)
+    splits: list[list] = [[] for _ in range(ne)]
+    rx_ = x1 - x0; ry_ = y1 - y0
+    exmin = np.minimum(x0, x1); exmax = np.maximum(x0, x1)
+    eymin = np.minimum(y0, y1); eymax = np.maximum(y0, y1)
+    CH = 512
+    for s in range(0, ne, CH):
+        e = slice(s, min(s + CH, ne))
+        idx_a = np.arange(s, min(s + CH, ne))
+        # candidate pairs: different owner, bbox overlap, a < b
+        cand = ((owner[e][:, None] != owner[None, :])
+                & (idx_a[:, None] < np.arange(ne)[None, :])
+                & (exmin[e][:, None] <= exmax[None, :])
+                & (exmax[e][:, None] >= exmin[None, :])
+                & (eymin[e][:, None] <= eymax[None, :])
+                & (eymax[e][:, None] >= eymin[None, :]))
+        ai, bi = np.nonzero(cand)
+        if not len(ai):
+            continue
+        ai = idx_a[ai]
+        qpx = x0[bi] - x0[ai]; qpy = y0[bi] - y0[ai]
+        denom = rx_[ai] * ry_[bi] - ry_[ai] * rx_[bi]
+        tnum = qpx * ry_[bi] - qpy * rx_[bi]
+        unum = qpx * ry_[ai] - qpy * rx_[ai]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = tnum / denom
+            u = unum / denom
+        par = denom == 0
+        if np.any(par & (tnum == 0)):
+            # collinear candidate: overlapping only if projections meet
+            ci = np.nonzero(par & (tnum == 0))[0]
+            for k in ci:
+                a, b = ai[k], bi[k]
+                alo, ahi = exmin[a], exmax[a]
+                if rx_[a] == 0:          # vertical: compare on y
+                    alo, ahi = eymin[a], eymax[a]
+                    blo, bhi = eymin[b], eymax[b]
+                else:
+                    blo, bhi = exmin[b], exmax[b]
+                if min(ahi, bhi) > max(alo, blo):
+                    raise UnionDegeneracyError(
+                        "collinear overlapping edges")
+            t[par] = np.nan
+        ok = (~par) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        # at least one side strictly interior: endpoint-only contacts at
+        # BOTH edges split nothing
+        ok &= ((t > 0) & (t < 1)) | ((u > 0) & (u < 1))
+        for k in np.nonzero(ok)[0]:
+            a, b = ai[k], bi[k]
+            tt, uu = float(t[k]), float(u[k])
+            ix = float(x0[a] + tt * rx_[a])
+            iy = float(y0[a] + tt * ry_[a])
+            if 0.0 < tt < 1.0:
+                splits[a].append((tt, ix, iy))
+            if 0.0 < uu < 1.0:
+                splits[b].append((uu, ix, iy))
+
+    # --- 2. fragments + midpoint coverage against other polygons
+    fsx, fsy, fex, fey, fown = [], [], [], [], []
+    for ei in range(ne):
+        pts = [(0.0, float(x0[ei]), float(y0[ei]))]
+        pts += sorted(set(splits[ei]))
+        pts.append((1.0, float(x1[ei]), float(y1[ei])))
+        for (t0_, ax, ay), (t1_, bx, by) in zip(pts[:-1], pts[1:]):
+            if ax == bx and ay == by:
+                continue
+            fsx.append(ax); fsy.append(ay)
+            fex.append(bx); fey.append(by)
+            fown.append(owner[ei])
+    fsx = np.asarray(fsx); fsy = np.asarray(fsy)
+    fex = np.asarray(fex); fey = np.asarray(fey)
+    fown = np.asarray(fown, dtype=np.int64)
+    nf = len(fsx)
+    mx = (fsx + fex) * 0.5; my = (fsy + fey) * 0.5
+
+    k_polys = len(polys)
+    edge_offs, ex0p, ey0p, ex1p, ey1p = pack_feature_edges(
+        [[p[0]] for p in polys], [[p[1]] for p in polys])
+    frag_i = np.repeat(np.arange(nf), k_polys)
+    poly_j = np.tile(np.arange(k_polys), nf)
+    mask = poly_j != fown[frag_i]
+    frag_i, poly_j = frag_i[mask], poly_j[mask]
+    inside = points_in_edges_packed(mx[frag_i], my[frag_i], poly_j,
+                                    edge_offs, ex0p, ey0p, ex1p, ey1p)
+    covered = np.zeros(nf, dtype=bool)
+    np.logical_or.at(covered, frag_i, inside)
+    keep = ~covered
+
+    # --- 3. stitch kept fragments into rings
+    start_map: dict = {}
+    for fi in np.nonzero(keep)[0]:
+        key = (float(fsx[fi]), float(fsy[fi]))
+        if key in start_map:
+            raise UnionDegeneracyError(f"pinch vertex at {key}")
+        start_map[key] = int(fi)
+    used = set()
+    out_xs, out_ys = [], []
+    for key, f0 in start_map.items():
+        if f0 in used:
+            continue
+        ring_x, ring_y = [], []
+        fi = f0
+        while True:
+            used.add(fi)
+            ring_x.append(float(fsx[fi])); ring_y.append(float(fsy[fi]))
+            nxt = start_map.get((float(fex[fi]), float(fey[fi])))
+            if nxt is None:
+                raise UnionDegeneracyError("open boundary chain")
+            fi = nxt
+            if fi == f0:
+                break
+            if fi in used:
+                raise UnionDegeneracyError("chain re-entered mid-ring")
+        out_xs.append(np.asarray(ring_x))
+        out_ys.append(np.asarray(ring_y))
+    return out_xs, out_ys
+
+
+def union_area(rings_xs, rings_ys) -> float:
+    """SIGNED shoelace sum over :func:`polygon_union` output rings
+    (outer CCW positive, holes CW negative) = exact union area."""
+    tot = 0.0
+    for xs, ys in zip(rings_xs, rings_ys):
+        xs = np.asarray(xs, np.float64); ys = np.asarray(ys, np.float64)
+        tot += float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)) * 0.5
+    return tot

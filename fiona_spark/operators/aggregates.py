@@ -171,6 +171,21 @@ def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",
                     "rings_xs": [[list(map(float, pdf[xs].iloc[0]))]],
                     "rings_ys": [[list(map(float, pdf[ys].iloc[0]))]],
                     "n_members": [1], "exact": [True]})
+            # exact even-odd boundary union (fio reduce '(unary_union c)'
+            # parity, fiona/features.py:282-316); inputs not in general
+            # position (collinear shared edges, pinch vertices) fall
+            # back to the convex hull, flagged exact=False
+            try:
+                uxs, uys = geom.polygon_union(
+                    [np.asarray(v, np.float64) for v in pdf[xs]],
+                    [np.asarray(v, np.float64) for v in pdf[ys]])
+                return pd.DataFrame({
+                    "component": [cid],
+                    "rings_xs": [[r.tolist() for r in uxs]],
+                    "rings_ys": [[r.tolist() for r in uys]],
+                    "n_members": [len(pdf)], "exact": [True]})
+            except geom.UnionDegeneracyError:
+                pass
             px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
             py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
             hx, hy = geom.convex_hull(px, py)

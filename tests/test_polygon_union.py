@@ -1,0 +1,222 @@
+"""Exact polygon union vs independent oracles.
+
+Two oracles, neither sharing code with the kernel:
+  * exact AREA by trapezoidal x-sweep: between consecutive event x's
+    (vertices + pairwise edge crossings) the union's covered y-length
+    is piecewise linear, so the trapezoid rule integrates it exactly;
+  * MEMBERSHIP differential: dense grid points are inside the union
+    rings (even-odd) iff inside any input polygon.
+"""
+
+import numpy as np
+import pytest
+
+from fiona_spark import geom
+
+
+def _sweep_union_area(polys, n_guard: int = 200):
+    """Exact union area via x-sweep (independent oracle)."""
+    xs_ev = []
+    segs = []   # (x0, y0, x1, y1)
+    for xs, ys in polys:
+        xs = np.asarray(xs, np.float64)
+        ys = np.asarray(ys, np.float64)
+        xs2, ys2 = np.roll(xs, -1), np.roll(ys, -1)
+        segs.append(np.stack([xs, ys, xs2, ys2], axis=1))
+        xs_ev.append(xs)
+    segs = np.concatenate(segs)
+    xs_ev = np.concatenate(xs_ev)
+    # pairwise crossing x's
+    a = segs[:, None, :]
+    b = segs[None, :, :]
+    d = ((a[..., 2] - a[..., 0]) * (b[..., 3] - b[..., 1])
+         - (a[..., 3] - a[..., 1]) * (b[..., 2] - b[..., 0]))
+    qx = b[..., 0] - a[..., 0]
+    qy = b[..., 1] - a[..., 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qx * (b[..., 3] - b[..., 1]) - qy * (b[..., 2] - b[..., 0])) / d
+        u = (qx * (a[..., 3] - a[..., 1]) - qy * (a[..., 2] - a[..., 0])) / d
+    okm = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    cx = a[..., 0] + t * (a[..., 2] - a[..., 0])
+    events = np.unique(np.concatenate([xs_ev, cx[okm]]))
+
+    def covered_len(x):
+        iv = []
+        for xs, ys in polys:
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            xs2, ys2 = np.roll(xs, -1), np.roll(ys, -1)
+            m = (np.minimum(xs, xs2) <= x) & (np.maximum(xs, xs2) > x)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                yc = ys + (x - xs) / (xs2 - xs) * (ys2 - ys)
+            yy = np.sort(yc[m])
+            for lo, hi in zip(yy[0::2], yy[1::2]):
+                iv.append((lo, hi))
+        if not iv:
+            return 0.0
+        iv.sort()
+        tot, clo, chi = 0.0, iv[0][0], iv[0][1]
+        for lo, hi in iv[1:]:
+            if lo > chi:
+                tot += chi - clo
+                clo, chi = lo, hi
+            else:
+                chi = max(chi, hi)
+        return tot + (chi - clo)
+
+    area = 0.0
+    for xa, xb in zip(events[:-1], events[1:]):
+        la = covered_len(np.nextafter(xa, xb))
+        lb = covered_len(np.nextafter(xb, xa))
+        # sample just inside the slab so vertical edges don't double in
+        area += 0.5 * (la + lb) * (xb - xa)
+    return area
+
+
+def _membership_diff(polys, rings, n=120):
+    bxs = np.concatenate([np.asarray(p[0]) for p in polys])
+    bys = np.concatenate([np.asarray(p[1]) for p in polys])
+    gx, gy = np.meshgrid(
+        np.linspace(bxs.min() - 0.3, bxs.max() + 0.3, n),
+        np.linspace(bys.min() - 0.3, bys.max() + 0.3, n))
+    gx, gy = gx.ravel(), gy.ravel()
+    want = np.zeros(len(gx), dtype=bool)
+    for xs, ys in polys:
+        want |= geom.points_in_polygon(
+            gx, gy, np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+    got = geom.points_in_rings(gx, gy, rings[0], rings[1])
+    return want, got
+
+
+def _check(polys, expect_area=None, expect_rings=None):
+    rings = geom.polygon_union([p[0] for p in polys], [p[1] for p in polys])
+    area = geom.union_area(*rings)
+    oracle = expect_area if expect_area is not None \
+        else _sweep_union_area(polys)
+    assert area == pytest.approx(oracle, rel=1e-12, abs=1e-12)
+    if expect_rings is not None:
+        assert len(rings[0]) == expect_rings
+    want, got = _membership_diff(polys, rings)
+    assert (want == got).all()
+    return rings
+
+
+def test_two_overlapping_squares():
+    _check([([0, 2, 2, 0], [0, 0, 2, 2]), ([1, 3, 3, 1], [1, 1, 3, 3])],
+           expect_area=7.0, expect_rings=1)
+
+
+def test_disjoint_in_one_component():
+    """Envelope-touching but geometry-disjoint -> two separate rings."""
+    _check([([0, 2, 2, 0], [0, 0, 0.4, 0.4]),
+            ([0.9, 1.4, 1.4, 0.9], [1.5, 1.5, 2.0, 2.0])],
+           expect_area=2.0 * 0.4 + 0.25, expect_rings=2)
+
+
+def test_nested_polygon_absorbed():
+    _check([([0, 4, 4, 0], [0, 0, 4, 4]), ([1, 2, 2, 1], [1, 1, 2, 2])],
+           expect_area=16.0, expect_rings=1)
+
+
+def test_ring_of_squares_creates_hole():
+    """Four overhanging rectangles forming a frame: union has a hole
+    (CW ring, signed area -9); corners overhang so all contacts are
+    proper crossings (general position)."""
+    polys = [([-0.2, 5.2, 5.2, -0.2], [0, 0, 1, 1]),       # bottom
+             ([-0.2, 5.2, 5.2, -0.2], [4, 4, 5, 5]),       # top
+             ([0, 1, 1, 0], [-0.2, -0.2, 5.2, 5.2]),       # left
+             ([4, 5, 5, 4], [-0.2, -0.2, 5.2, 5.2])]       # right
+    rings = _check(polys, expect_rings=2)
+    signed = [float(np.sum(np.asarray(xs) * np.roll(np.asarray(ys), -1)
+                           - np.roll(np.asarray(xs), -1) * np.asarray(ys)))
+              * 0.5 for xs, ys in zip(*rings)]
+    assert min(signed) == -9.0         # the hole, exactly (1,4)x(1,4)
+
+
+def test_concave_overlap():
+    """Concave L-shape x rectangle (multiple crossings per edge)."""
+    L = ([0, 3, 3, 2, 2, 0], [0, 0, 1, 1, 3, 3])
+    R = ([1.5, 4, 4, 1.5], [0.5, 0.5, 2.5, 2.5])
+    _check([L, R])
+
+
+def test_three_way_overlap():
+    _check([([0, 2, 2, 0], [0, 0, 2, 2]),
+            ([1, 3, 3, 1], [1, 1, 3, 3]),
+            ([0.5, 2.5, 2.5, 0.5], [1.5, 1.5, 3.5, 3.5])])
+
+
+def test_duplicate_polygons_dedup():
+    _check([([0, 2, 2, 0], [0, 0, 2, 2]), ([0, 2, 2, 0], [0, 0, 2, 2]),
+            ([2, 0, 0, 2], [0, 2, 2, 0])],   # same ring, other orientation
+           expect_area=4.0, expect_rings=1)
+
+
+def test_random_rect_fuzz():
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        polys = []
+        for _ in range(rng.integers(2, 7)):
+            cx, cy = rng.uniform(0, 6, 2)
+            w, h = rng.uniform(0.5, 2.5, 2)
+            polys.append(([cx, cx + w, cx + w, cx],
+                          [cy, cy, cy + h, cy + h]))
+        try:
+            _check(polys)
+        except geom.UnionDegeneracyError:
+            pytest.fail(f"degeneracy on random trial {trial}")
+
+
+def test_random_convex_fuzz():
+    rng = np.random.default_rng(19)
+    for trial in range(12):
+        polys = []
+        for _ in range(rng.integers(2, 6)):
+            cx, cy = rng.uniform(0, 5, 2)
+            npt = int(rng.integers(5, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, npt))
+            r = rng.uniform(0.6, 1.8)
+            polys.append(((cx + r * np.cos(ang)).tolist(),
+                          (cy + r * np.sin(ang)).tolist()))
+        _check(polys)
+
+
+def test_collinear_overlap_raises():
+    with pytest.raises(geom.UnionDegeneracyError):
+        geom.polygon_union(
+            [[0, 2, 2, 0], [2, 4, 4, 2]],     # shared vertical edge x=2
+            [[0, 0, 2, 2], [0, 0, 2, 2]])
+
+
+def test_dissolve_components_exact_union(spark):
+    """dissolve_components now returns the EXACT union for overlapping
+    components in general position (r2 'next round' #5): signed ring
+    area equals the sweep oracle, exact=True on every row."""
+    import pandas as pd
+    from fiona_spark.operators import aggregates
+    polys = [([0.0, 2.0, 2.0, 0.0], [0.0, 0.5, 2.5, 2.0]),
+             ([1.0, 3.0, 3.0, 1.0], [1.0, 1.2, 3.2, 3.0]),
+             ([10.0, 11.0, 11.0, 10.0], [0.0, 0.0, 1.0, 1.0])]  # singleton
+    df = spark.createDataFrame(pd.DataFrame(
+        {"fid": [0, 1, 2], "xs": [p[0] for p in polys],
+         "ys": [p[1] for p in polys]}))
+    out = aggregates.dissolve_components(df, "fid").toPandas()
+    assert len(out) == 2
+    assert out["exact"].all()
+    merged = out[out["n_members"] == 2].iloc[0]
+    got_area = geom.union_area(merged["rings_xs"], merged["rings_ys"])
+    want = _sweep_union_area(polys[:2])
+    assert got_area == pytest.approx(want, rel=1e-12)
+
+
+def test_dissolve_falls_back_to_hull_on_degeneracy(spark):
+    """Collinear shared edges (the old coverage fixture's overlap pair)
+    still dissolve — via the hull, flagged exact=False."""
+    import pandas as pd
+    from fiona_spark.operators import aggregates
+    df = spark.createDataFrame(pd.DataFrame({
+        "fid": [0, 1],
+        "xs": [[29.0, 31.0, 31.0, 29.0], [30.0, 32.0, 32.0, 30.0]],
+        "ys": [[-1.0, -1.0, 1.0, 1.0], [-1.0, -1.0, 1.0, 1.0]]}))
+    out = aggregates.dissolve_components(df, "fid").toPandas()
+    assert len(out) == 1 and not out["exact"].iloc[0]
