@@ -95,8 +95,14 @@ def main() -> None:
     bench("block_tiles", lambda: spatial.block_tiles(
         images(), res=12, block=8).count())
 
-    # q5: relational control — grouped multi-aggregate over lineitem
+    # q5: relational control — grouped multi-aggregate over lineitem.
+    # Warm the table open (footer read + scan codegen) untimed, exactly
+    # like images().limit(1) above: the r2 "regression" on this query
+    # (0.45 -> 0.75 s) was first-touch cost landing inside the timed
+    # region depending on run order — measured 2.97 s cold vs 0.5 s
+    # steady-state for the identical plan.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.limit(1).collect()
     bench("tpch_q1", lambda: (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

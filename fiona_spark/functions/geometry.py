@@ -201,3 +201,52 @@ def register_all(spark) -> None:
     spark.udf.register("fs_distance", distance_udf())
     spark.udf.register("fs_haversine_m", distance_udf(haversine=True))
     spark.udf.register("fs_centroid", centroid_udf())
+
+
+_RINGS_T = T.StructType([
+    T.StructField("rings_xs", T.ArrayType(T.ArrayType(_D))),
+    T.StructField("rings_ys", T.ArrayType(T.ArrayType(_D))),
+])
+
+
+def transform_geom_udf(src: str, dst: str, antimeridian_cutting: bool = True,
+                       antimeridian_offset: float = 10.0,
+                       precision: int = -1):
+    """Geometry-level transform — `fiona.transform.transform_geom`
+    parity (`fiona/_transform.pyx:131-183`): per-vertex CRS transform,
+    then WRAPDATELINE cutting of rings that land across +/-180 (when
+    the destination is geographic), then recursive_round.  One Arrow
+    batch per call; the coordinate math is the same closed-form numpy
+    as transform_udf, applied to the flattened ring vertices.
+    """
+    if src == dst:
+        fn = lambda x, y: (x, y)  # noqa: E731
+    elif (src, dst) in _FORWARD:
+        fn = _FORWARD[(src, dst)]
+    else:
+        f1 = _FORWARD.get((src, "EPSG:4326"))
+        f2 = _FORWARD.get(("EPSG:4326", dst))
+        if not (f1 and f2):
+            raise ValueError(f"unsupported CRS pair {src} -> {dst}")
+        fn = lambda x, y: f2(*f1(x, y))  # noqa: E731
+    cut = antimeridian_cutting and dst == "EPSG:4326"
+
+    @F.pandas_udf(_RINGS_T)
+    def u(rxs: pd.Series, rys: pd.Series) -> pd.DataFrame:
+        oxs, oys = [], []
+        for ring_xs, ring_ys in zip(rxs, rys):
+            txs, tys = [], []
+            for rx, ry in zip(ring_xs, ring_ys):
+                ox, oy = fn(np.asarray(rx, np.float64),
+                            np.asarray(ry, np.float64))
+                txs.append(ox); tys.append(oy)
+            if cut:
+                txs, tys, _ = geom.cut_dateline_rings(
+                    txs, tys, antimeridian_offset)
+            if precision >= 0:
+                txs = [np.round(v, precision) for v in txs]
+                tys = [np.round(v, precision) for v in tys]
+            oxs.append([v.tolist() for v in txs])
+            oys.append([v.tolist() for v in tys])
+        return pd.DataFrame({"rings_xs": oxs, "rings_ys": oys})
+    return u

@@ -604,3 +604,75 @@ def union_area(rings_xs, rings_ys) -> float:
         xs = np.asarray(xs, np.float64); ys = np.asarray(ys, np.float64)
         tot += float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)) * 0.5
     return tot
+
+
+def _clip_halfplane(xs: np.ndarray, ys: np.ndarray, bound: float,
+                    keep_le: bool):
+    """Sutherland-Hodgman clip of one closed ring against x <= bound
+    (keep_le) or x >= bound — fully vectorized: emit kept vertices and
+    boundary crossings in traversal order via cumsum positioning."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    x1 = np.roll(xs, -1); y1 = np.roll(ys, -1)
+    in0 = xs <= bound if keep_le else xs >= bound
+    in1 = x1 <= bound if keep_le else x1 >= bound
+    cross = in0 != in1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (bound - xs) / (x1 - xs)
+    cy = ys + t * (y1 - ys)
+    counts = in0.astype(np.int64) + cross.astype(np.int64)
+    total = int(counts.sum())
+    out_x = np.empty(total); out_y = np.empty(total)
+    pos = np.cumsum(counts) - counts
+    out_x[pos[in0]] = xs[in0]; out_y[pos[in0]] = ys[in0]
+    cpos = pos + in0.astype(np.int64)
+    out_x[cpos[cross]] = bound; out_y[cpos[cross]] = cy[cross]
+    return out_x, out_y
+
+
+def cut_dateline_rings(rings_xs, rings_ys, offset: float = 10.0):
+    """Cut geometry RINGS at the antimeridian — the geometry-level
+    analogue of :func:`cut_antimeridian_bbox` and of the reference's
+    WRAPDATELINE/DATELINEOFFSET transform option
+    (`fiona/_transform.pyx:151-160`; OGR default offset 10 deg).
+
+    Input rings use the engine's continuous wrap convention (x beyond
+    +/-180 for straddling features, as transforms produce).  Rings whose
+    x-extent reaches past a dateline by more than 1e-9 are split by
+    halfplane clipping into a west part and an east part shifted back
+    into [-180, 180]; everything else passes through untouched.
+    ``offset`` bounds how far past the dateline a ring may reach and
+    still be considered one wrapped feature (beyond it the coordinates
+    are treated as malformed and returned unchanged, mirroring OGR's
+    DATELINEOFFSET window).  Concave rings may come back as one ring
+    with bridge edges ON the cut meridian — even-odd parity downstream
+    is unaffected.  Returns (rings_xs, rings_ys, was_cut).
+    """
+    out_xs, out_ys, was_cut = [], [], False
+    for rx, ry in zip(rings_xs, rings_ys):
+        xs = np.asarray(rx, np.float64)
+        ys = np.asarray(ry, np.float64)
+        xmax = xs.max() if len(xs) else 0.0
+        xmin = xs.min() if len(xs) else 0.0
+        if xmax > 180.0 + offset or xmin < -180.0 - offset:
+            out_xs.append(xs); out_ys.append(ys)      # outside the window
+            continue
+        if xmax > 180.0:
+            w = _clip_halfplane(xs, ys, 180.0, keep_le=True)
+            e = _clip_halfplane(xs, ys, 180.0, keep_le=False)
+            was_cut = True
+            if len(w[0]) >= 3:
+                out_xs.append(w[0]); out_ys.append(w[1])
+            if len(e[0]) >= 3:
+                out_xs.append(e[0] - 360.0); out_ys.append(e[1])
+        elif xmin < -180.0:
+            e = _clip_halfplane(xs, ys, -180.0, keep_le=False)
+            w = _clip_halfplane(xs, ys, -180.0, keep_le=True)
+            was_cut = True
+            if len(e[0]) >= 3:
+                out_xs.append(e[0]); out_ys.append(e[1])
+            if len(w[0]) >= 3:
+                out_xs.append(w[0] + 360.0); out_ys.append(w[1])
+        else:
+            out_xs.append(xs); out_ys.append(ys)
+    return out_xs, out_ys, was_cut

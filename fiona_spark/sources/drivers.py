@@ -35,6 +35,23 @@ def supported_drivers() -> dict[str, str]:
     return {k: v[2] for k, v in sorted(_REGISTRY.items())}
 
 
+def check_mode(name: str, mode: str) -> None:
+    """Gate a driver on the requested IO mode, the reference's
+    collection-open rule (`fiona/collection.py`: unsupported driver ->
+    DriverError, then mode not in supported_drivers[driver] ->
+    DriverError; capability table `fiona/drvsupport.py:16-178`).
+    Modes: 'r' read, 'w' write/overwrite, 'a' append."""
+    if name not in _REGISTRY:
+        raise DriverError(f"unsupported driver: {name!r}")
+    if mode not in ("r", "w", "a"):
+        raise DriverError(f"unsupported mode: {mode!r}")
+    modes = _REGISTRY[name][2]
+    if mode not in modes:
+        raise DriverError(
+            f"unsupported mode {mode!r} for driver {name!r} "
+            f"(supports {modes!r})")
+
+
 _EXT_TO_DRIVER = {
     ".parquet": "parquet", ".pq": "parquet",
     ".csv": "csv", ".tsv": "csv",
@@ -174,16 +191,19 @@ register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
     """``fiona.open(path)`` analogue: driver from extension unless given."""
     name = driver or driver_from_extension(path)
-    if name not in _REGISTRY:
-        raise DriverError(f"unknown driver {name!r}")
+    check_mode(name, "r")
     reader, _w, _m = _REGISTRY[name]
     return reader(spark, path, **opts)
 
 
 def write_dataset(df: DataFrame, path: str, driver: str | None = None,
-                  **opts) -> None:
+                  mode: str = "w", **opts) -> None:
+    """``fiona.open(path, 'w'|'a')`` analogue; ``mode='a'`` appends and
+    is gated on the driver's capability string like the reference."""
     name = driver or driver_from_extension(path)
-    if name not in _REGISTRY:
-        raise DriverError(f"unknown driver {name!r}")
+    check_mode(name, mode)
     _r, writer, _m = _REGISTRY[name]
-    writer(df, path, **opts)
+    if mode == "a":
+        writer(df, path, mode="append", **opts)
+    else:
+        writer(df, path, **opts)

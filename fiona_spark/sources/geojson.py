@@ -50,7 +50,7 @@ def feature_struct(df: DataFrame, id_col: str = "id",
 
 def write_feature_seq(df: DataFrame, path: str, id_col: str = "id",
                       geom_type: str = "Polygon",
-                      use_rs: bool = False) -> None:
+                      use_rs: bool = False, mode: str = "overwrite") -> None:
     """``fio cat`` sink: one GeoJSON feature per line (RS-optional).
 
     Distributed text write — one part file per partition, exactly like
@@ -60,7 +60,7 @@ def write_feature_seq(df: DataFrame, path: str, id_col: str = "id",
     line = F.to_json(F.col("feature"))
     if use_rs:
         line = F.concat(F.lit(RS), line)
-    feats.select(line.alias("value")).write.mode("overwrite").text(path)
+    feats.select(line.alias("value")).write.mode(mode).text(path)
 
 
 def write_collection(df: DataFrame, path: str, id_col: str = "id",

@@ -206,3 +206,27 @@ def test_dissolve_components_exact_for_disjoint(spark):
     assert not merged["exact"]
     hx = merged["rings_xs"][0]
     assert min(hx) == 29.0 and max(hx) == 32.0   # hull spans both squares
+
+
+def test_driver_mode_gating(spark, tmp_path):
+    """Per-driver mode capability gating (fiona/drvsupport.py:16-178 +
+    the collection-open DriverError rule): geojson has no append mode,
+    unknown drivers and modes raise."""
+    import pytest
+
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import drivers
+    caps = drivers.supported_drivers()
+    assert caps["parquet"] == "raw" and caps["geojson"] == "rw"
+    with pytest.raises(DriverError, match="unsupported mode 'a'"):
+        drivers.check_mode("geojson", "a")
+    with pytest.raises(DriverError, match="unsupported driver"):
+        drivers.check_mode("shapefile", "r")
+    with pytest.raises(DriverError, match="unsupported mode"):
+        drivers.check_mode("csv", "x")
+    # append actually appends for an 'a'-capable driver
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "gid int, name string")
+    p = str(tmp_path / "out.parquet")
+    drivers.write_dataset(src, p)
+    drivers.write_dataset(src, p, mode="a")
+    assert drivers.open_dataset(spark, p).count() == 4

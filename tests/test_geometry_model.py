@@ -97,3 +97,60 @@ def test_hole_points_excluded_island_included(spark, zones_multi):
         # 'multi': center sits between the two parts — outside both
         elif z["kind"] == "multi":
             assert z["zone_id"] not in hit_own
+
+
+# -- geometry-level antimeridian cutting (r2 "what's missing" #4,
+# -- fiona/_transform.pyx:131-183 WRAPDATELINE/DATELINEOFFSET) --------------
+
+def test_cut_dateline_rings_straddler():
+    from fiona_spark import geom
+    xs, ys, cut = geom.cut_dateline_rings(
+        [[170.0, 190.0, 190.0, 170.0]], [[-5.0, -5.0, 5.0, 5.0]])
+    assert cut and len(xs) == 2
+    area = sum(geom.shoelace_area(x, y) for x, y in zip(xs, ys))
+    assert area == 200.0
+    allx = np.concatenate(xs)
+    assert allx.min() >= -180.0 and allx.max() <= 180.0
+
+
+def test_cut_dateline_rings_west_wrap_and_passthrough():
+    from fiona_spark import geom
+    xs, ys, cut = geom.cut_dateline_rings(
+        [[-190.0, -170.0, -170.0, -190.0], [0.0, 10.0, 10.0, 0.0]],
+        [[0.0, 0.0, 8.0, 8.0], [0.0, 0.0, 1.0, 1.0]])
+    assert cut and len(xs) == 3
+    area = sum(geom.shoelace_area(x, y) for x, y in zip(xs, ys))
+    assert area == 160.0 + 10.0
+    # non-wrapping ring untouched
+    assert [list(v) for v in xs if list(v) == [0.0, 10.0, 10.0, 0.0]]
+
+
+def test_cut_dateline_beyond_offset_window_passthrough():
+    from fiona_spark import geom
+    xs, ys, cut = geom.cut_dateline_rings(
+        [[200.0, 210.0, 210.0, 200.0]], [[0.0, 0.0, 1.0, 1.0]], offset=10.0)
+    assert not cut and len(xs) == 1          # malformed: outside window
+
+
+def test_transform_geom_udf_cuts_after_reprojection(spark):
+    """A 3857 polygon whose longitudes wrap past 180 after inverse
+    projection comes back as a cut 2-ring feature inside [-180, 180]."""
+    import pandas as pd
+    from fiona_spark import geom
+    from fiona_spark.functions import geometry as fg
+    # build in 4326 with wrap convention, project to 3857 (continuous x)
+    wxs, wys = geom.to_3857(np.array([175.0, 185.0, 185.0, 175.0]),
+                            np.array([-3.0, -3.0, 3.0, 3.0]))
+    df = spark.createDataFrame(pd.DataFrame({
+        "gid": [1],
+        "rings_xs": [[wxs.tolist()]], "rings_ys": [[wys.tolist()]]}))
+    out = df.select(
+        "gid", fg.transform_geom_udf("EPSG:3857", "EPSG:4326")(
+            "rings_xs", "rings_ys").alias("g")).first()["g"]
+    rx, ry = out["rings_xs"], out["rings_ys"]
+    assert len(rx) == 2
+    allx = np.concatenate([np.asarray(r) for r in rx])
+    assert allx.min() >= -180.0 and allx.max() <= 180.0
+    area = sum(geom.shoelace_area(np.asarray(x), np.asarray(y))
+               for x, y in zip(rx, ry))
+    assert area == pytest.approx(60.0, rel=1e-9)
