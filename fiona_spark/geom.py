@@ -425,6 +425,14 @@ class UnionDegeneracyError(ValueError):
     pinch vertices): caller should fall back to an approximation."""
 
 
+def _param_on(ex, ey, dx, dy, px, py):
+    """Parameter of point (px,py) along edge (ex,ey)+(dx,dy), measured
+    on the dominant axis (exact for points ON the edge's line)."""
+    if abs(dx) >= abs(dy):
+        return (px - ex) / dx if dx != 0 else None
+    return (py - ey) / dy if dy != 0 else None
+
+
 def _canon_ring(xs: np.ndarray, ys: np.ndarray):
     """Open the ring, orient CCW, rotate the lexicographically smallest
     vertex first (so exact duplicates compare equal)."""
@@ -447,14 +455,20 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
     Boundary-fragment algorithm, all numpy:
       1. split every edge at its proper intersections with edges of
          other polygons (intersection points computed once per pair, so
-         both owners share bit-identical split coordinates);
-      2. keep a fragment iff its midpoint lies strictly outside every
-         other polygon (even-odd, packed-edge kernel);
+         both owners share bit-identical split coordinates); COLLINEAR
+         overlapping edges — shared parcel borders, the common dissolve
+         input — split at each other's exact endpoints instead of
+         raising;
+      2. keep a fragment iff a probe just off its EXTERIOR side (right
+         of the CCW direction, eps = 1e-9 x component diagonal) is
+         outside the union of all polygons (even-odd, packed-edge
+         kernel) — this drops interior shared borders and keeps one
+         copy of stacked boundary segments;
       3. stitch kept fragments end-to-start (exact float matching) into
          closed rings.
-    In general position every stitch vertex has exactly one outgoing
-    fragment; degeneracies (collinear overlapping edges, T-touches that
-    pinch the boundary) raise :class:`UnionDegeneracyError`.
+    Residual degeneracies (pinch vertices where two kept fragments
+    leave one point, e.g. checkerboard corner contacts; geometry closer
+    than eps to another boundary) raise :class:`UnionDegeneracyError`.
     Exact duplicate rings are deduplicated up-front.
     """
     rings = {}
@@ -507,19 +521,23 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
             u = unum / denom
         par = denom == 0
         if np.any(par & (tnum == 0)):
-            # collinear candidate: overlapping only if projections meet
+            # collinear pair (shared parcel borders — the COMMON dissolve
+            # input): split each edge at the other's endpoints that fall
+            # strictly inside it.  Split coordinates are the other
+            # edge's EXACT endpoint floats, so both owners' fragments
+            # agree bitwise and the exterior-side probe below resolves
+            # which copies sit on the union boundary.
             ci = np.nonzero(par & (tnum == 0))[0]
             for k in ci:
                 a, b = ai[k], bi[k]
-                alo, ahi = exmin[a], exmax[a]
-                if rx_[a] == 0:          # vertical: compare on y
-                    alo, ahi = eymin[a], eymax[a]
-                    blo, bhi = eymin[b], eymax[b]
-                else:
-                    blo, bhi = exmin[b], exmax[b]
-                if min(ahi, bhi) > max(alo, blo):
-                    raise UnionDegeneracyError(
-                        "collinear overlapping edges")
+                for (px_, py_) in ((x0[b], y0[b]), (x1[b], y1[b])):
+                    tt = _param_on(x0[a], y0[a], rx_[a], ry_[a], px_, py_)
+                    if tt is not None and 0.0 < tt < 1.0:
+                        splits[a].append((tt, float(px_), float(py_)))
+                for (px_, py_) in ((x0[a], y0[a]), (x1[a], y1[a])):
+                    uu = _param_on(x0[b], y0[b], rx_[b], ry_[b], px_, py_)
+                    if uu is not None and 0.0 < uu < 1.0:
+                        splits[b].append((uu, float(px_), float(py_)))
             t[par] = np.nan
         ok = (~par) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
         # at least one side strictly interior: endpoint-only contacts at
@@ -535,7 +553,7 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
             if 0.0 < uu < 1.0:
                 splits[b].append((uu, ix, iy))
 
-    # --- 2. fragments + midpoint coverage against other polygons
+    # --- 2. fragments + EXTERIOR-side probe
     fsx, fsy, fex, fey, fown = [], [], [], [], []
     for ei in range(ne):
         pts = [(0.0, float(x0[ei]), float(y0[ei]))]
@@ -553,23 +571,44 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
     nf = len(fsx)
     mx = (fsx + fex) * 0.5; my = (fsy + fey) * 0.5
 
+    # Keep a fragment iff a probe just off its EXTERIOR side (right of
+    # the CCW direction) lies outside the union of ALL polygons.  For
+    # general-position fragments this equals the classic "midpoint
+    # strictly outside every other polygon" rule (the interior side is
+    # always inside via the owner); for fragments shared by collinear
+    # boundaries it additionally drops interior shared borders
+    # (adjacent parcels) and keeps one copy of stacked exterior ones.
+    # eps is 1e-9 of the component diagonal: geometry closer than that
+    # to another boundary is below the kernel's resolution.
+    fdx = fex - fsx; fdy = fey - fsy
+    fln = np.hypot(fdx, fdy)
+    diag = float(np.hypot(x0.max() - x0.min(), y0.max() - y0.min())) or 1.0
+    eps = 1e-9 * diag
+    prx = mx + eps * (fdy / fln)
+    pry = my - eps * (fdx / fln)
+
     k_polys = len(polys)
     edge_offs, ex0p, ey0p, ex1p, ey1p = pack_feature_edges(
         [[p[0]] for p in polys], [[p[1]] for p in polys])
     frag_i = np.repeat(np.arange(nf), k_polys)
     poly_j = np.tile(np.arange(k_polys), nf)
-    mask = poly_j != fown[frag_i]
-    frag_i, poly_j = frag_i[mask], poly_j[mask]
-    inside = points_in_edges_packed(mx[frag_i], my[frag_i], poly_j,
+    inside = points_in_edges_packed(prx[frag_i], pry[frag_i], poly_j,
                                     edge_offs, ex0p, ey0p, ex1p, ey1p)
     covered = np.zeros(nf, dtype=bool)
     np.logical_or.at(covered, frag_i, inside)
     keep = ~covered
 
-    # --- 3. stitch kept fragments into rings
+    # --- 3. stitch kept fragments into rings (dedupe stacked copies:
+    # two polygons tracing the same directed sub-edge keep ONE)
     start_map: dict = {}
+    seen_dir: set = set()
     for fi in np.nonzero(keep)[0]:
-        key = (float(fsx[fi]), float(fsy[fi]))
+        dkey = (float(fsx[fi]), float(fsy[fi]),
+                float(fex[fi]), float(fey[fi]))
+        if dkey in seen_dir:
+            continue
+        seen_dir.add(dkey)
+        key = dkey[:2]
         if key in start_map:
             raise UnionDegeneracyError(f"pinch vertex at {key}")
         start_map[key] = int(fi)

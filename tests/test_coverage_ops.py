@@ -203,9 +203,13 @@ def test_dissolve_components_exact_for_disjoint(spark):
     singles = out[out["n_members"] == 1]
     assert len(singles) == 3 and singles["exact"].all()
     merged = out[out["n_members"] == 2].iloc[0]
-    assert not merged["exact"]
+    # r3: overlapping squares with collinear shared top/bottom edges
+    # dissolve EXACTLY now (boundary-fragment union, not the hull)
+    assert merged["exact"]
     hx = merged["rings_xs"][0]
-    assert min(hx) == 29.0 and max(hx) == 32.0   # hull spans both squares
+    assert min(hx) == 29.0 and max(hx) == 32.0
+    from fiona_spark import geom
+    assert geom.union_area(merged["rings_xs"], merged["rings_ys"]) == 6.0
 
 
 def test_driver_mode_gating(spark, tmp_path):

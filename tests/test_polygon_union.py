@@ -181,11 +181,64 @@ def test_random_convex_fuzz():
         _check(polys)
 
 
-def test_collinear_overlap_raises():
+def test_shared_edge_parcels_exact():
+    """Adjacent parcels sharing a full border (THE canonical dissolve
+    input) union exactly: interior shared edge dropped, area additive."""
+    rings = geom.polygon_union(
+        [[0, 2, 2, 0], [2, 4, 4, 2]],     # shared vertical edge x=2
+        [[0, 0, 2, 2], [0, 0, 2, 2]])
+    assert len(rings[0]) == 1
+    assert geom.union_area(*rings) == 8.0
+    allx = np.concatenate(rings[0])
+    # no stray vertex chain along the dissolved border
+    assert sorted(set(allx)) == [0.0, 2.0, 4.0]
+
+
+def test_parcel_grid_3x3_exact():
+    """3x3 grid of unit parcels, every internal border shared: union is
+    the 3x3 square, exactly."""
+    xs, ys = [], []
+    for i in range(3):
+        for j in range(3):
+            xs.append([i, i + 1, i + 1, i])
+            ys.append([j, j, j + 1, j + 1])
+    rings = geom.polygon_union(xs, ys)
+    assert len(rings[0]) == 1
+    assert geom.union_area(*rings) == 9.0
+    want, got = _membership_diff(list(zip(xs, ys)), rings)
+    assert (want == got).all()
+
+
+def test_partial_shared_border_exact():
+    """Borders that only PARTIALLY overlap (parcel rows of different
+    heights) still dissolve exactly."""
+    polys = [([0, 2, 2, 0], [0, 0, 3, 3]),
+             ([2, 4, 4, 2], [1, 1, 2, 2])]    # shares x=2 for y in [1,2]
+    rings = geom.polygon_union([p[0] for p in polys],
+                               [p[1] for p in polys])
+    assert geom.union_area(*rings) == 6.0 + 2.0
+    want, got = _membership_diff(polys, rings)
+    assert (want == got).all()
+
+
+def test_stacked_overlap_with_shared_boundary_segment():
+    """B inside A with part of B's boundary ON A's boundary: stacked
+    boundary copies dedupe, union == A."""
+    polys = [([0, 4, 4, 0], [0, 0, 4, 4]),
+             ([1, 3, 3, 1], [0, 0, 2, 2])]    # B's bottom edge on A's
+    rings = geom.polygon_union([p[0] for p in polys],
+                               [p[1] for p in polys])
+    assert len(rings[0]) == 1
+    assert geom.union_area(*rings) == 16.0
+
+
+def test_checkerboard_corner_pinch_raises():
+    """Two squares sharing exactly one corner point (interiors diagonal)
+    pinch the boundary: four kept fragments leave one vertex."""
     with pytest.raises(geom.UnionDegeneracyError):
         geom.polygon_union(
-            [[0, 2, 2, 0], [2, 4, 4, 2]],     # shared vertical edge x=2
-            [[0, 0, 2, 2], [0, 0, 2, 2]])
+            [[0, 2, 2, 0], [2, 4, 4, 2]],
+            [[0, 0, 2, 2], [2, 2, 4, 4]])     # touch only at (2, 2)
 
 
 def test_dissolve_components_exact_union(spark):
@@ -210,8 +263,21 @@ def test_dissolve_components_exact_union(spark):
 
 
 def test_dissolve_falls_back_to_hull_on_degeneracy(spark):
-    """Collinear shared edges (the old coverage fixture's overlap pair)
-    still dissolve — via the hull, flagged exact=False."""
+    """A residual degeneracy (checkerboard corner pinch) still
+    dissolves — via the hull, flagged exact=False."""
+    import pandas as pd
+    from fiona_spark.operators import aggregates
+    df = spark.createDataFrame(pd.DataFrame({
+        "fid": [0, 1],
+        "xs": [[0.0, 2.0, 2.0, 0.0], [2.0, 4.0, 4.0, 2.0]],
+        "ys": [[0.0, 0.0, 2.0, 2.0], [2.0, 2.0, 4.0, 4.0]]}))
+    out = aggregates.dissolve_components(df, "fid").toPandas()
+    assert len(out) == 1 and not out["exact"].iloc[0]
+
+
+def test_dissolve_shared_edge_parcels_now_exact(spark):
+    """The r2-era hull case — same-extent squares sharing a border —
+    now dissolves EXACTLY (collinear support)."""
     import pandas as pd
     from fiona_spark.operators import aggregates
     df = spark.createDataFrame(pd.DataFrame({
@@ -219,4 +285,30 @@ def test_dissolve_falls_back_to_hull_on_degeneracy(spark):
         "xs": [[29.0, 31.0, 31.0, 29.0], [30.0, 32.0, 32.0, 30.0]],
         "ys": [[-1.0, -1.0, 1.0, 1.0], [-1.0, -1.0, 1.0, 1.0]]}))
     out = aggregates.dissolve_components(df, "fid").toPandas()
-    assert len(out) == 1 and not out["exact"].iloc[0]
+    assert len(out) == 1 and out["exact"].iloc[0]
+    assert geom.union_area(out["rings_xs"].iloc[0],
+                           out["rings_ys"].iloc[0]) == 6.0
+
+
+def test_random_snapped_parcel_fuzz():
+    """Rectangles snapped to a 0.5 grid: collinear partial/full shared
+    borders everywhere.  Union must match the membership oracle and the
+    sweep area on every trial (pinch-corner trials are legitimate
+    degeneracies and are skipped)."""
+    rng = np.random.default_rng(41)
+    ok_trials = 0
+    for trial in range(20):
+        polys = []
+        for _ in range(rng.integers(2, 8)):
+            cx = rng.integers(0, 10) * 0.5
+            cy = rng.integers(0, 10) * 0.5
+            w = rng.integers(1, 6) * 0.5
+            h = rng.integers(1, 6) * 0.5
+            polys.append(([cx, cx + w, cx + w, cx],
+                          [cy, cy, cy + h, cy + h]))
+        try:
+            _check(polys)
+            ok_trials += 1
+        except geom.UnionDegeneracyError:
+            continue   # corner pinch: legal fallback
+    assert ok_trials >= 12   # the vast majority must union exactly

@@ -118,7 +118,8 @@ def test_dissolve_driver_state_bounded_by_edges(spark):
     got = {(r["exact"], r["n_members"]): r["count"]
            for r in agg.to_dict("records")}
     assert got[(True, 1)] == n
-    assert got[(False, 2)] == 1
+    # the overlapping pair dissolves exactly (r3 collinear union)
+    assert got[(True, 2)] == 1
 
 
 def test_detect_encoding_truncated_utf8_not_flipped(tmp_path):
