@@ -136,10 +136,25 @@ def q_keys_projection(spark, sf_dir):
 # 2. Aggregates (SURVEY.md section 2.4)
 # ===========================================================================
 
-@register("count_table", "SELECT count(*) AS n FROM lineitem")
-def q_count_table(spark, sf_dir):
-    """len(collection) (fiona/collection.py:583-590)."""
-    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+# (count_table — SELECT count(*) — retired in r3 for the 50-query cap:
+# row counting is implicitly verified by every query's rows_match and
+# by info_summary's pytest; the freed slot drives dissolve_comp below)
+
+
+@register("dissolve_comp")
+def q_dissolve_comp(spark, sf_dir):
+    """Connected-component dissolve grouping (`fio reduce` components):
+    the engine builds overlap edges with the distributed range join
+    (covering-cell equi-join + ref-point dedup) and a min-id-labeled
+    union-find over edge endpoints only; the oracle rebuilds the same
+    components in pure SQL via a recursive-CTE transitive closure over
+    the envelope-intersects graph.  Verifies the distributed edge
+    generation AND the component labeling; ring geometry stays
+    pytest-verified (test_polygon_union)."""
+    _img, zon = _canon_paths()
+    zones = spark.read.parquet(zon).select("zone_id", "xs", "ys")
+    out = aggregates.dissolve_components(zones, "zone_id")
+    return out.select("component", F.col("n_members").cast("long"))
 
 
 @register("extent_pts", f"""
@@ -582,6 +597,25 @@ FROM i
     ORACLES["datetime_tz"] = f"""
 SELECT rid, y, mo, dd, hh, mi, ss, us, tzm, tzc, gmt
 FROM read_parquet('{dt_path}')
+"""
+    ORACLES["dissolve_comp"] = f"""
+WITH RECURSIVE z AS (
+  SELECT zone_id, list_min(xs) AS xmin, list_min(ys) AS ymin,
+         list_max(xs) AS xmax, list_max(ys) AS ymax
+  FROM read_parquet('{zon}')
+), e AS (
+  SELECT a.zone_id AS ida, b.zone_id AS idb
+  FROM z a JOIN z b
+    ON a.xmax >= b.xmin AND a.xmin <= b.xmax
+   AND a.ymax >= b.ymin AND a.ymin <= b.ymax
+), r(id, nb) AS (
+  SELECT ida, idb FROM e
+  UNION
+  SELECT r.id, e.idb FROM r JOIN e ON r.nb = e.ida
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM (SELECT id, min(nb) AS component FROM r GROUP BY id)
+GROUP BY component
 """
 
 

@@ -157,9 +157,20 @@ def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",
     singles = base
     multi_out = None
     if edge_ids:
+        # label components by their MIN member id: deterministic,
+        # independent of union order, and reproducible in ANSI SQL
+        # (the driver oracle rebuilds it via transitive closure)
+        members: dict = {}
+        for i in edge_ids:
+            members.setdefault(find(i), []).append(i)
+        label = {}
+        for ms in members.values():
+            m = min(ms)
+            for i in ms:
+                label[i] = m
         comp_df = spark.createDataFrame(
             pd.DataFrame({id_col: edge_ids,
-                          "component": [find(i) for i in edge_ids]}))
+                          "component": [label[i] for i in edge_ids]}))
         singles = base.join(F.broadcast(comp_df.select(id_col)),
                             id_col, "left_anti")
 
