@@ -69,9 +69,16 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # warm the JVM + python workers on a trivial job (not timed)
+    # warm the JVM + python workers on a trivial job (not timed).
+    # The pandas-UDF job actually SPAWNS the Python workers and
+    # compiles an Arrow exchange; without it the first timed query
+    # absorbs ~2 s of worker fork + codegen that is one-off session
+    # setup, not operator cost (same treatment as the table opens).
     spark.range(1000).select(F.sum("id")).collect()
     images().limit(1).collect()
+    _warm = F.pandas_udf(lambda v: v * 1.0, "double")
+    (spark.range(32 * 1000).repartition(32)
+     .select(F.sum(_warm(F.col("id").cast("double")))).collect())
 
     # q1: exact PIP spatial join (cell equi-join + vectorized residual)
     bench("pip_join", lambda: spatial.pip_join(

@@ -181,7 +181,7 @@ def pack_feature_edges(rings_xs, rings_ys):
     [edge_offs[i], edge_offs[i+1]).
     """
     counts = np.empty(len(rings_xs), dtype=np.int64)
-    x0l, y0l, x1l, y1l = [], [], [], []
+    x0l, y0l, ring_lens = [], [], []
     for i, (rx_list, ry_list) in enumerate(zip(rings_xs, rings_ys)):
         n_e = 0
         for rx, ry in zip(rx_list, ry_list):
@@ -190,12 +190,26 @@ def pack_feature_edges(rings_xs, rings_ys):
             if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
                 xs, ys = xs[:-1], ys[:-1]
             x0l.append(xs); y0l.append(ys)
-            x1l.append(np.roll(xs, -1)); y1l.append(np.roll(ys, -1))
+            ring_lens.append(len(xs))
             n_e += len(xs)
         counts[i] = n_e
     edge_offs = np.concatenate(([0], np.cumsum(counts)))
-    cat = (lambda lst: np.concatenate(lst) if lst else np.empty(0))
-    return edge_offs, cat(x0l), cat(y0l), cat(x1l), cat(y1l)
+    if not x0l:
+        z = np.empty(0)
+        return edge_offs, z, z, z, z
+    x0 = np.concatenate(x0l)
+    y0 = np.concatenate(y0l)
+    # closing edges via ONE global roll + per-ring boundary fix (a
+    # per-ring np.roll pair was ~half the zone-prep driver time at
+    # 10^4 rings)
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    lens = np.asarray(ring_lens, dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    ends = starts + lens - 1
+    x1[ends] = x0[starts]
+    y1[ends] = y0[starts]
+    return edge_offs, x0, y0, x1, y1
 
 
 def points_in_edges_packed(px, py, fidx, edge_offs, ex0, ey0, ex1, ey1) -> np.ndarray:

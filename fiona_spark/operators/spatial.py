@@ -332,11 +332,14 @@ def _zone_prep(zones: DataFrame, zone_cols, res: int | None,
         rings_xs = [[v] for v in zpdf["xs"].tolist()]
         rings_ys = [[v] for v in zpdf["ys"].tolist()]
     edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(rings_xs, rings_ys)
+    # per-feature wrap flags via segmented reduce (no Python loop)
     feat_wrap = np.zeros(len(zpdf), dtype=bool)
-    for i in range(len(zpdf)):
-        s, t = edge_offs[i], edge_offs[i + 1]
-        feat_wrap[i] = (ex0[s:t].max() > 180.0 or ex0[s:t].min() < -180.0) \
-            if t > s else False
+    nonempty = edge_offs[:-1] < edge_offs[1:]
+    if len(ex0) and nonempty.any():
+        seg = edge_offs[:-1][nonempty]
+        fmax = np.maximum.reduceat(ex0, seg)
+        fmin = np.minimum.reduceat(ex0, seg)
+        feat_wrap[nonempty] = (fmax > 180.0) | (fmin < -180.0)
     return zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1, feat_wrap
 
 
