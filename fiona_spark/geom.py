@@ -460,8 +460,9 @@ def _canon_ring(xs: np.ndarray, ys: np.ndarray):
 
 
 def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
-    """Exact boolean union of simple polygons (one CCW-normalized ring
-    each), even-odd semantics.  Returns (rings_xs, rings_ys): the union
+    """Exact boolean union of simple single-ring polygons — the
+    one-ring-per-feature convenience wrapper over
+    :func:`feature_union`.  Returns (rings_xs, rings_ys): the union
     boundary — outer rings CCW, holes CW, so the SIGNED shoelace sum is
     the exact union area and the rings drop straight into the engine's
     even-odd PIP kernels.
@@ -485,23 +486,65 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
     than eps to another boundary) raise :class:`UnionDegeneracyError`.
     Exact duplicate rings are deduplicated up-front.
     """
-    rings = {}
-    for rx, ry in zip(polys_x, polys_y):
-        xs, ys = _canon_ring(np.asarray(rx, np.float64),
-                             np.asarray(ry, np.float64))
-        rings[(xs.tobytes(), ys.tobytes())] = (xs, ys)
-    polys = list(rings.values())
-    if len(polys) == 1:
-        return [polys[0][0]], [polys[0][1]]
+    return feature_union([[rx] for rx in polys_x],
+                         [[ry] for ry in polys_y], max_edges)
 
-    owner_l, x0_l, y0_l, x1_l, y1_l = [], [], [], [], []
-    for i, (xs, ys) in enumerate(polys):
-        owner_l.append(np.full(len(xs), i, dtype=np.int64))
-        x0_l.append(xs); y0_l.append(ys)
-        x1_l.append(np.roll(xs, -1)); y1_l.append(np.roll(ys, -1))
+
+def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
+    """Exact even-odd union of MULTI-RING features (holes included):
+    the general form behind :func:`polygon_union`, also consumed by the
+    two-stage exact ``dissolve_union`` (whose partial results carry
+    holes).  ``feat_rings_xs[i]`` is the ring list of feature i.  Ring
+    roles derive from NESTING DEPTH within the feature (even = outer,
+    odd = hole) and rings are oriented interior-on-left (outer CCW,
+    hole CW) so the exterior-side probe of the fragment keep rule works
+    unchanged.  Returns (rings_xs, rings_ys) with the same orientation
+    convention.
+    """
+    feats: dict = {}
+    for frx, fry in zip(feat_rings_xs, feat_rings_ys):
+        rings = []
+        for rx, ry in zip(frx, fry):
+            xs = np.asarray(rx, np.float64)
+            ys = np.asarray(ry, np.float64)
+            if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]
+            k = np.lexsort((ys, xs))[0]
+            rings.append((np.roll(xs, -k), np.roll(ys, -k)))
+        oriented = []
+        for i, (xs, ys) in enumerate(rings):
+            depth = sum(
+                1 for j, (ox, oy) in enumerate(rings)
+                if j != i and points_in_polygon(xs[:1], ys[:1], ox, oy)[0])
+            signed = float(np.sum(xs * np.roll(ys, -1)
+                                  - np.roll(xs, -1) * ys)) * 0.5
+            if (signed > 0) != (depth % 2 == 0):
+                xs, ys = xs[::-1].copy(), ys[::-1].copy()
+                k = np.lexsort((ys, xs))[0]
+                xs, ys = np.roll(xs, -k), np.roll(ys, -k)
+            oriented.append((xs, ys))
+        key = tuple(sorted((xs.tobytes(), ys.tobytes())
+                           for xs, ys in oriented))
+        feats[key] = oriented
+    polys = list(feats.values())
+    if len(polys) == 1:
+        return [r[0] for r in polys[0]], [r[1] for r in polys[0]]
+
+    owner_l, x0_l, y0_l, ring_lens = [], [], [], []
+    for i, feat_rings in enumerate(polys):
+        for xs, ys in feat_rings:
+            owner_l.append(np.full(len(xs), i, dtype=np.int64))
+            x0_l.append(xs); y0_l.append(ys)
+            ring_lens.append(len(xs))
     owner = np.concatenate(owner_l)
     x0 = np.concatenate(x0_l); y0 = np.concatenate(y0_l)
-    x1 = np.concatenate(x1_l); y1 = np.concatenate(y1_l)
+    # closing edges: one global roll + per-ring boundary fix
+    x1 = np.roll(x0, -1); y1 = np.roll(y0, -1)
+    lens = np.asarray(ring_lens, dtype=np.int64)
+    rstarts = np.cumsum(lens) - lens
+    rends = rstarts + lens - 1
+    x1[rends] = x0[rstarts]
+    y1[rends] = y0[rstarts]
     ne = len(owner)
     if ne > max_edges:
         raise UnionDegeneracyError(f"{ne} edges exceed max_edges={max_edges}")
@@ -603,7 +646,8 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
 
     k_polys = len(polys)
     edge_offs, ex0p, ey0p, ex1p, ey1p = pack_feature_edges(
-        [[p[0]] for p in polys], [[p[1]] for p in polys])
+        [[r[0] for r in f] for f in polys],
+        [[r[1] for r in f] for f in polys])
     frag_i = np.repeat(np.arange(nf), k_polys)
     poly_j = np.tile(np.arange(k_polys), nf)
     inside = points_in_edges_packed(prx[frag_i], pry[frag_i], poly_j,

@@ -64,30 +64,61 @@ def info(df: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> dict:
 
 def dissolve_union(df: DataFrame, xs: str = "xs", ys: str = "ys") -> tuple:
     """``fio reduce '(unary_union c)'`` equivalent: dissolve all polygons
-    to one geometry.
+    to one (multi-ring) geometry — EXACT via the boundary-fragment
+    union kernel.
 
-    Two-stage hierarchical union (partial per partition, final on the
-    driver over the few partial hulls) — the treeAggregate shape from
-    SURVEY.md section 2.4.  Uses convex hulls (engine has no general
-    polygon clipper); exactness is asserted for disjoint/convex inputs
-    in tests.  Raises ReduceError on empty input, mirroring the
-    single-value contract (`fiona/features.py:282-316`).
+    Two-stage hierarchical union (the treeAggregate shape from
+    SURVEY.md section 2.4): each partition unions its polygons with
+    :func:`geom.feature_union` (executor-side numpy, output bounded by
+    the partition's union boundary, not its row count), then the driver
+    unions the few partial multi-ring results.  A partition or the
+    final stage that hits a union degeneracy (pinch contact) degrades
+    to the convex hull, reported in the third return element.  Returns
+    ``(rings_xs, rings_ys, exact)`` — outer rings CCW, holes CW.
+    Raises ReduceError on empty input, mirroring the single-value
+    contract (`fiona/features.py:282-316`).
     """
     def partial(batches):
+        acc_x: list = []
+        acc_y: list = []
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            px = np.concatenate([np.asarray(v, np.float64) for v in pdf[xs]])
-            py = np.concatenate([np.asarray(v, np.float64) for v in pdf[ys]])
-            hx, hy = geom.convex_hull(px, py)
-            yield pd.DataFrame({"hx": [hx.tolist()], "hy": [hy.tolist()]})
+            acc_x.extend([np.asarray(v, np.float64) for v in pdf[xs]])
+            acc_y.extend([np.asarray(v, np.float64) for v in pdf[ys]])
+        if not acc_x:
+            return
+        try:
+            uxs, uys = geom.feature_union([[x] for x in acc_x],
+                                          [[y] for y in acc_y])
+            exact = True
+        except geom.UnionDegeneracyError:
+            hx, hy = geom.convex_hull(np.concatenate(acc_x),
+                                      np.concatenate(acc_y))
+            uxs, uys, exact = [hx], [hy], False
+        yield pd.DataFrame({
+            "rings_xs": [[r.tolist() for r in uxs]],
+            "rings_ys": [[r.tolist() for r in uys]],
+            "exact": [exact]})
 
-    parts = df.select(xs, ys).mapInPandas(partial, "hx array<double>, hy array<double>").collect()
+    parts = df.select(xs, ys).mapInPandas(
+        partial, "rings_xs array<array<double>>, "
+                 "rings_ys array<array<double>>, exact boolean").collect()
     if not parts:
         raise ReduceError("reduce over empty collection")
-    px = np.concatenate([np.asarray(r["hx"]) for r in parts])
-    py = np.concatenate([np.asarray(r["hy"]) for r in parts])
-    return geom.convex_hull(px, py)
+    feat_xs = [list(r["rings_xs"]) for r in parts]
+    feat_ys = [list(r["rings_ys"]) for r in parts]
+    exact = all(r["exact"] for r in parts)
+    if exact:
+        try:
+            uxs, uys = geom.feature_union(feat_xs, feat_ys)
+            return uxs, uys, True
+        except geom.UnionDegeneracyError:
+            pass
+    px = np.concatenate([np.asarray(r, np.float64)
+                         for f in feat_xs for r in f])
+    py = np.concatenate([np.asarray(r, np.float64)
+                         for f in feat_ys for r in f])
+    hx, hy = geom.convex_hull(px, py)
+    return [hx], [hy], False
 
 
 def dissolve_components(df: DataFrame, id_col: str, xs: str = "xs",

@@ -262,12 +262,49 @@ def test_info_and_dissolve(spark, zones, zones_pdf):
     meta = aggregates.info(zones)
     assert meta["count"] == N_ZONES
     assert meta["schema"]["NAME"] == "string"
-    hx, hy = aggregates.dissolve_union(zones)
-    # hull of the union contains every zone vertex
-    px = np.concatenate([np.asarray(v) for v in zones_pdf["xs"]])
-    py = np.concatenate([np.asarray(v) for v in zones_pdf["ys"]])
-    bx, by = geom.buffer_convex(hx, hy, 1e-9)
-    assert geom.points_in_polygon(px, py, bx, by).mean() > 0.999
+    rxs, rys, exact = aggregates.dissolve_union(zones)
+    if exact:
+        # r3 exact two-stage union: membership differential on a dense
+        # grid — inside the union rings (even-odd) iff inside any zone
+        px = np.concatenate([np.asarray(v) for v in zones_pdf["xs"]])
+        py = np.concatenate([np.asarray(v) for v in zones_pdf["ys"]])
+        gx, gy = np.meshgrid(np.linspace(px.min(), px.max(), 80),
+                             np.linspace(py.min(), py.max(), 80))
+        gx, gy = gx.ravel(), gy.ravel()
+        want = np.zeros(len(gx), dtype=bool)
+        for v, w in zip(zones_pdf["xs"], zones_pdf["ys"]):
+            want |= geom.points_in_polygon(
+                gx, gy, np.asarray(v, np.float64), np.asarray(w, np.float64))
+        got = geom.points_in_rings(gx, gy, rxs, rys)
+        assert (want == got).all()
+    else:
+        # degeneracy fallback: hull of the union contains every vertex
+        px = np.concatenate([np.asarray(v) for v in zones_pdf["xs"]])
+        py = np.concatenate([np.asarray(v) for v in zones_pdf["ys"]])
+        bx, by = geom.buffer_convex(rxs[0], rys[0], 1e-9)
+        assert geom.points_in_polygon(px, py, bx, by).mean() > 0.999
+
+
+def test_dissolve_union_exact_two_stage(spark):
+    """Exact global dissolve across partitions: overlapping + disjoint
+    squares spread over many partitions -> exact multi-ring union
+    (area differential vs direct single-shot kernel union)."""
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(200):
+        cx, cy = rng.uniform(0, 40, 2)
+        w, h = rng.uniform(0.5, 3.0, 2)
+        rows.append({"xs": [cx, cx + w, cx + w, cx],
+                     "ys": [cy, cy, cy + h, cy + h]})
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf).repartition(16)
+    rxs, rys, exact = aggregates.dissolve_union(df)
+    assert exact
+    direct_x, direct_y = geom.polygon_union(
+        [r["xs"] for r in rows], [r["ys"] for r in rows])
+    assert geom.union_area(rxs, rys) == pytest.approx(
+        geom.union_area(direct_x, direct_y), rel=1e-12)
 
 
 def test_fixture_phash_recomputable(spark, images):
