@@ -332,9 +332,14 @@ def ensure_canon_wkb(cache_dir: str | None = None) -> str:
 
     from . import wkb as wkbmod
 
+    import struct
+
     d = cache_dir or _CACHE
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, "canon_wkb.parquet")
+    # v2: adds ISO curve/TIN/Triangle/M vectors (raw hand-packed bytes,
+    # truth from source coordinates — trig-free forms only, so the
+    # ground truth never touches the decoder's linearizer)
+    path = os.path.join(d, "canon_wkb2.parquet")
     if os.path.exists(path):
         return path
     zdf = gen_zones_multi_pdf(CANON_N_ZONES)
@@ -359,6 +364,57 @@ def ensure_canon_wkb(cache_dir: str | None = None) -> str:
             "qsum_x": sum(int(math.floor(p[0] * 1e6)) for p in flat),
             "qsum_y": sum(int(math.floor(p[1] * 1e6)) for p in flat),
         })
+
+    # --- ISO normalization vectors (fiona/_geometry.pyx:211-263):
+    # raw bytes packed here by hand, never via wkb.encode
+    def _hdr(code):
+        return struct.pack("<BI", 1, code)
+
+    def _pts(coords):
+        import numpy as _np
+        arr = _np.asarray(coords, dtype="<f8")
+        return struct.pack("<I", arr.shape[0]) + arr.tobytes()
+
+    def _truth(gid, raw, gtype, ring_pts):
+        flat = [p for ring in ring_pts for p in ring]
+        return {
+            "gid": gid, "wkb": raw, "geom_type": gtype,
+            "n_rings": len(ring_pts), "n_pts": len(flat),
+            "qsum_x": sum(int(math.floor(p[0] * 1e6)) for p in flat),
+            "qsum_y": sum(int(math.floor(p[1] * 1e6)) for p in flat)}
+
+    tri_ring = [[10.5, -3.0], [12.0, -3.0], [10.5, -1.5], [10.5, -3.0]]
+    tri_raw = _hdr(17) + struct.pack("<I", 1) + _pts(tri_ring)
+    rows.append(_truth("iso_triangle", tri_raw, "Polygon", [tri_ring]))
+
+    tin_raw = _hdr(16) + struct.pack("<I", 2) + tri_raw + tri_raw
+    rows.append(_truth("iso_tin", tin_raw, "MultiPolygon",
+                       [tri_ring, tri_ring]))
+
+    # PointM (2001): M ordinate parsed then dropped
+    pm_raw = _hdr(2001) + struct.pack("<3d", 33.25, 7.75, 99.0)
+    rows.append(_truth("iso_point_m", pm_raw, "Point", [[[33.25, 7.75]]]))
+
+    # LineStringZM (3002): -> 3D, qsums over x/y only
+    lzm = [[1.5, 2.25, 5.0, 9.0], [3.5, 4.75, 6.0, 9.0]]
+    lzm_raw = _hdr(3002) + _pts(lzm)
+    rows.append(_truth("iso_line_zm", lzm_raw, "LineString",
+                       [[[p[0], p[1]] for p in lzm]]))
+
+    # COLLINEAR CircularString (8): degenerate arcs linearize to the
+    # original chords — truth is the source vertex list, no trig
+    cs = [[0.5, 0.5], [1.5, 1.5], [2.5, 2.5]]
+    cs_raw = _hdr(8) + _pts(cs)
+    rows.append(_truth("iso_circ_collinear", cs_raw, "LineString", [cs]))
+
+    # CompoundCurve (9) of line + collinear arc, joint deduplicated
+    cc_raw = (_hdr(9) + struct.pack("<I", 2)
+              + _hdr(2) + _pts([[0.0, 0.0], [2.0, 0.25]])
+              + _hdr(8) + _pts([[2.0, 0.25], [3.0, 0.375], [4.0, 0.5]]))
+    rows.append(_truth("iso_compound", cc_raw, "LineString",
+                       [[[0.0, 0.0], [2.0, 0.25], [3.0, 0.375],
+                         [4.0, 0.5]]]))
+
     pdf = pd.DataFrame(rows)
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
