@@ -76,3 +76,25 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, out_dir: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type",
+                   gap: str = "5 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """SESSION-window aggregation: events of one key closer than ``gap``
+    merge into one session (dynamic-length window, the classic
+    user-activity sessionization).  Built on ``F.session_window`` so
+    Spark's native streaming state store handles merge/expiry — state
+    is bounded by the watermark.  Works identically on a batch frame
+    (the batch form is what the pytest oracle replays eagerly).
+    Output: (key, sess_start, sess_end, n, vsum).
+    """
+    return (events
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .groupBy(key_col, F.session_window(ts_col, gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("vsum"))
+            .select(key_col, F.col("sw.start").alias("sess_start"),
+                    F.col("sw.end").alias("sess_end"), "n", "vsum"))

@@ -238,3 +238,50 @@ def test_ivf_topk_finds_planted_neighbor(spark):
     assert top["cid"] == 200
     # bucketed candidates only: far fewer than the full table reranked
     assert len(got) <= 5
+
+
+def test_repetition_stats_match_pandas_oracle(spark):
+    """Gopher-style repetition filters vs an eager pandas recompute."""
+    from collections import Counter
+
+    from fiona_spark.operators import text as tx
+    docs = [
+        (0, "a b c\na b c\nd e f"),                 # 1 dup line of 3
+        (1, "x y x y x y x y"),                      # heavy 2-gram repeat
+        (2, "unique words only appear here once"),
+        (3, "zz"),                                   # shorter than 6 chars
+        (4, "abcdefabcdefabcdef"),                   # repeated 6-grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = (tx.repetition_stats(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    for i, (did, text) in enumerate(docs):
+        lines = text.split("\n")
+        want_line = 1.0 - len(set(lines)) / len(lines)
+        ws = [w for w in text.split(" ") if w]
+        grams2 = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        want_top = (max(Counter(grams2).values()) / len(grams2)
+                    if grams2 else 0.0)
+        cgrams = [text[j:j + 6] for j in range(len(text) - 5)]
+        cnt = Counter(cgrams)
+        want_dup = (sum(c for c in cnt.values() if c >= 2) / len(cgrams)
+                    if cgrams else 0.0)
+        row = got.iloc[i]
+        assert row["doc_id"] == did
+        assert abs(row["line_dup_frac"] - want_line) < 1e-6, did
+        assert abs(row["top_2gram_frac"] - want_top) < 1e-6, did
+        assert abs(row["dup_6chargram_frac"] - want_dup) < 1e-6, did
+
+
+def test_repetition_stats_on_documents_table(spark):
+    """Runs over the real documents table shape; planted duplicate-line
+    doc ranks above the clean docs."""
+    from fiona_spark.operators import text as tx
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    planted = spark.createDataFrame(
+        [(999999, "same line\n" * 20)], "doc_id long, text string")
+    out = tx.repetition_stats(docs.unionByName(planted))
+    top = out.orderBy(F.col("line_dup_frac").desc()).first()
+    assert top["doc_id"] == 999999 and top["line_dup_frac"] > 0.9

@@ -155,3 +155,57 @@ def test_streaming_foreach_batch_reuses_batch_op(spark, zones, tmp_path):
         spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA), 9) \
         .select("image_id", "cell")
     assert got.exceptAll(batch).count() == 0
+
+
+def test_session_window_batch_matches_eager_oracle(spark):
+    """session_counts (F.session_window) vs an eager pandas
+    sessionizer: same sessions, same aggregates (batch form; the
+    streaming form shares the plan via the state store)."""
+    import numpy as np
+    import pandas as pd
+
+    from fiona_spark.streaming import windows as sw
+    rng = np.random.default_rng(8)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for _ in range(40):
+            # whole seconds: Spark timestamps are microsecond-precision,
+            # pandas Timedelta is ns — integer offsets keep both exact
+            t += int(rng.exponential(200)) + 1     # mixed gaps around 300s
+            rows.append({"event_type": key,
+                         "ts": base + pd.Timedelta(seconds=t),
+                         "value": float(rng.integers(1, 10))})
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    got = (sw.session_counts(df, gap="5 minutes").toPandas()
+           .sort_values(["event_type", "sess_start"]).reset_index(drop=True))
+
+    # eager oracle: sort by ts per key, split where gap > 300s; session
+    # end = last_ts + gap (session_window semantics)
+    exp_rows = []
+    for key, g in pdf.groupby("event_type"):
+        g = g.sort_values("ts")
+        cur = []
+        for _, r in g.iterrows():
+            if cur and (r["ts"] - cur[-1]["ts"]).total_seconds() > 300:
+                exp_rows.append((key, cur))
+                cur = []
+            cur.append(r)
+        if cur:
+            exp_rows.append((key, cur))
+    exp = pd.DataFrame([{
+        "event_type": k,
+        "sess_start": c[0]["ts"],
+        "sess_end": c[-1]["ts"] + pd.Timedelta(seconds=300),
+        "n": len(c), "vsum": sum(r["value"] for r in c)}
+        for k, c in exp_rows]).sort_values(
+            ["event_type", "sess_start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n"].values == exp["n"].values).all()
+    assert np.allclose(got["vsum"].values, exp["vsum"].values)
+    assert (pd.to_datetime(got["sess_start"]).values
+            == exp["sess_start"].values).all()
+    assert (pd.to_datetime(got["sess_end"]).values
+            == exp["sess_end"].values).all()
