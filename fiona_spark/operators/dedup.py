@@ -589,3 +589,67 @@ def dedup_exact(df: DataFrame, content_cols: list[str],
     w = Window.partitionBy(w_key).orderBy(id_col)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup pairs -> groups -> keeper selection (the pipeline end-state)
+# ---------------------------------------------------------------------------
+
+def connected_groups(pairs: DataFrame, a_col: str = "id_a",
+                     b_col: str = "id_b",
+                     max_edges: int = 10_000_000) -> DataFrame:
+    """Near-duplicate PAIRS -> connected GROUPS, labeled by MIN member
+    id (deterministic; same labeling as dissolve's component pass and
+    its SQL closure oracle).
+
+    Scale shape: the collected state is the EDGE list only — near-dup
+    edges are output-bounded (every LSH family above verifies
+    candidates before emitting), not corpus-bounded; ids that never
+    appear in a pair are their own group implicitly and never reach the
+    driver.  ``max_edges`` guards the collect; past it, chunk the pair
+    stream or run grouping as an iterative join loop.
+    Output: (id, group) for ids that appear in at least one pair.
+    """
+    import pandas as pd
+
+    edges = pairs.select(a_col, b_col).limit(max_edges + 1).collect()
+    if len(edges) > max_edges:
+        raise ValueError(
+            f"pair list exceeds max_edges={max_edges}; chunk the input")
+    ids = sorted({r[a_col] for r in edges} | {r[b_col] for r in edges})
+    parent = {i: i for i in ids}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in edges:
+        ra, rb = find(r[a_col]), find(r[b_col])
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for i in ids:
+        members.setdefault(find(i), []).append(i)
+    label = {}
+    for ms in members.values():
+        m = min(ms)
+        for i in ms:
+            label[i] = m
+    spark = pairs.sparkSession
+    if not ids:
+        return spark.createDataFrame([], f"id long, group long")
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "group": [label[i] for i in ids]}))
+
+
+def apply_dedup(docs: DataFrame, groups: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Drop non-keeper near-duplicates: every grouped id except the
+    group label (its MIN member) leaves the corpus; ungrouped docs pass
+    through untouched.  One broadcast anti-join — the groups frame is
+    near-dup-bounded, not corpus-bounded."""
+    losers = groups.filter(F.col("id") != F.col("group")).select("id")
+    return docs.join(F.broadcast(losers),
+                     docs[id_col] == losers["id"], "left_anti")

@@ -285,3 +285,28 @@ def test_repetition_stats_on_documents_table(spark):
     out = tx.repetition_stats(docs.unionByName(planted))
     top = out.orderBy(F.col("line_dup_frac").desc()).first()
     assert top["doc_id"] == 999999 and top["line_dup_frac"] > 0.9
+
+
+def test_connected_groups_and_apply(spark):
+    """pairs -> min-id groups -> keeper application: the full dedup
+    pipeline end-state over MinHash pairs with planted clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3), (10, 11)], "id_a long, id_b long")
+    g = (dedup.connected_groups(pairs).toPandas()
+         .sort_values("id").reset_index(drop=True))
+    assert dict(zip(g["id"], g["group"])) == {
+        1: 1, 5: 1, 9: 1, 2: 2, 3: 2, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string")
+    kept = dedup.apply_dedup(docs, dedup.connected_groups(pairs))
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # losers 5, 9, 3, 11 dropped; everything else (incl. ungrouped) kept
+    assert kept_ids == [0, 1, 2, 4, 6, 7, 8, 10]
+
+
+def test_connected_groups_edge_guard(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_edges"):
+        dedup.connected_groups(pairs, max_edges=10)
