@@ -143,3 +143,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_repetition_stats_plan_all_jvm(spark):
+    """Repetition quality filters must stay whole-stage-codegen: no
+    Python in the plan, text column pruned out of the final exchange."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from fiona_spark.operators import text as tx
+    q = tx.repetition_stats(docs.select("doc_id", "text"))
+    assert quality.python_eval_count(q) == 0
+
+
+def test_datetime_tz_plan_all_jvm(spark):
+    """The tz matrix parse is regexp + integer arithmetic — zero
+    Python."""
+    from fiona_spark.functions import datetime as fdt
+    df = spark.createDataFrame([("2012-01-29T10:11:12+01:30",)], "s string")
+    q = df.select(fdt.parse_datetime_parts("s").alias("p"),
+                  fdt.format_gmt(fdt.parse_datetime_parts("s")).alias("g"))
+    assert quality.python_eval_count(q) == 0
+
+
+def test_dissolve_comp_edge_join_not_crossjoin(spark, zones):
+    """The dissolve component edge list must come from the covering-cell
+    equi-join (no cartesian product in the plan)."""
+    from fiona_spark.operators import spatial as sp
+    env = (zones.select("zone_id", "xs", "ys")
+           .withColumn("xmin", F.array_min("xs"))
+           .withColumn("ymin", F.array_min("ys"))
+           .withColumn("xmax", F.array_max("xs"))
+           .withColumn("ymax", F.array_max("ys")))
+    a = env.select(F.col("zone_id").alias("ida"),
+                   "xmin", "ymin", "xmax", "ymax")
+    b = env.select(F.col("zone_id").alias("idb"),
+                   "xmin", "ymin", "xmax", "ymax")
+    pairs = sp.range_join(a, b, a_cols=("ida",), b_cols=("idb",),
+                          broadcast_b=False)
+    plan = quality.formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
