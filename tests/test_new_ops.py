@@ -259,3 +259,57 @@ def test_slice_matches_python_semantics_including_negative_step(spark):
                     (-5000, None, 7)]:   # start underflow + pos step: all
         got = sorted(r["k"] for r in fl.slice_rows(df, a, b, s, "k").collect())
         assert got == sorted(seq[slice(a, b, s)]), (a, b, s)
+
+
+def test_frame_sample_deterministic_and_exact(spark):
+    """Video frame sampling: uniform deterministic indices, bytes
+    identical to the source frame slices (rawv engine format)."""
+    import numpy as np
+    import pandas as pd
+
+    from fiona_spark.operators import media
+    rng = np.random.default_rng(21)
+    rows = []
+    truth = {}
+    for v in range(4):
+        w, h, nf = 8, 6, 10 + v
+        frames = rng.integers(0, 256, (nf, h * w * 3), dtype=np.uint8)
+        rows.append({"video_id": f"v{v}", "bytes": frames.tobytes(),
+                     "fmt": "rawv", "n_frames": nf, "w": w, "h": h})
+        truth[f"v{v}"] = frames
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = media.frame_sample(df, k=4).toPandas()
+    assert len(out) == 16
+    for _, r in out.iterrows():
+        frames = truth[r["video_id"]]
+        nf = len(frames)
+        assert r["frame_idx"] in {(i * nf) // 4 for i in range(4)}
+        assert bytes(r["bytes"]) == frames[r["frame_idx"]].tobytes()
+        assert r["mean_lum"] == float(frames[r["frame_idx"]].mean())
+    # external codec is a declared stub
+    bad = spark.createDataFrame(pd.DataFrame([{
+        "video_id": "x", "bytes": b"", "fmt": "h264",
+        "n_frames": 1, "w": 1, "h": 1}]))
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    with _pytest.raises(Exception):
+        media.frame_sample(bad).collect()
+
+
+def test_audio_windows_match_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fiona_spark.operators import media
+    rng = np.random.default_rng(33)
+    x = (rng.standard_normal(50_000) * 5000).astype("<i2")
+    df = spark.createDataFrame(pd.DataFrame([{
+        "audio_id": "a0", "bytes": x.tobytes(), "fmt": "pcm16",
+        "sample_rate": 16000}]))
+    out = (media.audio_windows(df, window_samples=16000).toPandas()
+           .sort_values("win_idx").reset_index(drop=True))
+    assert len(out) == 3          # 50k samples -> 3 full windows
+    m = x[:48000].astype(np.float64).reshape(3, 16000)
+    want_rms = np.sqrt((m * m).mean(axis=1))
+    assert np.allclose(out["rms"].values, want_rms)
+    assert (out["peak"].values == np.abs(m).max(axis=1)).all()
