@@ -484,7 +484,7 @@ def _rfc3339_truth(text: str):
     mo = digits(2)
     sep("-")
     d = digits(2)
-    sep("Tt ")
+    sep("T")
     hh = digits(2)
     sep(":")
     mi = digits(2)
@@ -537,7 +537,7 @@ def ensure_canon_datetime(cache_dir: str | None = None) -> str:
         "2018-03-25T01:02:03.456789+05:45",   # Nepal, 15-min code 123
         "2018-03-25T01:02:03.42-03:45",   # code 85
         "20200129T1011",                  # compact, no seconds
-        "1999-12-31 23:59:59+00:15",      # space sep, code 101
+        "1999-12-31T23:59:59+00:15",      # code 101
         "1999-12-31T23:59:59-00:15",      # code 99
         "2005-06-07T08:09:10+05",         # 2-digit offset = 5 MINUTES
         "2005-06-07T08:09:10+0530",       # +330 min -> code 122

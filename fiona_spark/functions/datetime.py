@@ -39,7 +39,7 @@ from pyspark.sql import Column, functions as F
 # to a single Java regex; regexp_extract uses find() = re.search).
 # Groups: 1 y, 3 m, 5 d, 7 hh, 9 mm, 11 ss, 12 frac,
 #         13 tz-all, 14 sign, 15 tz-a, 17 tz-b.
-DT_RX = (r"(\d{4})(-)?(\d{2})(-)?(\d{2})([Tt ])?(\d{2})(:)?(\d{2})(:)?"
+DT_RX = (r"(\d{4})(-)?(\d{2})(-)?(\d{2})(T)?(\d{2})(:)?(\d{2})(:)?"
          r"(\d{2})?(\.\d+)?([Zz]|([+-])?(\d{2})?(:)?(\d{2}))?")
 # fiona/rfc3339.py pattern_time (groups shifted: no date part)
 TIME_RX = (r"(\d{2})(:)?(\d{2})(:)?(\d{2})?(\.\d+)?"

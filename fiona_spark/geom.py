@@ -189,6 +189,12 @@ def pack_feature_edges(rings_xs, rings_ys):
             ys = np.asarray(ry, np.float64)
             if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
                 xs, ys = xs[:-1], ys[:-1]
+            if len(xs) == 0:
+                # A zero-length ring must not reach the packed arrays: its
+                # lens entry of 0 makes ends = starts - 1, which would
+                # overwrite the PREVIOUS ring's closing edge in the global
+                # roll below.
+                continue
             x0l.append(xs); y0l.append(ys)
             ring_lens.append(len(xs))
             n_e += len(xs)
@@ -490,6 +496,53 @@ def polygon_union(polys_x, polys_y, max_edges: int = 200_000):
                          [[ry] for ry in polys_y], max_edges)
 
 
+def _on_ring_boundary(px: float, py: float, xs, ys) -> bool:
+    """True when point (px, py) lies EXACTLY on an edge of the ring
+    (collinear and inside the edge's bbox).  Used to reject nesting
+    probes whose even-odd result would be parity-dependent."""
+    x1 = np.roll(xs, -1); y1 = np.roll(ys, -1)
+    cr = (x1 - xs) * (py - ys) - (y1 - ys) * (px - xs)
+    on = ((cr == 0.0)
+          & (px >= np.minimum(xs, x1)) & (px <= np.maximum(xs, x1))
+          & (py >= np.minimum(ys, y1)) & (py <= np.maximum(ys, y1)))
+    return bool(on.any())
+
+
+def _ring_interior_point(xs, ys):
+    """A point STRICTLY inside a simple ring (O'Rourke interior-point):
+    take the lexicographically smallest vertex v (guaranteed convex),
+    its neighbors a/b; if no other vertex lies in triangle (a, v, b)
+    its centroid is interior, else the midpoint of v and the in-triangle
+    vertex farthest from line a-b is.  Raises UnionDegeneracyError on a
+    degenerate (zero-area) corner."""
+    n = len(xs)
+    if n < 3:
+        raise UnionDegeneracyError("ring with < 3 vertices")
+    k = int(np.lexsort((ys, xs))[0])
+    a, v, b = (k - 1) % n, k, (k + 1) % n
+    ax, ay = float(xs[a]), float(ys[a])
+    vx, vy = float(xs[v]), float(ys[v])
+    bx, by = float(xs[b]), float(ys[b])
+    area2 = (vx - ax) * (by - ay) - (vy - ay) * (bx - ax)
+    if area2 == 0.0:
+        raise UnionDegeneracyError("collinear corner at interior probe")
+    sign = 1.0 if area2 > 0 else -1.0
+    ox, oy = np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+    d1 = sign * ((vx - ax) * (oy - ay) - (vy - ay) * (ox - ax))
+    d2 = sign * ((bx - vx) * (oy - vy) - (by - vy) * (ox - vx))
+    d3 = sign * ((ax - bx) * (oy - by) - (ay - by) * (ox - bx))
+    inside = (d1 > 0) & (d2 > 0) & (d3 > 0)
+    inside[[a, v, b]] = False
+    if not inside.any():
+        return (ax + vx + bx) / 3.0, (ay + vy + by) / 3.0
+    # farthest from line a-b (== largest d3 magnitude relative probe):
+    # the segment v->q stays interior for that q
+    dist_ab = np.where(inside, np.abs((bx - ax) * (oy - ay)
+                                      - (by - ay) * (ox - ax)), -np.inf)
+    q = int(np.argmax(dist_ab))
+    return (vx + float(xs[q])) / 2.0, (vy + float(ys[q])) / 2.0
+
+
 def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
     """Exact even-odd union of MULTI-RING features (holes included):
     the general form behind :func:`polygon_union`, also consumed by the
@@ -513,9 +566,25 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
             rings.append((np.roll(xs, -k), np.roll(ys, -k)))
         oriented = []
         for i, (xs, ys) in enumerate(rings):
-            depth = sum(
-                1 for j, (ox, oy) in enumerate(rings)
-                if j != i and points_in_polygon(xs[:1], ys[:1], ox, oy)[0])
+            # nesting depth probes an INTERIOR point of ring i, never a
+            # vertex: a hole sharing a vertex with its shell would make
+            # the on-boundary even-odd result parity-dependent and
+            # silently flip orientation (r3 advice).  A probe landing
+            # exactly on another ring's boundary raises -> documented
+            # hull fallback instead of corruption.
+            if len(rings) > 1:
+                cx, cy = _ring_interior_point(xs, ys)
+                depth = 0
+                for j, (ox, oy) in enumerate(rings):
+                    if j == i:
+                        continue
+                    if _on_ring_boundary(cx, cy, ox, oy):
+                        raise UnionDegeneracyError(
+                            "ring nesting probe on sibling boundary")
+                    depth += int(points_in_polygon(
+                        np.array([cx]), np.array([cy]), ox, oy)[0])
+            else:
+                depth = 0
             signed = float(np.sum(xs * np.roll(ys, -1)
                                   - np.roll(xs, -1) * ys)) * 0.5
             if (signed > 0) != (depth % 2 == 0):

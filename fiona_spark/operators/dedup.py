@@ -639,7 +639,13 @@ def connected_groups(pairs: DataFrame, a_col: str = "id_a",
             label[i] = m
     spark = pairs.sparkSession
     if not ids:
-        return spark.createDataFrame([], f"id long, group long")
+        # derive the empty schema from the pair column type so string
+        # doc ids get string columns on BOTH the empty and non-empty
+        # paths (downstream joins must not depend on emptiness)
+        id_t = pairs.schema[a_col].dataType
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("id", id_t),
+                              T.StructField("group", id_t)]))
     return spark.createDataFrame(
         pd.DataFrame({"id": ids, "group": [label[i] for i in ids]}))
 

@@ -51,14 +51,24 @@ def frame_sample(videos: DataFrame, k: int = 4) -> DataFrame:
                 w, h, nf = int(row.w), int(row.h), int(row.n_frames)
                 frame_bytes = w * h * 3
                 buf = np.frombuffer(bytes(row.bytes), dtype=np.uint8)
+                if len(buf) < nf * frame_bytes:
+                    raise ValueError(
+                        f"video {row.video_id!r}: payload {len(buf)} B "
+                        f"< n_frames*w*h*3 = {nf * frame_bytes} B "
+                        "(truncated or mis-declared rawv)")
                 kk = min(k, nf)
                 sel = (np.arange(kk) * nf) // kk        # includes 0
-                for fi in sel:
-                    fr = buf[fi * frame_bytes:(fi + 1) * frame_bytes]
+                # all frames equal-sized: one reshape view + one
+                # fancy-index gather, mean along the frame axis (no
+                # per-frame Python loop for the arithmetic)
+                picked = buf[:nf * frame_bytes].reshape(nf, frame_bytes)[sel]
+                fr_lums = picked.mean(axis=1) if frame_bytes else \
+                    np.zeros(kk)
+                for fi, fr, lu in zip(sel, picked, fr_lums):
                     vids.append(row.video_id)
                     idxs.append(int(fi)); ws.append(w); hs.append(h)
                     bs.append(fr.tobytes())
-                    lums.append(float(fr.mean()) if len(fr) else 0.0)
+                    lums.append(float(lu))
             yield pd.DataFrame({
                 "video_id": pd.Series(vids, dtype=object),
                 "frame_idx": pd.Series(idxs, dtype=np.int32),

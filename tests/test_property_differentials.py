@@ -18,7 +18,10 @@ def _gen_datetime_strings(n=300, seed=13):
         hh = rng.integers(0, 24)
         mi = rng.integers(0, 60)
         date_sep = rng.choice(["-", ""])
-        t_sep = rng.choice(["T", "t", " "])
+        # reference pattern_datetime (fiona/rfc3339.py:15) accepts only
+        # 'T' (or no separator at all); 't'/' ' forms raise there, so
+        # they are out of parity scope
+        t_sep = rng.choice(["T", ""])
         c_sep = rng.choice([":", ""])
         s = f"{y:04d}{date_sep}{mo:02d}{date_sep}{d:02d}{t_sep}{hh:02d}{c_sep}{mi:02d}"
         if rng.random() < 0.7:
