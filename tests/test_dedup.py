@@ -304,9 +304,33 @@ def test_connected_groups_and_apply(spark):
     assert kept_ids == [0, 1, 2, 4, 6, 7, 8, 10]
 
 
-def test_connected_groups_edge_guard(spark):
+def test_connected_groups_past_guard_goes_distributed(spark):
+    """Past max_edges the grouping completes DISTRIBUTED (label
+    propagation) with labels identical to the driver union-find — the
+    r3 hard-fail is gone.  A 50-edge chain is also the worst case for
+    propagation depth (pointer doubling must converge, not time out)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(50)], "id_a long, id_b long")
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="max_edges"):
-        dedup.connected_groups(pairs, max_edges=10)
+    fast = dedup.connected_groups(pairs).toPandas()
+    dist = dedup.connected_groups(pairs, max_edges=10).toPandas()
+    f = dict(zip(fast["id"], fast["group"]))
+    d = dict(zip(dist["id"], dist["group"]))
+    assert f == d and set(d.values()) == {0}
+
+
+def test_connected_components_df_no_driver_collect(spark):
+    """The distributed path is pure joins/aggregations: its final plan
+    contains no local (driver) table scan of collected edges."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "id_a long, id_b long")
+    out = dedup.connected_components_df(pairs)
+    got = dict((r["id"], r["group"]) for r in out.collect())
+    # self-loop (9,9) contributes no node; 1-2-3 and 7-8 components
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # string ids work identically (min is lexicographic, like the
+    # union-find's Python min)
+    sp = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "id_a string, id_b string")
+    got_s = dict((r["id"], r["group"])
+                 for r in dedup.connected_components_df(sp).collect())
+    assert got_s == {"a": "a", "b": "a", "c": "a"}

@@ -182,3 +182,29 @@ def test_dissolve_comp_edge_join_not_crossjoin(spark, zones):
     plan = quality.formatted_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dissolve_components_single_guard_action(spark, monkeypatch):
+    """The driver fast-lane guard is ONE action (limit+collect), not
+    the r3 count-then-collect that ran the candidate range join twice."""
+    from fiona_spark.operators import aggregates
+
+    rows = [(i, [i * 1.0, i + 2.0, i + 2.0, i * 1.0],
+             [0.0, 0.0, 2.0, 2.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "fid long, xs array<double>, ys array<double>")
+    DataFrame = type(df)      # the concrete (classic/connect) class
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                      orig_collect(self))[1])
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1),
+                      orig_count(self))[1])
+    out = aggregates.dissolve_components(df, "fid")   # lazy result
+    assert calls == {"collect": 1, "count": 0}, calls
+    monkeypatch.undo()
+    assert out.count() > 0

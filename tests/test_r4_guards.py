@@ -129,3 +129,46 @@ def test_datetime_separator_reference_parity(spark):
     # set-oriented analogue: zeroed parts, unknown zone)
     for r in got[1:]:
         assert r["p"]["hh"] == 0 and r["p"]["y"] == 0
+
+
+def test_dissolve_components_distributed_lane_parity(spark):
+    """Forcing max_pairs below the edge count routes dissolve through
+    the distributed label propagation; output rows are identical to
+    the driver fast lane (components, members, exactness, rings)."""
+    from fiona_spark.operators import aggregates
+
+    rows = []
+    # three overlap chains of 3 squares + 4 disjoint singletons
+    fid = 0
+    for c in range(3):
+        for i in range(3):
+            x0 = c * 100.0 + i * 1.5
+            rows.append((fid, [x0, x0 + 2.0, x0 + 2.0, x0],
+                         [0.0, 0.0, 2.0, 2.0]))
+            fid += 1
+    for s in range(4):
+        x0 = 1000.0 + s * 10
+        rows.append((fid, [x0, x0 + 1, x0 + 1, x0],
+                     [0.0, 0.0, 1.0, 1.0]))
+        fid += 1
+    df = spark.createDataFrame(
+        rows, "fid long, xs array<double>, ys array<double>")
+    fast = aggregates.dissolve_components(df, "fid").toPandas()
+    dist = aggregates.dissolve_components(df, "fid", max_pairs=2).toPandas()
+
+    def norm(pdf):
+        # canonicalize ring rotation (group row order differs between
+        # the two join strategies and rolls the union output)
+        out = []
+        for r in pdf.itertuples():
+            rings = []
+            for rx, ry in zip(r.rings_xs, r.rings_ys):
+                pts = list(zip(map(float, rx), map(float, ry)))
+                k = pts.index(min(pts))
+                rings.append(tuple(pts[k:] + pts[:k]))
+            out.append((int(r.component), int(r.n_members),
+                        bool(r.exact), tuple(sorted(rings))))
+        return sorted(out)
+
+    assert norm(fast) == norm(dist)
+    assert len(fast) == 3 + 4
