@@ -122,17 +122,63 @@ def simplify_udf(tol: float):
 
 
 def buffer_udf(dist: float):
-    """Convex-ring buffer (conservative Minkowski, `features.py` buffer)."""
+    """EXACT ring buffer — concave rings included (r4; matches the
+    reference's GEOS-exact `features.py:128-211` buffer up to the
+    inscribed-arc approximation both share).  Single-ring output form:
+    returns the OUTER boundary; a buffer that closes a slot into a
+    hole keeps its outer ring here — use :func:`buffer_rings_udf` for
+    the full multi-ring result.  Falls back to the conservative convex
+    Minkowski approximation on kernel degeneracy."""
     @F.pandas_udf(_RING_T)
     def u(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
         ox, oy = [], []
         xs_l, ys_l = xs.to_numpy(object), ys.to_numpy(object)
         for i in range(len(xs_l)):
-            bx, by = geom.buffer_convex(np.asarray(xs_l[i], np.float64),
-                                        np.asarray(ys_l[i], np.float64), dist)
+            x = np.asarray(xs_l[i], np.float64)
+            y = np.asarray(ys_l[i], np.float64)
+            try:
+                rxs, rys = geom.buffer_polygon(x, y, dist)
+                k = int(np.argmax([
+                    abs(float(np.sum(np.asarray(a) * np.roll(np.asarray(b), -1)
+                                     - np.roll(np.asarray(a), -1)
+                                     * np.asarray(b))))
+                    for a, b in zip(rxs, rys)]))
+                bx, by = np.asarray(rxs[k]), np.asarray(rys[k])
+            except geom.UnionDegeneracyError:
+                bx, by = geom.buffer_convex(x, y, dist)
             ox.append(bx.tolist())
             oy.append(by.tolist())
         return pd.DataFrame({"xs": ox, "ys": oy})
+    return u
+
+
+_BUF_RINGS_T = T.StructType([
+    T.StructField("rings_xs", T.ArrayType(T.ArrayType(_D))),
+    T.StructField("rings_ys", T.ArrayType(T.ArrayType(_D))),
+    T.StructField("exact", T.BooleanType())])
+
+
+def buffer_rings_udf(dist: float, segs: int = 16):
+    """Full multi-ring exact buffer (holes included), flagged per row:
+    exact=False marks the convex-fallback rows."""
+    @F.pandas_udf(_BUF_RINGS_T)
+    def u(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        oxs, oys, okf = [], [], []
+        xs_l, ys_l = xs.to_numpy(object), ys.to_numpy(object)
+        for i in range(len(xs_l)):
+            x = np.asarray(xs_l[i], np.float64)
+            y = np.asarray(ys_l[i], np.float64)
+            try:
+                rxs, rys = geom.buffer_polygon(x, y, dist, segs)
+                oxs.append([np.asarray(r).tolist() for r in rxs])
+                oys.append([np.asarray(r).tolist() for r in rys])
+                okf.append(True)
+            except geom.UnionDegeneracyError:
+                bx, by = geom.buffer_convex(x, y, dist)
+                oxs.append([bx.tolist()]); oys.append([by.tolist()])
+                okf.append(False)
+        return pd.DataFrame({"rings_xs": oxs, "rings_ys": oys,
+                             "exact": okf})
     return u
 
 

@@ -232,13 +232,46 @@ def test_stacked_overlap_with_shared_boundary_segment():
     assert geom.union_area(*rings) == 16.0
 
 
-def test_checkerboard_corner_pinch_raises():
-    """Two squares sharing exactly one corner point (interiors diagonal)
-    pinch the boundary: four kept fragments leave one vertex."""
-    with pytest.raises(geom.UnionDegeneracyError):
-        geom.polygon_union(
-            [[0, 2, 2, 0], [2, 4, 4, 2]],
-            [[0, 0, 2, 2], [2, 2, 4, 4]])     # touch only at (2, 2)
+def test_checkerboard_corner_pinch_exact():
+    """Two squares sharing exactly one corner point (interiors
+    diagonal) now union EXACTLY: the stitcher's clockwise face
+    traversal pairs the four fragments at the pinch into two touching
+    rings (r3 verdict 'next round' #2 — was a raise -> hull)."""
+    rx, ry = geom.polygon_union(
+        [[0, 2, 2, 0], [2, 4, 4, 2]],
+        [[0, 0, 2, 2], [2, 2, 4, 4]])     # touch only at (2, 2)
+    assert len(rx) == 2
+    assert geom.union_area(rx, ry) == pytest.approx(8.0)
+    # each lobe closes as its own simple ring (no figure-8 pairing)
+    areas = sorted(abs(0.5 * float(np.sum(
+        np.asarray(xs) * np.roll(np.asarray(ys), -1)
+        - np.roll(np.asarray(xs), -1) * np.asarray(ys))))
+        for xs, ys in zip(rx, ry))
+    assert areas == [pytest.approx(4.0), pytest.approx(4.0)]
+
+
+def test_checkerboard_2x2_full_cover_exact():
+    """Four unit squares in a 2x2 checkerboard arrangement (two pinch
+    vertices, full cover) union to ONE 2x2 ring, area 4."""
+    def sq(x, y):
+        return ([x, x + 1.0, x + 1.0, x], [y, y, y + 1.0, y + 1.0])
+    polys = [sq(0, 0), sq(1, 1), sq(1, 0), sq(0, 1)]
+    rx, ry = geom.polygon_union([p[0] for p in polys],
+                                [p[1] for p in polys])
+    assert len(rx) == 1
+    assert geom.union_area(rx, ry) == pytest.approx(4.0)
+
+
+def test_pinch_chain_three_squares_exact():
+    """A diagonal chain of three corner-touching squares: three rings,
+    summed area exact."""
+    def sq(x, y):
+        return ([x, x + 1.0, x + 1.0, x], [y, y, y + 1.0, y + 1.0])
+    polys = [sq(0, 0), sq(1, 1), sq(2, 2)]
+    rx, ry = geom.polygon_union([p[0] for p in polys],
+                                [p[1] for p in polys])
+    assert len(rx) == 3
+    assert geom.union_area(rx, ry) == pytest.approx(3.0)
 
 
 def test_dissolve_components_exact_union(spark):
@@ -262,9 +295,9 @@ def test_dissolve_components_exact_union(spark):
     assert got_area == pytest.approx(want, rel=1e-12)
 
 
-def test_dissolve_falls_back_to_hull_on_degeneracy(spark):
-    """A residual degeneracy (checkerboard corner pinch) still
-    dissolves — via the hull, flagged exact=False."""
+def test_dissolve_corner_pinch_now_exact(spark):
+    """The r3-era hull case — a checkerboard corner pinch — now
+    dissolves EXACTLY (two touching rings, exact=True, area 8)."""
     import pandas as pd
     from fiona_spark.operators import aggregates
     df = spark.createDataFrame(pd.DataFrame({
@@ -272,7 +305,10 @@ def test_dissolve_falls_back_to_hull_on_degeneracy(spark):
         "xs": [[0.0, 2.0, 2.0, 0.0], [2.0, 4.0, 4.0, 2.0]],
         "ys": [[0.0, 0.0, 2.0, 2.0], [2.0, 2.0, 4.0, 4.0]]}))
     out = aggregates.dissolve_components(df, "fid").toPandas()
-    assert len(out) == 1 and not out["exact"].iloc[0]
+    assert len(out) == 1 and out["exact"].iloc[0]
+    assert len(out["rings_xs"].iloc[0]) == 2
+    assert geom.union_area(out["rings_xs"].iloc[0],
+                           out["rings_ys"].iloc[0]) == pytest.approx(8.0)
 
 
 def test_dissolve_shared_edge_parcels_now_exact(spark):
@@ -312,3 +348,88 @@ def test_random_snapped_parcel_fuzz():
         except geom.UnionDegeneracyError:
             continue   # corner pinch: legal fallback
     assert ok_trials >= 12   # the vast majority must union exactly
+
+
+# -- r4: general concave buffer via the union kernel ------------------------
+
+def _buffer_oracle_area(xs, ys, d, n=500):
+    """Dense-grid area of the TRUE Minkowski buffer: point is a member
+    iff inside the ring or within distance d of its boundary."""
+    xs = np.asarray(xs, float); ys = np.asarray(ys, float)
+    pad = d * 1.25
+    gx = np.linspace(xs.min() - pad, xs.max() + pad, n)
+    gy = np.linspace(ys.min() - pad, ys.max() + pad, n)
+    GX, GY = np.meshgrid(gx, gy)
+    px, py = GX.ravel(), GY.ravel()
+    inside = geom.points_in_polygon(px, py, xs, ys)
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    ex, ey = x1 - xs, y1 - ys
+    L2 = ex ** 2 + ey ** 2
+    dmin = np.full(len(px), np.inf)
+    for i in range(len(xs)):
+        t = np.clip(((px - xs[i]) * ex[i] + (py - ys[i]) * ey[i]) / L2[i],
+                    0, 1)
+        dmin = np.minimum(dmin, np.hypot(px - (xs[i] + t * ex[i]),
+                                         py - (ys[i] + t * ey[i])))
+    cell = (gx[1] - gx[0]) * (gy[1] - gy[0])
+    return float((inside | (dmin <= d)).sum()) * cell
+
+
+def test_buffer_polygon_concave_L_matches_dense_oracle():
+    xs = np.array([0., 4., 4., 1., 1., 0.])
+    ys = np.array([0., 0., 1., 1., 4., 4.])
+    rx, ry = geom.buffer_polygon(xs, ys, 0.5, segs=64)
+    got = geom.union_area(rx, ry)
+    want = _buffer_oracle_area(xs, ys, 0.5)
+    assert abs(got - want) < 0.15          # grid + inscribed-arc error
+    assert len(rx) == 1
+
+
+def test_buffer_polygon_square_closed_form():
+    """Square buffer area has a closed form: A + P*d + pi*d^2 (minus
+    the inscribed-arc deficit, which vanishes as segs grows)."""
+    xs = np.array([0., 2., 2., 0.]); ys = np.array([0., 0., 2., 2.])
+    rx, ry = geom.buffer_polygon(xs, ys, 1.0, segs=256)
+    want = 4.0 + 8.0 * 1.0 + np.pi
+    assert abs(geom.union_area(rx, ry) - want) < 0.01
+    # orientation-independent
+    rx2, ry2 = geom.buffer_polygon(xs[::-1], ys[::-1], 1.0, segs=256)
+    assert geom.union_area(rx2, ry2) == geom.union_area(rx, ry)
+
+
+def test_buffer_polygon_keyhole_closes_into_hole():
+    """Buffering a keyhole whose neck is narrower than 2*d seals the
+    neck: the pocket becomes a HOLE (negative ring) — the multi-ring
+    case the single-ring convex approximation could never express."""
+    xs = np.array([0., 8., 8., 4.5, 4.5, 6., 6., 2., 2., 3.5, 3.5, 0.])
+    ys = np.array([0., 0., 8., 8., 5., 5., 1., 1., 5., 5., 8., 8.])
+    rx, ry = geom.buffer_polygon(xs, ys, 0.6, segs=32)
+    signed = [0.5 * float(np.sum(np.asarray(a) * np.roll(np.asarray(b), -1)
+                                 - np.roll(np.asarray(a), -1)
+                                 * np.asarray(b)))
+              for a, b in zip(rx, ry)]
+    assert len(rx) == 2
+    assert min(signed) < 0 < max(signed)
+    want = _buffer_oracle_area(xs, ys, 0.6, n=700)
+    assert abs(geom.union_area(rx, ry) - want) < 0.4
+
+
+def test_buffer_udf_exact_on_concave(spark):
+    """The snuggs-exposed buffer UDF now runs the exact kernel: the
+    L-shape outer ring area matches the dense oracle (the convex
+    approximation was ~20% high on this fixture)."""
+    import pandas as pd
+    from fiona_spark.functions import geometry as gf
+    xs = [0., 4., 4., 1., 1., 0.]
+    ys = [0., 0., 1., 1., 4., 4.]
+    df = spark.createDataFrame(pd.DataFrame({"xs": [xs], "ys": [ys]}))
+    out = df.select(gf.buffer_rings_udf(0.5, segs=64)("xs", "ys")
+                    .alias("b")).first()["b"]
+    assert out["exact"]
+    got = geom.union_area(out["rings_xs"], out["rings_ys"])
+    want = _buffer_oracle_area(np.array(xs), np.array(ys), 0.5)
+    assert abs(got - want) < 0.15
+    single = df.select(gf.buffer_udf(0.5)("xs", "ys").alias("b")
+                       ).first()["b"]
+    outer = geom.union_area([single["xs"]], [single["ys"]])
+    assert abs(outer - want) < 0.15
