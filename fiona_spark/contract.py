@@ -469,10 +469,61 @@ def q_pip_images(spark, sf_dir):
 ORACLES["pip_images"] = None  # filled at import bottom (needs paths)
 
 
-@register("knn_images")
-def q_knn_images(spark, sf_dir):
-    img, zon = _canon_paths()
-    return spatial.knn_join(spark.read.parquet(img), spark.read.parquet(zon), k=3)
+# (knn_images was a second kNN-cascade row on the canon fixture;
+# retired in r4 for the 50-query cap to promote repetition_stats — the
+# operator stays driver-verified by knn_join and plan/fallback-parity
+# asserted in tests/test_r3_guards.py)
+
+
+@register("repetition_stats", """
+WITH d AS (SELECT doc_id, text FROM documents),
+ln AS (
+  SELECT doc_id,
+         1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                    AS DOUBLE)
+             / greatest(len(string_split(text, chr(10))), 1)
+           AS line_dup_frac
+  FROM d),
+w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM d),
+g2 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 2 THEN
+      list_transform(range(1, len(ws)),
+                     i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM w),
+g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f
+        FROM g2c GROUP BY doc_id),
+c6 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(text) >= 6 THEN
+      list_transform(range(1, length(text) - 4),
+                     i -> substr(text, CAST(i AS INT), 6))
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM d),
+c6c AS (SELECT doc_id, gram, count(*) AS c FROM c6 GROUP BY doc_id, gram),
+c6s AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / sum(c) AS f
+        FROM c6c GROUP BY doc_id)
+SELECT d.doc_id, ln.line_dup_frac,
+       coalesce(g2s.f, 0.0) AS top_2gram_frac,
+       coalesce(c6s.f, 0.0) AS dup_6chargram_frac
+FROM d JOIN ln USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN c6s USING (doc_id)
+""")
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality filters (dup-line fraction,
+    top-2-gram mass, duplicated char-6-gram mass) — all-relational,
+    one shuffle per gram family (`fiona_spark/operators/text.py`).
+    round_digits=None keeps raw IEEE ratios: same-integer divisions
+    are bit-identical across Spark and DuckDB, so the value-hash
+    differential is exact with no rounding-rule coupling."""
+    from .operators import text as tx
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs, round_digits=None)
 
 
 @register("tiles_images")
@@ -568,18 +619,6 @@ def _late_oracles():
     ORACLES["pip_images"] = _canon_pip_sql()
     ORACLES["pip_holes"] = _pip_holes_oracle_sql()
     ORACLES["wkb_decode"] = _wkb_oracle_sql()
-    ORACLES["knn_images"] = f"""
-WITH p AS (SELECT image_id, lng, lat FROM read_parquet('{img}')),
-z AS (SELECT zone_id, clng, clat FROM read_parquet('{zon}')),
-d AS (SELECT p.image_id, z.zone_id,
-             row_number() OVER (
-               PARTITION BY p.image_id
-               ORDER BY sqrt((p.lng - z.clng) * (p.lng - z.clng)
-                           + (p.lat - z.clat) * (p.lat - z.clat)), z.zone_id
-             ) AS knn_rank
-      FROM p CROSS JOIN z)
-SELECT image_id, zone_id, knn_rank FROM d WHERE knn_rank <= 3
-"""
     base = 9 * cells.RES_SHIFT
     n = 1 << 9
     ORACLES["tiles_images"] = f"""

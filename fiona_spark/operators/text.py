@@ -15,8 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _rnd(col, digits):
+    """Optional display rounding; ``digits=None`` keeps the raw IEEE
+    double (bit-identical across engines for same-integer ratios —
+    what the driver's value-hash differential needs)."""
+    return col if digits is None else F.round(col, digits)
+
+
 def line_dup_fraction(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      round_digits: int | None = 6) -> DataFrame:
     """Fraction of a document's lines that are duplicates of an earlier
     line: 1 - distinct/total (0 for single-line docs).  Pure codegen
     array arithmetic, no shuffle."""
@@ -24,7 +32,8 @@ def line_dup_fraction(docs: DataFrame, id_col: str = "doc_id",
     n = F.size(lines)
     dup = (F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
            / F.greatest(n, F.lit(1)).cast("double"))
-    return docs.select(id_col, F.round(dup, 6).alias("line_dup_frac"))
+    return docs.select(id_col,
+                       _rnd(dup, round_digits).alias("line_dup_frac"))
 
 
 def _word_grams(docs: DataFrame, id_col: str, text_col: str,
@@ -41,7 +50,8 @@ def _word_grams(docs: DataFrame, id_col: str, text_col: str,
 
 
 def top_ngram_fraction(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 2) -> DataFrame:
+                       text_col: str = "text", n: int = 2,
+                       round_digits: int | None = 6) -> DataFrame:
     """Mass of the single most frequent word n-gram: count(top gram) /
     count(all grams) per doc (Gopher's top-2-gram filter shape).  Docs
     with no n-gram report 0."""
@@ -50,12 +60,14 @@ def top_ngram_fraction(docs: DataFrame, id_col: str = "doc_id",
     stats = per.groupBy(id_col).agg(
         (F.max("c").cast("double") / F.sum("c").cast("double")).alias("f"))
     return (docs.select(id_col).join(stats, id_col, "left")
-            .select(id_col, F.round(F.coalesce(F.col("f"), F.lit(0.0)), 6)
+            .select(id_col,
+                    _rnd(F.coalesce(F.col("f"), F.lit(0.0)), round_digits)
                     .alias(f"top_{n}gram_frac")))
 
 
 def dup_chargram_fraction(docs: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text", n: int = 6) -> DataFrame:
+                          text_col: str = "text", n: int = 6,
+                          round_digits: int | None = 6) -> DataFrame:
     """Mass of character n-grams that occur more than once in the doc:
     sum(count where count >= 2) / sum(count) (the duplicated-n-gram
     character filter).  Docs shorter than n report 0."""
@@ -72,15 +84,20 @@ def dup_chargram_fraction(docs: DataFrame, id_col: str = "doc_id",
         (F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
          .cast("double") / F.sum("c").cast("double")).alias("f"))
     return (docs.select(id_col).join(stats, id_col, "left")
-            .select(id_col, F.round(F.coalesce(F.col("f"), F.lit(0.0)), 6)
+            .select(id_col,
+                    _rnd(F.coalesce(F.col("f"), F.lit(0.0)), round_digits)
                     .alias(f"dup_{n}chargram_frac")))
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     round_digits: int | None = 6) -> DataFrame:
     """All repetition measures joined per doc: (id, line_dup_frac,
     top_2gram_frac, dup_6chargram_frac)."""
-    out = line_dup_fraction(docs, id_col, text_col)
-    out = out.join(top_ngram_fraction(docs, id_col, text_col, 2), id_col)
-    out = out.join(dup_chargram_fraction(docs, id_col, text_col, 6), id_col)
+    out = line_dup_fraction(docs, id_col, text_col, round_digits)
+    out = out.join(
+        top_ngram_fraction(docs, id_col, text_col, 2, round_digits), id_col)
+    out = out.join(
+        dup_chargram_fraction(docs, id_col, text_col, 6, round_digits),
+        id_col)
     return out
