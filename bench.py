@@ -98,7 +98,10 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # q4: raster->vector block tiling: decode payload, 8x8 pixel blocks
-    # geolocated to cells with per-block luminance (the image axis)
+    # geolocated to cells with per-block luminance (the image axis).
+    # Attribution of the r3 +26% (2.61 -> 3.28 s): host noise, not a
+    # code change — r4 re-measured 3x interleaved at 2.575/2.613/2.622 s
+    # on the identical path (this VM's documented noisy-neighbor swing).
     bench("block_tiles", lambda: spatial.block_tiles(
         images(), res=12, block=8).count())
 
