@@ -93,13 +93,21 @@ def get_tags(path: str, ns: str = "") -> dict:
 
 def info(spark, table_path: str) -> dict:
     """``fio info`` parity: count, bounds (when footprint columns
-    exist), schema, as one record (`fiona/fio/info.py:42-78`)."""
+    exist), schema, plus the driver capability record
+    (`fiona/fio/info.py:42-78`; driver block mirrors fiona/meta.py)."""
     from pyspark.sql import functions as F
+
+    from . import drivers, meta
     df = spark.read.parquet(table_path)
+    try:
+        drv = drivers.driver_from_extension(table_path)
+    except Exception:
+        drv = "parquet"
     rec = {
         "path": table_path,
         "count": df.count(),
         "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "driver": meta.driver_metadata(drv),
     }
     cols = set(df.columns)
     if {"xmin", "ymin", "xmax", "ymax"} <= cols:

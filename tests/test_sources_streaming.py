@@ -209,3 +209,57 @@ def test_session_window_batch_matches_eager_oracle(spark):
             == exp["sess_start"].values).all()
     assert (pd.to_datetime(got["sess_end"]).values
             == exp["sess_end"].values).all()
+
+
+# ---------------------------------------------------------------------------
+# driver metadata introspection (fiona/meta.py analogue, r4)
+# ---------------------------------------------------------------------------
+
+def test_driver_meta_options_and_extensions():
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import drivers, meta
+
+    # every registered driver answers every introspection call
+    for drv in drivers.supported_drivers():
+        md = meta.driver_metadata(drv)
+        assert md["modes"] == drivers.supported_drivers()[drv]
+        assert isinstance(md["open_options"], dict)
+        assert isinstance(md["creation_options"], dict)
+        assert meta.supports_vsi(drv) is True
+        txt = meta.print_driver_options(drv)
+        assert "Dataset open options:" in txt
+    # extension inference parity with driver_from_extension
+    for drv in drivers.supported_drivers():
+        for ext in meta.extensions(drv):
+            assert drivers.driver_from_extension(f"x.{ext}") == drv
+    assert meta.extension("parquet") in ("parquet", "pq")
+    # layer == dataset creation options (single-layer datasets)
+    assert meta.layer_creation_options("csv") == \
+        meta.dataset_creation_options("csv")
+    import pytest as _pytest
+    with _pytest.raises(DriverError):
+        meta.dataset_open_options("shapefile")
+
+
+def test_driver_meta_field_types_parse():
+    """Capability strings use the schema type vocabulary, so each one
+    parses with schema.parse_field_type (check_mode-style gating)."""
+    from fiona_spark import schema
+    from fiona_spark.sources import drivers, meta
+
+    for drv in drivers.supported_drivers():
+        for t in meta.supported_field_types(drv):
+            base, _w, _p = schema.parse_field_type(t)
+            assert base == t
+    # csv cannot carry nested/binary; parquet can
+    assert "bytes" not in meta.supported_field_types("csv")
+    assert "bytes" in meta.supported_field_types("parquet")
+    assert "List[str]" in meta.supported_field_types("json")
+
+
+def test_info_includes_driver_record(spark, zones, tmp_path):
+    p = str(tmp_path / "t2.parquet")
+    zones.write.parquet(p)
+    rec = catalog.info(spark, p)
+    assert rec["driver"]["driver"] == "parquet"
+    assert "compression" in rec["driver"]["creation_options"]
