@@ -78,6 +78,34 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, out_dir: str,
     return writer.start()
 
 
+def stream_spatial_join(images_stream: DataFrame, zones: DataFrame,
+                        out_dir: str, op: str = "pip", res: int | None = None,
+                        k: int = 3):
+    """The FLAGSHIP spatial operators in streaming mode: each
+    micro-batch of the image stream runs the exact batch
+    ``pip_join``/``knn_join`` against the static zone layer via
+    ``foreachBatch`` — the two-mode execution claim proven on the
+    operator that matters, not just on stateless tiling.
+
+    The zone side is batch-static, so its broadcast state (torrent
+    covering/edge arrays) is rebuilt per micro-batch but never grows;
+    streaming state is the file-source log only — bounded, resumable
+    from ``out_dir``'s checkpoint (a restart processes exactly the
+    unseen files, which is what the 2-epoch parity pytest drives).
+    """
+    from ..operators import spatial
+
+    if op == "pip":
+        def fn(df, _eid):
+            return spatial.pip_join(df, zones, res=res)
+    elif op == "knn":
+        def fn(df, _eid):
+            return spatial.knn_join(df, zones, k=k)
+    else:
+        raise ValueError(f"unknown op {op!r}")
+    return run_foreach_batch(images_stream, fn, out_dir)
+
+
 def session_counts(events: DataFrame, ts_col: str = "ts",
                    key_col: str = "event_type",
                    gap: str = "5 minutes",
