@@ -54,6 +54,7 @@ def check_mode(name: str, mode: str) -> None:
 
 _EXT_TO_DRIVER = {
     ".parquet": "parquet", ".pq": "parquet",
+    ".orc": "orc",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -127,6 +128,14 @@ def _write_parquet(df: DataFrame, path, mode="overwrite", **opts):
     df.write.mode(mode).options(**opts).parquet(path)
 
 
+def _read_orc(spark, path, **opts):
+    return spark.read.options(**opts).orc(path)
+
+
+def _write_orc(df: DataFrame, path, mode="overwrite", **opts):
+    df.write.mode(mode).options(**opts).orc(path)
+
+
 def _read_csv(spark, path, encoding=None, **opts):
     o = {"header": "true", "inferSchema": "true"}
     o.update(opts)
@@ -181,6 +190,7 @@ def _write_geojson_seq(df: DataFrame, path, **opts):
 
 
 register_driver("parquet", _read_parquet, _write_parquet, "raw")
+register_driver("orc", _read_orc, _write_orc, "raw")
 register_driver("csv", _read_csv, _write_csv, "raw")
 register_driver("json", _read_json, _write_json, "raw")
 register_driver("text", _read_text, _write_text, "raw")

@@ -53,6 +53,20 @@ _META: dict[str, dict] = {
         },
         "field_types": _NESTED,
     },
+    "orc": {
+        "open": {
+            "mergeSchema": {"type": "boolean", "default": "false",
+                            "description": "merge part-file schemas"},
+        },
+        "creation": {
+            "compression": {"type": "string-select",
+                            "values": ["none", "snappy", "zlib", "lzo",
+                                       "zstd", "lz4"],
+                            "default": "zstd",
+                            "description": "stripe compression codec"},
+        },
+        "field_types": _NESTED,
+    },
     "csv": {
         "open": {
             "header": {"type": "boolean", "default": "true",

@@ -302,3 +302,38 @@ def test_streaming_pip_and_knn_two_epoch_parity(spark, zones, tmp_path):
         assert got.count() == want.count()
         assert got.exceptAll(want.select(*got.columns)).count() == 0, op
         spark.catalog.clearCache()
+
+
+def test_orc_driver_roundtrip(spark, zones, tmp_path):
+    """ORC joins the registry (Spark-native columnar format): write ->
+    extension inference -> read round-trip, with meta introspection."""
+    from fiona_spark.sources import drivers, meta
+    p = str(tmp_path / "z.orc")
+    flat = zones.select("zone_id", "NAME")
+    drivers.write_dataset(flat, p)
+    assert drivers.driver_from_extension(p) == "orc"
+    back = drivers.open_dataset(spark, p)
+    assert back.count() == N_ZONES
+    assert sorted(back.columns) == ["NAME", "zone_id"]
+    drivers.write_dataset(flat, p, mode="a")          # 'raw' gates append
+    assert drivers.open_dataset(spark, p).count() == 2 * N_ZONES
+    assert "compression" in meta.dataset_creation_options("orc")
+    assert "bytes" in meta.supported_field_types("orc")
+
+
+def test_env_and_insp(spark, zones, tmp_path):
+    """fio env / fio insp analogues: format listing in the reference's
+    text shape, environment record, non-interactive inspector."""
+    from fiona_spark import env as fenv
+    listing = fenv.format_listing()
+    assert "geojson (modes 'r', 'w')" in listing
+    assert "parquet (modes 'r', 'a', 'w')" in listing
+    rec = fenv.env_info(spark)
+    assert rec["formats"]["orc"] == "raw"
+    assert rec["spark"]["version"].startswith("4.")
+    assert "credentials" not in rec
+    p = str(tmp_path / "zi.parquet")
+    zones.write.parquet(p)
+    got = fenv.insp(spark, p, n=3)
+    assert got["count"] == N_ZONES and len(got["head"]) == 3
+    assert got["driver"]["driver"] == "parquet"
