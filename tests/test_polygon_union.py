@@ -433,3 +433,79 @@ def test_buffer_udf_exact_on_concave(spark):
                        ).first()["b"]
     outer = geom.union_area([single["xs"]], [single["ys"]])
     assert abs(outer - want) < 0.15
+
+
+# -- r4: grid-snapped fuzz — maximally degenerate inputs (every contact
+# -- is a shared edge, corner pinch, collinear overlap or containment)
+
+def _grid_cells_covered(xs, ys):
+    cov = set()
+    x0, x1 = int(min(xs)), int(max(xs))
+    y0, y1 = int(min(ys)), int(max(ys))
+    for i in range(x0, x1):
+        for j in range(y0, y1):
+            if geom.points_in_polygon(np.array([i + 0.5]),
+                                      np.array([j + 0.5]),
+                                      np.asarray(xs), np.asarray(ys))[0]:
+                cov.add((i, j))
+    return cov
+
+
+def test_integer_grid_rect_union_fuzz():
+    """100 trials of integer-grid rectangles: area must equal the unit
+    cell count EXACTLY, and nothing may raise — the r4 pinch/collinear
+    machinery handles every grid contact (pre-r4 this raised on corner
+    touches)."""
+    rng = np.random.default_rng(123)
+    for trial in range(100):
+        polys = []
+        for _ in range(rng.integers(2, 8)):
+            x0, y0 = rng.integers(0, 8, 2)
+            w, h = rng.integers(1, 5, 2)
+            polys.append((
+                [float(x0), float(x0 + w), float(x0 + w), float(x0)],
+                [float(y0), float(y0), float(y0 + h), float(y0 + h)]))
+        rings = geom.polygon_union([p[0] for p in polys],
+                                   [p[1] for p in polys])
+        want = set()
+        for p in polys:
+            want |= _grid_cells_covered(*p)
+        assert geom.union_area(*rings) == pytest.approx(
+            float(len(want)), abs=1e-9), f"trial {trial}: {polys}"
+
+
+def test_integer_grid_concave_union_fuzz():
+    """60 trials of concave grid L-shapes (notched rectangles): exact
+    cell-count area, no degeneracy raises."""
+    rng = np.random.default_rng(7)
+
+    def mk_L():
+        x0, y0 = rng.integers(0, 6, 2)
+        w, h = rng.integers(2, 5, 2)
+        nw, nh = rng.integers(1, w), rng.integers(1, h)
+        X0, X1 = float(x0), float(x0 + w)
+        Y0, Y1 = float(y0), float(y0 + h)
+        c = rng.integers(0, 4)
+        if c == 0:
+            xs = [X0, X1, X1, X1 - nw, X1 - nw, X0]
+            ys = [Y0, Y0, Y1 - nh, Y1 - nh, Y1, Y1]
+        elif c == 1:
+            xs = [X0, X1 - nw, X1 - nw, X1, X1, X0]
+            ys = [Y0, Y0, Y0 + nh, Y0 + nh, Y1, Y1]
+        elif c == 2:
+            xs = [X0, X1, X1, X0 + nw, X0 + nw, X0]
+            ys = [Y0, Y0, Y1, Y1, Y1 - nh, Y1 - nh]
+        else:
+            xs = [X0 + nw, X1, X1, X0, X0, X0 + nw]
+            ys = [Y0, Y0, Y1, Y1, Y0 + nh, Y0 + nh]
+        return [float(v) for v in xs], [float(v) for v in ys]
+
+    for trial in range(60):
+        polys = [mk_L() for _ in range(rng.integers(2, 6))]
+        rings = geom.polygon_union([p[0] for p in polys],
+                                   [p[1] for p in polys])
+        want = set()
+        for p in polys:
+            want |= _grid_cells_covered(*p)
+        assert geom.union_area(*rings) == pytest.approx(
+            float(len(want)), abs=1e-9), f"trial {trial}: {polys}"
