@@ -579,13 +579,19 @@ def _on_ring_boundary(px: float, py: float, xs, ys) -> bool:
     return bool(on.any())
 
 
-def _ring_interior_point(xs, ys):
-    """A point STRICTLY inside a simple ring (O'Rourke interior-point):
-    take the lexicographically smallest vertex v (guaranteed convex),
-    its neighbors a/b; if no other vertex lies in triangle (a, v, b)
-    its centroid is interior, else the midpoint of v and the in-triangle
-    vertex farthest from line a-b is.  Raises UnionDegeneracyError on a
-    degenerate (zero-area) corner."""
+def _ring_interior_candidates(xs, ys):
+    """Yield points STRICTLY inside a simple ring (O'Rourke
+    interior-point, generator form): take the lexicographically
+    smallest vertex v (guaranteed convex), its neighbors a/b.  If no
+    other vertex lies in triangle (a, v, b) the triangle is an ear, so
+    ANY open-triangle point is interior — yield several barycentric
+    combinations; else the open segment from v to the in-triangle
+    vertex farthest from line a-b is interior — yield several points
+    along it.  Multiple candidates matter because a caller may need a
+    probe that ALSO avoids a sibling ring's boundary (a grid donut's
+    triangle centroid can land exactly on the hole's corner — the r4
+    donut regression).  Raises UnionDegeneracyError on a degenerate
+    (zero-area) corner."""
     n = len(xs)
     if n < 3:
         raise UnionDegeneracyError("ring with < 3 vertices")
@@ -605,13 +611,25 @@ def _ring_interior_point(xs, ys):
     inside = (d1 > 0) & (d2 > 0) & (d3 > 0)
     inside[[a, v, b]] = False
     if not inside.any():
-        return (ax + vx + bx) / 3.0, (ay + vy + by) / 3.0
-    # farthest from line a-b (== largest d3 magnitude relative probe):
-    # the segment v->q stays interior for that q
+        for wa, wv, wb in ((1, 1, 1), (1, 2, 1), (2, 1, 1), (1, 1, 2),
+                           (1, 6, 1), (5, 2, 1), (1, 2, 5), (3, 10, 3)):
+            s = float(wa + wv + wb)
+            yield ((wa * ax + wv * vx + wb * bx) / s,
+                   (wa * ay + wv * vy + wb * by) / s)
+        return
+    # farthest-from-line-a-b inside vertex q: open segment v->q is
+    # interior (classic interior-point argument)
     dist_ab = np.where(inside, np.abs((bx - ax) * (oy - ay)
                                       - (by - ay) * (ox - ax)), -np.inf)
     q = int(np.argmax(dist_ab))
-    return (vx + float(xs[q])) / 2.0, (vy + float(ys[q])) / 2.0
+    qx, qy = float(xs[q]), float(ys[q])
+    for t in (0.5, 0.25, 0.75, 0.125, 0.375, 0.625, 0.875):
+        yield (vx + t * (qx - vx), vy + t * (qy - vy))
+
+
+def _ring_interior_point(xs, ys):
+    """First interior candidate (see :func:`_ring_interior_candidates`)."""
+    return next(_ring_interior_candidates(xs, ys))
 
 
 def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
@@ -644,16 +662,17 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
             # exactly on another ring's boundary raises -> documented
             # hull fallback instead of corruption.
             if len(rings) > 1:
-                cx, cy = _ring_interior_point(xs, ys)
-                depth = 0
-                for j, (ox, oy) in enumerate(rings):
-                    if j == i:
-                        continue
-                    if _on_ring_boundary(cx, cy, ox, oy):
-                        raise UnionDegeneracyError(
-                            "ring nesting probe on sibling boundary")
-                    depth += int(points_in_polygon(
-                        np.array([cx]), np.array([cy]), ox, oy)[0])
+                sibs = [r for j, r in enumerate(rings) if j != i]
+                for cx, cy in _ring_interior_candidates(xs, ys):
+                    if not any(_on_ring_boundary(cx, cy, ox, oy)
+                               for ox, oy in sibs):
+                        break
+                else:
+                    raise UnionDegeneracyError(
+                        "every interior probe on a sibling boundary")
+                depth = sum(int(points_in_polygon(
+                    np.array([cx]), np.array([cy]), ox, oy)[0])
+                    for ox, oy in sibs)
             else:
                 depth = 0
             signed = float(np.sum(xs * np.roll(ys, -1)

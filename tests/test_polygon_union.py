@@ -509,3 +509,24 @@ def test_integer_grid_concave_union_fuzz():
             want |= _grid_cells_covered(*p)
         assert geom.union_area(*rings) == pytest.approx(
             float(len(want)), abs=1e-9), f"trial {trial}: {polys}"
+
+
+def test_feature_union_donuts_exact():
+    """Hole-bearing (donut) features union exactly — incl. the grid
+    case where the interior-point centroid of the shell lands exactly
+    on the hole's corner (the probe must retry, not raise)."""
+    donut = ([[0., 6., 6., 0.], [2., 4., 4., 2.]],
+             [[0., 0., 6., 6.], [2., 2., 4., 4.]])
+    plug = ([[2.5, 3.5, 3.5, 2.5]], [[2.5, 2.5, 3.5, 3.5]])
+    bridge = ([[1., 5., 5., 1.]], [[2.5, 2.5, 3.5, 3.5]])
+    d2 = ([[3., 9., 9., 3.], [5., 7., 7., 5.]],
+          [[3., 3., 9., 9.], [4., 4., 6., 6.]])
+    for feats, want_area, want_rings in [
+            ([donut], 32.0, 2),          # 36 - 4 hole
+            ([donut, plug], 33.0, 3),    # disjoint plug inside hole
+            ([donut, bridge], 34.0, 3),  # bridge splits the hole
+            ([donut, d2], 58.0, 3)]:
+        rings = geom.feature_union([f[0] for f in feats],
+                                   [f[1] for f in feats])
+        assert len(rings[0]) == want_rings
+        assert geom.union_area(*rings) == pytest.approx(want_area)
