@@ -655,26 +655,28 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
             rings.append((np.roll(xs, -k), np.roll(ys, -k)))
         oriented = []
         for i, (xs, ys) in enumerate(rings):
-            # nesting depth probes an INTERIOR point of ring i, never a
-            # vertex: a hole sharing a vertex with its shell would make
-            # the on-boundary even-odd result parity-dependent and
-            # silently flip orientation (r3 advice).  A probe landing
-            # exactly on another ring's boundary raises -> documented
-            # hull fallback instead of corruption.
-            if len(rings) > 1:
-                sibs = [r for j, r in enumerate(rings) if j != i]
-                for cx, cy in _ring_interior_candidates(xs, ys):
-                    if not any(_on_ring_boundary(cx, cy, ox, oy)
-                               for ox, oy in sibs):
+            # Nesting depth: ring i is inside ring j iff a VERTEX of
+            # ring i that does not lie on ring j's boundary is inside
+            # ring j — within one feature rings never cross, so
+            # containment is all-or-nothing and any off-boundary vertex
+            # decides it.  Probing must NOT use an interior point of
+            # ring i (an interior point of a shell can land inside its
+            # own nested hole — the r4 donut mis-orientation), and must
+            # NOT use an on-boundary vertex (parity-dependent when a
+            # hole shares a vertex with its shell — the r3 advice).
+            depth = 0
+            for j, (ox, oy) in enumerate(rings):
+                if j == i:
+                    continue
+                for k in range(len(xs)):
+                    if not _on_ring_boundary(float(xs[k]), float(ys[k]),
+                                             ox, oy):
+                        depth += int(points_in_polygon(
+                            xs[k:k + 1], ys[k:k + 1], ox, oy)[0])
                         break
                 else:
                     raise UnionDegeneracyError(
-                        "every interior probe on a sibling boundary")
-                depth = sum(int(points_in_polygon(
-                    np.array([cx]), np.array([cy]), ox, oy)[0])
-                    for ox, oy in sibs)
-            else:
-                depth = 0
+                        "ring vertices all on a sibling ring boundary")
             signed = float(np.sum(xs * np.roll(ys, -1)
                                   - np.roll(xs, -1) * ys)) * 0.5
             if (signed > 0) != (depth % 2 == 0):

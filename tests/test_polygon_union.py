@@ -530,3 +530,47 @@ def test_feature_union_donuts_exact():
                                    [f[1] for f in feats])
         assert len(rings[0]) == want_rings
         assert geom.union_area(*rings) == pytest.approx(want_area)
+
+
+def test_grid_donut_union_fuzz():
+    """80 trials of random grid donuts (+ optional solid square):
+    membership-differential == 1.0, no degeneracy raises.  Catches the
+    r4 interior-point depth-probe bug (a shell's interior point inside
+    its own hole flipped ring orientation silently)."""
+    rng = np.random.default_rng(55)
+    for trial in range(80):
+        feats = []
+        for _ in range(rng.integers(1, 4)):
+            x0, y0 = rng.integers(0, 5, 2)
+            w, h = rng.integers(3, 6, 2)
+            hx0 = x0 + rng.integers(1, w - 1)
+            hy0 = y0 + rng.integers(1, h - 1)
+            hw = rng.integers(1, w - (hx0 - x0))
+            hh = rng.integers(1, h - (hy0 - y0))
+            feats.append((
+                [[float(x0), float(x0 + w), float(x0 + w), float(x0)],
+                 [float(hx0), float(hx0 + hw), float(hx0 + hw), float(hx0)]],
+                [[float(y0), float(y0), float(y0 + h), float(y0 + h)],
+                 [float(hy0), float(hy0), float(hy0 + hh), float(hy0 + hh)]]))
+        if rng.random() < 0.7:
+            x0, y0 = rng.integers(0, 7, 2)
+            w, h = rng.integers(1, 4, 2)
+            feats.append((
+                [[float(x0), float(x0 + w), float(x0 + w), float(x0)]],
+                [[float(y0), float(y0), float(y0 + h), float(y0 + h)]]))
+        rings = geom.feature_union([f[0] for f in feats],
+                                   [f[1] for f in feats])
+        allx = np.concatenate([np.asarray(r) for f in feats for r in f[0]])
+        ally = np.concatenate([np.asarray(r) for f in feats for r in f[1]])
+        gx, gy = np.meshgrid(
+            np.linspace(allx.min() - .3, allx.max() + .3, 80),
+            np.linspace(ally.min() - .3, ally.max() + .3, 80))
+        gx, gy = gx.ravel(), gy.ravel()
+        want = np.zeros(len(gx), bool)
+        for fxs, fys in feats:
+            offs, x0_, y0_, x1_, y1_ = geom.pack_feature_edges([fxs], [fys])
+            want |= geom.points_in_edges_packed(
+                gx, gy, np.zeros(len(gx), np.int64),
+                offs, x0_, y0_, x1_, y1_)
+        got = geom.points_in_rings(gx, gy, rings[0], rings[1])
+        assert (want == got).all(), f"trial {trial}: {feats}"
