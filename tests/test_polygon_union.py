@@ -574,3 +574,34 @@ def test_grid_donut_union_fuzz():
                 offs, x0_, y0_, x1_, y1_)
         got = geom.points_in_rings(gx, gy, rings[0], rings[1])
         assert (want == got).all(), f"trial {trial}: {feats}"
+
+
+def test_dissolve_union_two_stage_grid_fuzz(spark):
+    """10 trials: the two-stage (partition partials -> driver final)
+    dissolve over grid rectangles stays EXACT — multi-ring partials
+    with holes flow through feature_union and corner/edge contacts no
+    longer degrade to the hull."""
+    import pandas as pd
+    from fiona_spark.operators import aggregates
+    rng = np.random.default_rng(91)
+    for trial in range(10):
+        polys = []
+        for _ in range(rng.integers(4, 12)):
+            x0, y0 = rng.integers(0, 8, 2)
+            w, h = rng.integers(1, 5, 2)
+            polys.append((
+                [float(x0), float(x0 + w), float(x0 + w), float(x0)],
+                [float(y0), float(y0), float(y0 + h), float(y0 + h)]))
+        cov = set()
+        for xs_, ys_ in polys:
+            for i in range(int(min(xs_)), int(max(xs_))):
+                for j in range(int(min(ys_)), int(max(ys_))):
+                    cov.add((i, j))
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": range(len(polys)),
+            "xs": [p[0] for p in polys],
+            "ys": [p[1] for p in polys]})).repartition(4)
+        rx, ry, exact = aggregates.dissolve_union(df)
+        assert exact, f"trial {trial} degraded to hull"
+        assert geom.union_area(rx, ry) == pytest.approx(
+            float(len(cov)), abs=1e-9), f"trial {trial}"
