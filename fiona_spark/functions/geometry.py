@@ -138,6 +138,9 @@ def buffer_udf(dist: float):
             y = np.asarray(ys_l[i], np.float64)
             try:
                 rxs, rys = geom.buffer_polygon(x, y, dist)
+                if not rxs:                 # fully eroded (dist < 0)
+                    ox.append([]); oy.append([])
+                    continue
                 k = int(np.argmax([
                     abs(float(np.sum(np.asarray(a) * np.roll(np.asarray(b), -1)
                                      - np.roll(np.asarray(a), -1)

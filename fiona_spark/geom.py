@@ -421,11 +421,14 @@ def buffer_polygon(xs, ys, dist: float, segs: int = 16):
     collinear/stacked-border machinery stitches them without residue.
 
     Returns (rings_xs, rings_ys) — holes possible (a C-shape can close
-    onto itself).  Raises UnionDegeneracyError if the union kernel
-    hits sub-eps degeneracy, ValueError on negative ``dist``.
+    onto itself).  Negative ``dist`` delegates to
+    :func:`erode_polygon` (GEOS negative-buffer semantics).  Raises
+    UnionDegeneracyError if the union kernel hits sub-eps degeneracy.
     """
     if dist < 0:
-        raise ValueError("negative buffer distance not supported")
+        # negative buffer = erosion (`fiona/features.py` buffer allows
+        # dist<0 via GEOS; same semantics here)
+        return erode_polygon(xs, ys, -dist, segs)
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
     if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
@@ -473,6 +476,80 @@ def buffer_polygon(xs, ys, dist: float, segs: int = 16):
         fan_x[-1] = xs[i] + ox_[i] * dist; fan_y[-1] = ys[i] + oy_[i] * dist
         px_l.append(fan_x); py_l.append(fan_y)
     return polygon_union(px_l, py_l)
+
+
+def erode_polygon(xs, ys, dist: float, segs: int = 16):
+    """Polygon EROSION (negative buffer): the set of points whose
+    distance-``dist`` disk stays inside the ring — computed as the
+    complement of the dilation of the complement, with the same exact
+    union kernel `buffer_polygon` uses.
+
+    Construction: feature C = (padded bbox ring, P as hole) is the
+    complement; union C with per-edge slabs and REFLEX-vertex arc fans
+    (the convex vertices of the complement) to get the dilated
+    complement D; D's interior (hole) rings are the erosion boundary —
+    returned flipped to outer-CCW.  Straight edges move inward
+    exactly; reflex corners round with inscribed arcs (the same
+    convention as a GEOS negative buffer).  A neck narrower than
+    2*dist splits the output into several rings; full erosion returns
+    ([], []).
+    """
+    if dist < 0:
+        raise ValueError("erode_polygon needs dist >= 0")
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    if len(xs) < 3:
+        return [], []
+    if dist == 0:
+        return [xs.copy()], [ys.copy()]
+    signed = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    if signed < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    keep = (xs != np.roll(xs, -1)) | (ys != np.roll(ys, -1))
+    xs, ys = xs[keep], ys[keep]
+    n = len(xs)
+    pad = dist * 3.0 + 1.0
+    bx0, bx1 = float(xs.min() - pad), float(xs.max() + pad)
+    by0, by1 = float(ys.min() - pad), float(ys.max() + pad)
+    feats_x = [[np.array([bx0, bx1, bx1, bx0]), xs]]
+    feats_y = [[np.array([by0, by0, by1, by1]), ys]]
+    nx1 = np.roll(xs, -1); ny1 = np.roll(ys, -1)
+    dx = nx1 - xs; dy = ny1 - ys
+    ln = np.hypot(dx, dy)
+    ux, uy = dx / ln, dy / ln
+    ox_, oy_ = uy, -ux                      # outward normals of P
+    for i in range(n):
+        feats_x.append([np.array(
+            [xs[i] + ox_[i] * dist, nx1[i] + ox_[i] * dist,
+             nx1[i] - ox_[i] * dist, xs[i] - ox_[i] * dist])])
+        feats_y.append([np.array(
+            [ys[i] + oy_[i] * dist, ny1[i] + oy_[i] * dist,
+             ny1[i] - oy_[i] * dist, ys[i] - oy_[i] * dist])])
+    th = np.arctan2(oy_, ox_)
+    for i in range(n):
+        j = (i - 1) % n
+        cross = ux[j] * uy[i] - uy[j] * ux[i]
+        if cross >= 0:
+            continue                        # only REFLEX vertices fan
+        t0, t1 = th[i] + np.pi, th[j] + np.pi   # inward normals
+        sweep = (t1 - t0) % (2.0 * np.pi)
+        steps = max(2, int(np.ceil(sweep / (2.0 * np.pi / segs))) + 1)
+        ang = t0 + np.linspace(0.0, sweep, steps)
+        feats_x.append([np.concatenate(
+            ([xs[i]], xs[i] + dist * np.cos(ang)))])
+        feats_y.append([np.concatenate(
+            ([ys[i]], ys[i] + dist * np.sin(ang)))])
+    rx, ry = feature_union(feats_x, feats_y)
+    out_x, out_y = [], []
+    for r_x, r_y in zip(rx, ry):
+        r_x = np.asarray(r_x); r_y = np.asarray(r_y)
+        if r_x.min() <= bx0 or r_x.max() >= bx1:
+            continue                        # the bbox outer ring
+        out_x.append(r_x[::-1].copy())      # hole (CW) -> outer (CCW)
+        out_y.append(r_y[::-1].copy())
+    return out_x, out_y
 
 
 def convex_hull(px: np.ndarray, py: np.ndarray):

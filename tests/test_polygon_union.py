@@ -605,3 +605,57 @@ def test_dissolve_union_two_stage_grid_fuzz(spark):
         assert exact, f"trial {trial} degraded to hull"
         assert geom.union_area(rx, ry) == pytest.approx(
             float(len(cov)), abs=1e-9), f"trial {trial}"
+
+
+# -- r4: erosion (negative buffer) ------------------------------------------
+
+def _erosion_oracle_area(xs, ys, d, n=400):
+    xs = np.asarray(xs, float); ys = np.asarray(ys, float)
+    gx = np.linspace(xs.min(), xs.max(), n)
+    gy = np.linspace(ys.min(), ys.max(), n)
+    GX, GY = np.meshgrid(gx, gy)
+    px, py = GX.ravel(), GY.ravel()
+    inside = geom.points_in_polygon(px, py, xs, ys)
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    ex, ey = x1 - xs, y1 - ys
+    L2 = ex ** 2 + ey ** 2
+    dmin = np.full(len(px), np.inf)
+    for i in range(len(xs)):
+        t = np.clip(((px - xs[i]) * ex[i] + (py - ys[i]) * ey[i]) / L2[i],
+                    0, 1)
+        dmin = np.minimum(dmin, np.hypot(px - (xs[i] + t * ex[i]),
+                                         py - (ys[i] + t * ey[i])))
+    cell = (gx[1] - gx[0]) * (gy[1] - gy[0])
+    return float((inside & (dmin >= d)).sum()) * cell
+
+
+def test_erode_square_exact():
+    rx, ry = geom.erode_polygon([0., 4., 4., 0.], [0., 0., 4., 4.], 1.0)
+    assert len(rx) == 1
+    assert geom.union_area(rx, ry) == pytest.approx(4.0)   # 2x2 core
+    # negative dist through buffer_polygon is the same thing
+    rx2, ry2 = geom.buffer_polygon([0., 4., 4., 0.], [0., 0., 4., 4.], -1.0)
+    assert geom.union_area(rx2, ry2) == pytest.approx(4.0)
+
+
+def test_erode_concave_L_matches_dense_oracle():
+    xs = np.array([0., 6., 6., 2.5, 2.5, 0.])
+    ys = np.array([0., 0., 2., 2., 6., 6.])
+    rx, ry = geom.erode_polygon(xs, ys, 0.5, segs=64)
+    got = geom.union_area(rx, ry)
+    want = _erosion_oracle_area(xs, ys, 0.5)
+    assert abs(got - want) < 0.1
+
+
+def test_erode_dumbbell_splits_and_vanishes():
+    """A narrow neck (width 1) splits under erosion by 0.6 into two
+    rings; eroding past the inradius empties the polygon."""
+    # two 4x4 lobes joined by a 2-long, 1-wide neck
+    xs = np.array([0., 4., 4., 6., 6., 10., 10., 6., 6., 4., 4., 0.])
+    ys = np.array([0., 0., 1.5, 1.5, 0., 0., 4., 4., 2.5, 2.5, 4., 4.])
+    rx, ry = geom.erode_polygon(xs, ys, 0.6, segs=32)
+    assert len(rx) == 2
+    want = _erosion_oracle_area(xs, ys, 0.6, n=600)
+    assert abs(geom.union_area(rx, ry) - want) < 0.15
+    assert geom.erode_polygon([0., 2., 2., 0.], [0., 0., 2., 2.], 1.5) \
+        == ([], [])
