@@ -407,6 +407,151 @@ def buffer_convex(xs: np.ndarray, ys: np.ndarray, dist: float):
     return cx + vx * scale, cy + vy * scale
 
 
+def _clean_open_ring(xs, ys):
+    """Open the ring (drop explicit closure) and drop zero-length
+    edges; returns (xs, ys) float64 arrays."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    keep = (xs != np.roll(xs, -1)) | (ys != np.roll(ys, -1))
+    return xs[keep], ys[keep]
+
+
+def _band_pieces(xs, ys, dist, segs):
+    """Minkowski band pieces along ONE ring ORIENTED INTERIOR-ON-LEFT:
+    a both-sides slab per edge plus an arc fan at every left-turn
+    vertex (the convex vertices of the region the ring bounds), fan
+    ends pinned to the slabs' EXACT corner floats so the union
+    stitcher matches endpoints bitwise.  Returns (piece_xs, piece_ys)
+    lists of single rings."""
+    n = len(xs)
+    px_l, py_l = [], []
+    nx1 = np.roll(xs, -1); ny1 = np.roll(ys, -1)
+    dx = nx1 - xs; dy = ny1 - ys
+    ln = np.hypot(dx, dy)
+    ux, uy = dx / ln, dy / ln
+    # outward (right-of-direction) unit normals
+    ox_, oy_ = uy, -ux
+    for i in range(n):
+        px_l.append(np.array(
+            [xs[i] + ox_[i] * dist, nx1[i] + ox_[i] * dist,
+             nx1[i] - ox_[i] * dist, xs[i] - ox_[i] * dist]))
+        py_l.append(np.array(
+            [ys[i] + oy_[i] * dist, ny1[i] + oy_[i] * dist,
+             ny1[i] - oy_[i] * dist, ys[i] - oy_[i] * dist]))
+    th = np.arctan2(oy_, ox_)
+    for i in range(n):
+        j = (i - 1) % n          # incoming edge index for vertex i
+        cross = ux[j] * uy[i] - uy[j] * ux[i]
+        if cross <= 0:
+            continue             # right turn / straight: slabs cover
+        t0, t1 = th[j], th[i]
+        sweep = (t1 - t0) % (2.0 * np.pi)
+        steps = max(2, int(np.ceil(sweep / (2.0 * np.pi / segs))) + 1)
+        ang = t0 + np.linspace(0.0, sweep, steps)
+        fan_x = np.concatenate(([xs[i]], xs[i] + dist * np.cos(ang)))
+        fan_y = np.concatenate(([ys[i]], ys[i] + dist * np.sin(ang)))
+        fan_x[1] = xs[i] + ox_[j] * dist; fan_y[1] = ys[i] + oy_[j] * dist
+        fan_x[-1] = xs[i] + ox_[i] * dist; fan_y[-1] = ys[i] + oy_[i] * dist
+        px_l.append(fan_x); py_l.append(fan_y)
+    return px_l, py_l
+
+
+def _feature_ring_depths(rings):
+    """Nesting depth per ring of one feature, by the off-boundary
+    VERTEX probe (see feature_union: interior points are wrong for a
+    shell with nested holes; on-boundary vertices are
+    parity-dependent)."""
+    depths = []
+    for i, (xs, ys) in enumerate(rings):
+        depth = 0
+        for j, (ox, oy) in enumerate(rings):
+            if j == i:
+                continue
+            for k in range(len(xs)):
+                if not _on_ring_boundary(float(xs[k]), float(ys[k]),
+                                         ox, oy):
+                    depth += int(points_in_polygon(
+                        xs[k:k + 1], ys[k:k + 1], ox, oy)[0])
+                    break
+            else:
+                raise UnionDegeneracyError(
+                    "ring vertices all on a sibling ring boundary")
+        depths.append(depth)
+    return depths
+
+
+def buffer_feature(rings_xs, rings_ys, dist: float, segs: int = 16):
+    """EXACT-construction buffer of a MULTI-RING feature (holes
+    included), positive or negative ``dist`` — the full semantics of
+    the reference's GEOS buffer (`fiona/features.py:128-211`) up to
+    the inscribed-arc approximation both share.
+
+    dist > 0: union of the feature with Minkowski band pieces along
+    every ring (outer rings grow, holes shrink, a hole narrower than
+    2*dist closes).  dist < 0: the same construction on the feature's
+    COMPLEMENT inside a padded bbox — the dilated complement's
+    non-bbox rings, reversed, are the erosion (outer rings shrink and
+    can split or vanish; holes grow and can merge).
+
+    Rings are oriented interior-on-left per their vertex-probe nesting
+    depth before band construction; `feature_union` re-derives roles
+    for the final output, so results follow the union convention
+    (outer CCW, holes CW).
+    """
+    rings = []
+    for rx, ry in zip(rings_xs, rings_ys):
+        xs, ys = _clean_open_ring(rx, ry)
+        if len(xs) >= 3:
+            rings.append((xs, ys))
+    if not rings:
+        return [], []
+    if dist == 0:
+        return [r[0].copy() for r in rings], [r[1].copy() for r in rings]
+    depths = _feature_ring_depths(rings) if len(rings) > 1         else [0]
+    oriented = []
+    for (xs, ys), depth in zip(rings, depths):
+        signed = float(np.sum(xs * np.roll(ys, -1)
+                              - np.roll(xs, -1) * ys))
+        # interior-on-left: outer (even depth) CCW, hole (odd) CW
+        want_ccw = depth % 2 == 0
+        if (signed > 0) != want_ccw:
+            xs, ys = xs[::-1].copy(), ys[::-1].copy()
+        oriented.append((xs, ys))
+    if dist > 0:
+        feats_x = [[r[0] for r in oriented]]
+        feats_y = [[r[1] for r in oriented]]
+        for xs, ys in oriented:
+            bx, by = _band_pieces(xs, ys, dist, segs)
+            feats_x += [[r] for r in bx]
+            feats_y += [[r] for r in by]
+        return feature_union(feats_x, feats_y)
+    # negative: dilate the complement, return its non-bbox rings flipped
+    d = -dist
+    allx = np.concatenate([r[0] for r in oriented])
+    ally = np.concatenate([r[1] for r in oriented])
+    pad = d * 3.0 + 1.0
+    bx0, bx1 = float(allx.min() - pad), float(allx.max() + pad)
+    by0, by1 = float(ally.min() - pad), float(ally.max() + pad)
+    rev = [(xs[::-1].copy(), ys[::-1].copy()) for xs, ys in oriented]
+    feats_x = [[np.array([bx0, bx1, bx1, bx0])] + [r[0] for r in rev]]
+    feats_y = [[np.array([by0, by0, by1, by1])] + [r[1] for r in rev]]
+    for xs, ys in rev:
+        bx, by = _band_pieces(xs, ys, d, segs)
+        feats_x += [[r] for r in bx]
+        feats_y += [[r] for r in by]
+    rx, ry = feature_union(feats_x, feats_y)
+    out_x, out_y = [], []
+    for r_x, r_y in zip(rx, ry):
+        r_x = np.asarray(r_x); r_y = np.asarray(r_y)
+        if r_x.min() <= bx0 or r_x.max() >= bx1:
+            continue                        # the bbox outer ring
+        out_x.append(r_x[::-1].copy())
+        out_y.append(r_y[::-1].copy())
+    return out_x, out_y
+
+
 def buffer_polygon(xs, ys, dist: float, segs: int = 16):
     """EXACT-construction polygon buffer for ANY simple ring — concave
     included (r3 verdict "what's missing" #1; the reference's `buffer`
@@ -435,65 +580,17 @@ def buffer_polygon(xs, ys, dist: float, segs: int = 16):
         xs, ys = xs[:-1], ys[:-1]
     if dist == 0 or len(xs) < 3:
         return [xs.copy()], [ys.copy()]
-    # normalize to CCW so "convex vertex" = left turn
-    signed = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
-    if signed < 0:
-        xs, ys = xs[::-1].copy(), ys[::-1].copy()
-    # drop zero-length edges
-    keep = (xs != np.roll(xs, -1)) | (ys != np.roll(ys, -1))
-    xs, ys = xs[keep], ys[keep]
-    n = len(xs)
-    px_l = [xs]
-    py_l = [ys]
-    nx1 = np.roll(xs, -1); ny1 = np.roll(ys, -1)
-    dx = nx1 - xs; dy = ny1 - ys
-    ln = np.hypot(dx, dy)
-    ux, uy = dx / ln, dy / ln
-    # outward (right-of-direction for CCW) unit normals
-    ox_, oy_ = uy, -ux
-    for i in range(n):
-        # slab rectangle: edge offset dist to both sides
-        rx = np.array([xs[i] + ox_[i] * dist, nx1[i] + ox_[i] * dist,
-                       nx1[i] - ox_[i] * dist, xs[i] - ox_[i] * dist])
-        ry = np.array([ys[i] + oy_[i] * dist, ny1[i] + oy_[i] * dist,
-                       ny1[i] - oy_[i] * dist, ys[i] - oy_[i] * dist])
-        px_l.append(rx); py_l.append(ry)
-    th = np.arctan2(oy_, ox_)
-    for i in range(n):
-        j = (i - 1) % n          # incoming edge index for vertex i
-        cross = ux[j] * uy[i] - uy[j] * ux[i]
-        if cross <= 0:
-            continue             # reflex/straight: slabs already cover
-        t0, t1 = th[j], th[i]
-        sweep = (t1 - t0) % (2.0 * np.pi)
-        steps = max(2, int(np.ceil(sweep / (2.0 * np.pi / segs))) + 1)
-        ang = t0 + np.linspace(0.0, sweep, steps)
-        fan_x = np.concatenate(([xs[i]], xs[i] + dist * np.cos(ang)))
-        fan_y = np.concatenate(([ys[i]], ys[i] + dist * np.sin(ang)))
-        # pin the arc ends to the EXACT rectangle corner floats so the
-        # stitcher matches endpoints bitwise
-        fan_x[1] = xs[i] + ox_[j] * dist; fan_y[1] = ys[i] + oy_[j] * dist
-        fan_x[-1] = xs[i] + ox_[i] * dist; fan_y[-1] = ys[i] + oy_[i] * dist
-        px_l.append(fan_x); py_l.append(fan_y)
-    return polygon_union(px_l, py_l)
+    return buffer_feature([xs], [ys], dist, segs)
 
 
 def erode_polygon(xs, ys, dist: float, segs: int = 16):
-    """Polygon EROSION (negative buffer): the set of points whose
-    distance-``dist`` disk stays inside the ring — computed as the
-    complement of the dilation of the complement, with the same exact
-    union kernel `buffer_polygon` uses.
-
-    Construction: feature C = (padded bbox ring, P as hole) is the
-    complement; union C with per-edge slabs and REFLEX-vertex arc fans
-    (the convex vertices of the complement) to get the dilated
-    complement D; D's interior (hole) rings are the erosion boundary —
-    returned flipped to outer-CCW.  Straight edges move inward
-    exactly; reflex corners round with inscribed arcs (the same
-    convention as a GEOS negative buffer).  A neck narrower than
-    2*dist splits the output into several rings; full erosion returns
-    ([], []).
-    """
+    """Polygon EROSION (negative buffer) of a single ring: the set of
+    points whose distance-``dist`` disk stays inside it — delegates to
+    :func:`buffer_feature` with negative distance (complement-dilation
+    construction).  Straight edges move inward exactly; reflex corners
+    round with inscribed arcs (GEOS negative-buffer convention); a
+    neck narrower than 2*dist splits the output; full erosion returns
+    ([], [])."""
     if dist < 0:
         raise ValueError("erode_polygon needs dist >= 0")
     xs = np.asarray(xs, np.float64)
@@ -504,53 +601,7 @@ def erode_polygon(xs, ys, dist: float, segs: int = 16):
         return [], []
     if dist == 0:
         return [xs.copy()], [ys.copy()]
-    signed = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
-    if signed < 0:
-        xs, ys = xs[::-1].copy(), ys[::-1].copy()
-    keep = (xs != np.roll(xs, -1)) | (ys != np.roll(ys, -1))
-    xs, ys = xs[keep], ys[keep]
-    n = len(xs)
-    pad = dist * 3.0 + 1.0
-    bx0, bx1 = float(xs.min() - pad), float(xs.max() + pad)
-    by0, by1 = float(ys.min() - pad), float(ys.max() + pad)
-    feats_x = [[np.array([bx0, bx1, bx1, bx0]), xs]]
-    feats_y = [[np.array([by0, by0, by1, by1]), ys]]
-    nx1 = np.roll(xs, -1); ny1 = np.roll(ys, -1)
-    dx = nx1 - xs; dy = ny1 - ys
-    ln = np.hypot(dx, dy)
-    ux, uy = dx / ln, dy / ln
-    ox_, oy_ = uy, -ux                      # outward normals of P
-    for i in range(n):
-        feats_x.append([np.array(
-            [xs[i] + ox_[i] * dist, nx1[i] + ox_[i] * dist,
-             nx1[i] - ox_[i] * dist, xs[i] - ox_[i] * dist])])
-        feats_y.append([np.array(
-            [ys[i] + oy_[i] * dist, ny1[i] + oy_[i] * dist,
-             ny1[i] - oy_[i] * dist, ys[i] - oy_[i] * dist])])
-    th = np.arctan2(oy_, ox_)
-    for i in range(n):
-        j = (i - 1) % n
-        cross = ux[j] * uy[i] - uy[j] * ux[i]
-        if cross >= 0:
-            continue                        # only REFLEX vertices fan
-        t0, t1 = th[i] + np.pi, th[j] + np.pi   # inward normals
-        sweep = (t1 - t0) % (2.0 * np.pi)
-        steps = max(2, int(np.ceil(sweep / (2.0 * np.pi / segs))) + 1)
-        ang = t0 + np.linspace(0.0, sweep, steps)
-        feats_x.append([np.concatenate(
-            ([xs[i]], xs[i] + dist * np.cos(ang)))])
-        feats_y.append([np.concatenate(
-            ([ys[i]], ys[i] + dist * np.sin(ang)))])
-    rx, ry = feature_union(feats_x, feats_y)
-    out_x, out_y = [], []
-    for r_x, r_y in zip(rx, ry):
-        r_x = np.asarray(r_x); r_y = np.asarray(r_y)
-        if r_x.min() <= bx0 or r_x.max() >= bx1:
-            continue                        # the bbox outer ring
-        out_x.append(r_x[::-1].copy())      # hole (CW) -> outer (CCW)
-        out_y.append(r_y[::-1].copy())
-    return out_x, out_y
-
+    return buffer_feature([xs], [ys], -dist, segs)
 
 def convex_hull(px: np.ndarray, py: np.ndarray):
     """Andrew monotone chain; returns hull vertex arrays (ccw, open ring)."""

@@ -659,3 +659,20 @@ def test_erode_dumbbell_splits_and_vanishes():
     assert abs(geom.union_area(rx, ry) - want) < 0.15
     assert geom.erode_polygon([0., 2., 2., 0.], [0., 0., 2., 2.], 1.5) \
         == ([], [])
+
+
+def test_buffer_feature_donut_closed_forms():
+    """Multi-ring (donut) buffer, positive and negative: closed-form
+    areas at segs=256 (inscribed-arc deficit < 0.01)."""
+    dx_ = [[0., 8., 8., 0.], [2., 6., 6., 2.]]
+    dy_ = [[0., 0., 8., 8.], [2., 2., 6., 6.]]
+    rx, ry = geom.buffer_feature(dx_, dy_, 1.0, segs=256)
+    assert len(rx) == 2        # grown outer + shrunk hole
+    assert abs(geom.union_area(rx, ry) - (64 + 32 + np.pi - 4)) < 0.01
+    rx, ry = geom.buffer_feature(dx_, dy_, 2.0, segs=256)
+    assert len(rx) == 1        # hole narrower than 2*dist closes
+    assert abs(geom.union_area(rx, ry) - (64 + 64 + 4 * np.pi)) < 0.01
+    rx, ry = geom.buffer_feature(dx_, dy_, -0.5, segs=256)
+    assert len(rx) == 2        # outer shrinks, hole grows (rounded)
+    want = 49 - (25 - (1 - np.pi / 4))
+    assert abs(geom.union_area(rx, ry) - want) < 0.01
