@@ -185,6 +185,38 @@ def buffer_rings_udf(dist: float, segs: int = 16):
     return u
 
 
+def buffer_feature_udf(dist: float, segs: int = 16):
+    """Multi-ring FEATURE buffer over (rings_xs, rings_ys) columns —
+    holes included, negative ``dist`` erodes (`geom.buffer_feature`).
+    Output rings follow the union convention (outer CCW, holes CW);
+    exact=False flags convex-fallback rows."""
+    @F.pandas_udf(_BUF_RINGS_T)
+    def u(rxs: pd.Series, rys: pd.Series) -> pd.DataFrame:
+        oxs, oys, okf = [], [], []
+        for ring_xs, ring_ys in zip(rxs, rys):
+            try:
+                bx, by = geom.buffer_feature(
+                    [np.asarray(r, np.float64) for r in ring_xs],
+                    [np.asarray(r, np.float64) for r in ring_ys],
+                    dist, segs)
+                oxs.append([np.asarray(r).tolist() for r in bx])
+                oys.append([np.asarray(r).tolist() for r in by])
+                okf.append(True)
+            except geom.UnionDegeneracyError:
+                if dist >= 0:
+                    hx, hy = geom.buffer_convex(
+                        np.concatenate([np.asarray(r) for r in ring_xs]),
+                        np.concatenate([np.asarray(r) for r in ring_ys]),
+                        dist)
+                    oxs.append([hx.tolist()]); oys.append([hy.tolist()])
+                else:
+                    oxs.append([]); oys.append([])
+                okf.append(False)
+        return pd.DataFrame({"rings_xs": oxs, "rings_ys": oys,
+                             "exact": okf})
+    return u
+
+
 def set_precision_expr(col, grid_size: float):
     """Snap every coordinate of an array<double> column to a grid —
     the engine form of shapely.set_precision as wrapped by the

@@ -172,3 +172,25 @@ def test_dissolve_components_distributed_lane_parity(spark):
 
     assert norm(fast) == norm(dist)
     assert len(fast) == 3 + 4
+
+
+def test_buffer_feature_udf_donut(spark):
+    """The multi-ring buffer UDF: a donut grows outward and its hole
+    shrinks; negative dist erodes.  Verified against geom directly."""
+    import pandas as pd
+
+    from fiona_spark import geom
+    from fiona_spark.functions import geometry as gf
+    pdf = pd.DataFrame({
+        "rings_xs": [[[0., 8., 8., 0.], [2., 6., 6., 2.]]],
+        "rings_ys": [[[0., 0., 8., 8.], [2., 2., 6., 6.]]]})
+    df = spark.createDataFrame(pdf)
+    for d in (1.0, -0.5):
+        row = df.select(gf.buffer_feature_udf(d, segs=32)(
+            "rings_xs", "rings_ys").alias("b")).first()["b"]
+        assert row["exact"]
+        want_x, want_y = geom.buffer_feature(
+            pdf["rings_xs"][0], pdf["rings_ys"][0], d, segs=32)
+        assert geom.union_area(row["rings_xs"], row["rings_ys"]) == \
+            pytest.approx(geom.union_area(want_x, want_y))
+        assert len(row["rings_xs"]) == 2
