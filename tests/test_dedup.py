@@ -364,3 +364,30 @@ def test_connected_components_randomized_parity(spark):
     # drops self loops (no neighbor) — align before comparing
     f = {k: v for k, v in f.items() if k in d}
     assert f == d and len(d) > 100
+
+
+def test_dedup_pipeline_end_to_end_distributed_lane(spark):
+    """Corpus -> MinHash LSH pairs -> group closure (DISTRIBUTED lane
+    forced) -> keeper application, on the real documents fixture with
+    planted duplicate clusters; surviving corpus identical to the
+    driver-lane run and keepers are exactly the min ids."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    # plant two clusters: copies of doc 0 and doc 1 at high ids
+    d0 = base.filter("doc_id = 0").select("text").first()["text"]
+    d1 = base.filter("doc_id = 1").select("text").first()["text"]
+    extra = spark.createDataFrame(
+        [(100000 + i, d0) for i in range(3)]
+        + [(200000 + i, d1 + " tail") for i in range(2)],
+        "doc_id long, text string")
+    docs = base.unionByName(extra)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    fast = dedup.apply_dedup(docs, dedup.connected_groups(pairs))
+    dist = dedup.apply_dedup(docs, dedup.connected_groups(
+        pairs, max_edges=1))
+    fast_ids = sorted(r["doc_id"] for r in fast.select("doc_id").collect())
+    dist_ids = sorted(r["doc_id"] for r in dist.select("doc_id").collect())
+    assert fast_ids == dist_ids
+    # cluster keepers are the min members: 0 and 1 survive, plants die
+    assert 0 in fast_ids and 1 in fast_ids
+    assert not any(i >= 100000 for i in fast_ids)
