@@ -597,7 +597,8 @@ def dedup_exact(df: DataFrame, content_cols: list[str],
 
 def connected_components_df(pairs: DataFrame, a_col: str = "id_a",
                             b_col: str = "id_b",
-                            max_rounds: int = 50) -> DataFrame:
+                            max_rounds: int = 50,
+                            reliable: bool = False) -> DataFrame:
     """DISTRIBUTED connected components over the pair DataFrame: min-id
     label propagation with pointer doubling — joins and aggregations
     only, ZERO driver state, so it has no edge-count ceiling (the r3
@@ -617,15 +618,25 @@ def connected_components_df(pairs: DataFrame, a_col: str = "id_a",
     Same (id, group=min member id) contract as the driver union-find
     fast lane — the recursive-CTE closure oracle matches either path.
     Output covers ids that appear in at least one pair.
+
+    ``reliable=True`` cuts lineage with ``checkpoint()`` (needs
+    ``spark.sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint()``: local checkpoints live on executors and die
+    with them, which on a multi-hour 1000-executor run means a lost
+    node replays the whole iteration; reliable checkpoints trade a
+    per-round HDFS write for restartability.
     """
+    def _cut(df):
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     u, v = "_cc_u", "_cc_v"
     e = pairs.select(F.col(a_col).alias(u), F.col(b_col).alias(v))
     sym = (e.union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
            .filter(F.col(u) != F.col(v))
            .persist())
-    labels = (sym.select(F.col(u).alias("id")).distinct()
-              .withColumn("lbl", F.col("id"))
-              .localCheckpoint(eager=True))
+    labels = _cut(sym.select(F.col(u).alias("id")).distinct()
+                  .withColumn("lbl", F.col("id")))
     for _ in range(max_rounds):
         nbr = (sym.join(labels.select(F.col("id").alias(v),
                                       F.col("lbl").alias("_nl")), v)
@@ -639,8 +650,8 @@ def connected_components_df(pairs: DataFrame, a_col: str = "id_a",
         l2 = (l1.join(par, l1["lbl"] == par["_pid"], "left")
               .select(l1["id"],
                       F.least(l1["lbl"],
-                              F.coalesce("_plbl", l1["lbl"])).alias("lbl"))
-              .localCheckpoint(eager=True))
+                              F.coalesce("_plbl", l1["lbl"])).alias("lbl")))
+        l2 = _cut(l2)
         changed = (l2.join(labels.withColumnRenamed("lbl", "_old"), "id")
                    .filter(F.col("lbl") != F.col("_old"))
                    .limit(1).count())
