@@ -208,3 +208,29 @@ def test_dissolve_components_single_guard_action(spark, monkeypatch):
     assert calls == {"collect": 1, "count": 0}, calls
     monkeypatch.undo()
     assert out.count() > 0
+
+
+def test_connected_components_plan_no_cartesian_no_python(spark):
+    """The distributed closure is joins/aggregations only: no cartesian
+    product, no Python operators, and every join is an equi-join."""
+    from fiona_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    out = dedup.connected_components_df(pairs, max_rounds=3)
+    plan = quality.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert quality.python_eval_count(out) == 0
+
+
+def test_apply_dedup_broadcasts_losers(spark):
+    """Keeper application broadcasts the (near-dup-bounded) loser set,
+    never shuffling the corpus side."""
+    from fiona_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id long, text string")
+    groups = spark.createDataFrame(
+        [(1, 0), (0, 0)], "id long, group long")
+    out = dedup.apply_dedup(docs, groups)
+    plan = quality.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
