@@ -770,7 +770,28 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
     hole CW) so the exterior-side probe of the fragment keep rule works
     unchanged.  Returns (rings_xs, rings_ys) with the same orientation
     convention.
+
+    Inputs larger than ``max_edges`` DIVIDE-AND-CONQUER (r4): features
+    split by bbox-center x-median, halves union recursively, the two
+    partial results (each bounded by its union BOUNDARY, not its input
+    row count) merge in one final pass — the giant-component dissolve
+    no longer hard-fails at the pairwise kernel's O(E^2) budget.  Only
+    a near-fractal boundary that stays over budget at 2 features (or a
+    single oversized feature) still raises.
     """
+    n_edges = sum(len(r) for f in feat_rings_xs for r in f)
+    if n_edges > max_edges and len(feat_rings_xs) > 2:
+        centers = np.array([
+            float(np.mean([np.mean(np.asarray(r, np.float64)) for r in f]))
+            for f in feat_rings_xs])
+        order = np.argsort(centers, kind="stable")
+        half = len(order) // 2
+        ia, ib = order[:half], order[half:]
+        axs, ays = feature_union([feat_rings_xs[i] for i in ia],
+                                 [feat_rings_ys[i] for i in ia], max_edges)
+        bxs, bys = feature_union([feat_rings_xs[i] for i in ib],
+                                 [feat_rings_ys[i] for i in ib], max_edges)
+        return feature_union([axs, bxs], [ays, bys], max_edges)
     feats: dict = {}
     for frx, fry in zip(feat_rings_xs, feat_rings_ys):
         rings = []

@@ -676,3 +676,24 @@ def test_buffer_feature_donut_closed_forms():
     assert len(rx) == 2        # outer shrinks, hole grows (rounded)
     want = 49 - (25 - (1 - np.pi / 4))
     assert abs(geom.union_area(rx, ry) - want) < 0.01
+
+
+def test_divide_and_conquer_union_over_budget():
+    """Inputs past max_edges split by bbox-center median and merge via
+    partial unions (boundary-bounded), staying EXACT: a 20x20 parcel
+    grid forced through the DC path unions to one 20x20 ring."""
+    px, py = [], []
+    for i in range(20):
+        for j in range(20):
+            px.append([float(i), float(i + 1), float(i + 1), float(i)])
+            py.append([float(j), float(j), float(j + 1), float(j + 1)])
+    rx, ry = geom.polygon_union(px, py, max_edges=300)   # 1600 edges in
+    assert len(rx) == 1
+    assert geom.union_area(rx, ry) == pytest.approx(400.0)
+    # two oversized overlapping features can't subdivide further and
+    # still raise (no silent truncation of the pairwise budget)
+    big = np.linspace(0, 2 * np.pi, 500, endpoint=False)
+    with pytest.raises(geom.UnionDegeneracyError):
+        geom.feature_union(
+            [[np.cos(big)], [np.cos(big) + 0.5]],
+            [[np.sin(big)], [np.sin(big)]], max_edges=100)
