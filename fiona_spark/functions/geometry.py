@@ -161,7 +161,7 @@ _BUF_RINGS_T = T.StructType([
     T.StructField("exact", T.BooleanType())])
 
 
-def buffer_rings_udf(dist: float, segs: int = 16):
+def buffer_rings_udf(dist: float, segs: int = 32):
     """Full multi-ring exact buffer (holes included), flagged per row:
     exact=False marks the convex-fallback rows."""
     @F.pandas_udf(_BUF_RINGS_T)
@@ -185,7 +185,7 @@ def buffer_rings_udf(dist: float, segs: int = 16):
     return u
 
 
-def buffer_feature_udf(dist: float, segs: int = 16):
+def buffer_feature_udf(dist: float, segs: int = 32):
     """Multi-ring FEATURE buffer over (rings_xs, rings_ys) columns —
     holes included, negative ``dist`` erodes (`geom.buffer_feature`).
     Output rings follow the union convention (outer CCW, holes CW);
