@@ -99,9 +99,50 @@ def dissolve_union(df: DataFrame, xs: str = "xs", ys: str = "ys") -> tuple:
             "rings_ys": [[r.tolist() for r in uys]],
             "exact": [exact]})
 
-    parts = df.select(xs, ys).mapInPandas(
-        partial, "rings_xs array<array<double>>, "
-                 "rings_ys array<array<double>>, exact boolean").collect()
+    _PART_SCHEMA = ("rings_xs array<array<double>>, "
+                    "rings_ys array<array<double>>, exact boolean")
+
+    def partial_feats(batches):
+        """Union a partition of PARTIAL multi-ring features (the tree-
+        reduce inner node: same keep-rule, inputs already unions)."""
+        fx: list = []
+        fy: list = []
+        ok = True
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                fx.append([np.asarray(v, np.float64) for v in r.rings_xs])
+                fy.append([np.asarray(v, np.float64) for v in r.rings_ys])
+                ok = ok and bool(r.exact)
+        if not fx:
+            return
+        try:
+            uxs, uys = geom.feature_union(fx, fy)
+            exact = ok
+        except geom.UnionDegeneracyError:
+            px_ = np.concatenate([r for f in fx for r in f])
+            py_ = np.concatenate([r for f in fy for r in f])
+            hx, hy = geom.convex_hull(px_, py_)
+            uxs, uys, exact = [hx], [hy], False
+        yield pd.DataFrame({
+            "rings_xs": [[np.asarray(r).tolist() for r in uxs]],
+            "rings_ys": [[np.asarray(r).tolist() for r in uys]],
+            "exact": [exact]})
+
+    import math
+
+    parts_df = df.select(xs, ys).mapInPandas(partial, _PART_SCHEMA)
+    # TREE reduce (r4): fold partials in distributed rounds of `fanin`
+    # until at most `fanin` remain — at 10^5 input partitions the
+    # driver-final union would otherwise absorb every partition's
+    # boundary serially.  Each level has at most 1 row per partition,
+    # so round r handles ceil(p / fanin^r) rows.
+    fanin = 32
+    p = max(df.rdd.getNumPartitions(), 1)
+    while p > fanin:
+        p = math.ceil(p / fanin)
+        parts_df = parts_df.repartition(p).mapInPandas(
+            partial_feats, _PART_SCHEMA)
+    parts = parts_df.collect()
     if not parts:
         raise ReduceError("reduce over empty collection")
     feat_xs = [list(r["rings_xs"]) for r in parts]

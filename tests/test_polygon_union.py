@@ -697,3 +697,23 @@ def test_divide_and_conquer_union_over_budget():
         geom.feature_union(
             [[np.cos(big)], [np.cos(big) + 0.5]],
             [[np.sin(big)], [np.sin(big)]], max_edges=100)
+
+
+def test_dissolve_union_tree_reduce_parity(spark):
+    """A 200-partition layer forces the tree-reduce rounds; the result
+    equals the single-level dissolve of the same 12x12 parcel grid
+    (area 144, one ring, exact)."""
+    import pandas as pd
+    from fiona_spark.operators import aggregates
+    polys = []
+    for i in range(12):
+        for j in range(12):
+            polys.append((
+                [float(i), float(i + 1), float(i + 1), float(i)],
+                [float(j), float(j), float(j + 1), float(j + 1)]))
+    df = spark.createDataFrame(pd.DataFrame({
+        "xs": [p[0] for p in polys],
+        "ys": [p[1] for p in polys]})).repartition(200)
+    rx, ry, exact = aggregates.dissolve_union(df)
+    assert exact and len(rx) == 1
+    assert geom.union_area(rx, ry) == pytest.approx(144.0)
