@@ -55,6 +55,7 @@ def check_mode(name: str, mode: str) -> None:
 _EXT_TO_DRIVER = {
     ".parquet": "parquet", ".pq": "parquet",
     ".orc": "orc",
+    ".topojson": "topojson",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -169,6 +170,15 @@ def _write_text(df: DataFrame, path, mode="overwrite", **opts):
     df.write.mode(mode).options(**opts).text(path)
 
 
+def _read_topojson(spark, path, **opts):
+    from . import topojson
+    return topojson.read_topojson(spark, path)
+
+
+def _no_write(df, path, **opts):
+    raise DriverError("TopoJSON driver is read-only")
+
+
 def _read_geojson(spark, path, **opts):
     from . import geojson
     return geojson.read_collection(spark, path)
@@ -195,6 +205,7 @@ register_driver("csv", _read_csv, _write_csv, "raw")
 register_driver("json", _read_json, _write_json, "raw")
 register_driver("text", _read_text, _write_text, "raw")
 register_driver("geojson", _read_geojson, _write_geojson, "rw")
+register_driver("topojson", _read_topojson, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

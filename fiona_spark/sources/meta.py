@@ -119,6 +119,11 @@ _META: dict[str, dict] = {
         },
         "field_types": ["str"],
     },
+    "topojson": {
+        "open": {},
+        "creation": {},
+        "field_types": _ATOMIC + ["json"],
+    },
     "geojson": {
         "open": {},
         "creation": {

@@ -337,3 +337,74 @@ def test_env_and_insp(spark, zones, tmp_path):
     got = fenv.insp(spark, p, n=3)
     assert got["count"] == N_ZONES and len(got["head"]) == 3
     assert got["driver"]["driver"] == "parquet"
+
+
+def test_topojson_source(spark, tmp_path):
+    """TopoJSON read parity (reference contract,
+    tests/test_topojson.py: right feature count, every feature has a
+    geometry and non-empty properties) plus exact arc semantics:
+    negative index = reversed arc, shared junction vertices dropped."""
+    import json
+
+    from fiona_spark.sources import drivers, topojson
+    doc = {
+        "type": "Topology",
+        "objects": {"example": {"type": "GeometryCollection",
+                    "geometries": [
+                        {"type": "Point", "properties": {"prop0": "value0"},
+                         "coordinates": [102, 0.5]},
+                        {"type": "LineString",
+                         "properties": {"prop0": "value0", "prop1": 0},
+                         "arcs": [0]},
+                        {"type": "Polygon",
+                         "properties": {"prop0": "value0",
+                                        "prop1": {"this": "that"}},
+                         "arcs": [[-2]]}]}},
+        "arcs": [[[102, 0], [103, 1], [104, 0], [105, 1]],
+                 [[100, 0], [101, 0], [101, 1], [100, 1], [100, 0]]]}
+    p = str(tmp_path / "ex.topojson")
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    feats = drivers.open_dataset(spark, p).orderBy("fid").collect()
+    assert len(feats) == 3
+    for f in feats:
+        assert f["geom_type"] in {"Point", "LineString", "Polygon"}
+        assert len(f["properties"]) > 0
+    assert feats[0]["xs"] == [102.0] and feats[0]["ys"] == [0.5]
+    assert feats[1]["xs"] == [102.0, 103.0, 104.0, 105.0]
+    # arcs [[-2]]: arc 1 REVERSED
+    assert feats[2]["xs"] == [100.0, 100.0, 101.0, 101.0, 100.0]
+    # read-only gating like the reference driver table
+    import pytest as _pytest
+
+    from fiona_spark.errors import DriverError
+    with _pytest.raises(DriverError):
+        drivers.check_mode("topojson", "w")
+
+
+def test_topojson_quantized_and_stitched(spark, tmp_path):
+    """Quantized topology: delta-decoded arcs under scale/translate;
+    a two-arc LineString drops the duplicated junction vertex."""
+    import json
+
+    from fiona_spark.sources import topojson
+    doc = {
+        "type": "Topology",
+        "transform": {"scale": [0.5, 2.0], "translate": [10.0, -1.0]},
+        "objects": {"o": {"type": "GeometryCollection", "geometries": [
+            {"type": "LineString", "properties": {"n": 1},
+             "arcs": [0, 1]},
+            {"type": "Point", "properties": {"n": 2},
+             "coordinates": [4, 3]}]}},
+        # arc 0 decodes to (10,-1),(11,1),(11,3); arc 1 starts at the
+        # junction (11,3) -> (12,3)
+        "arcs": [[[0, 0], [2, 1], [0, 1]], [[2, 2], [2, 0]]]}
+    p = str(tmp_path / "q.topojson")
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    feats = topojson.read_topojson(spark, p).orderBy("fid").collect()
+    assert feats[0]["xs"] == [10.0, 11.0, 11.0, 12.0]
+    assert feats[0]["ys"] == [-1.0, 1.0, 3.0, 3.0]
+    # point coords are scaled/translated but NOT delta-decoded
+    assert feats[1]["xs"] == [12.0] and feats[1]["ys"] == [5.0]
+    assert feats[0]["xmin"] == 10.0 and feats[0]["ymax"] == 3.0
