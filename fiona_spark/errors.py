@@ -19,6 +19,11 @@ class DriverError(FionaSparkError):
     """Unknown/unsupported format (`fiona/errors.py` DriverError)."""
 
 
+class UnsupportedGeometryTypeError(FionaSparkError):
+    """Schema declares a geometry type outside the model
+    (`fiona/errors.py` parity)."""
+
+
 class GeometryTypeValidationError(FionaSparkError):
     """Record geometry type not allowed by the collection schema
     (`fiona/collection.py:699-720` _valid_geom_types)."""

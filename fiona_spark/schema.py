@@ -24,7 +24,8 @@ import re
 
 from pyspark.sql import types as T
 
-from .errors import SchemaError
+from .errors import (GeometryTypeValidationError, SchemaError,
+                     UnsupportedGeometryTypeError)
 
 FIELD_TYPES_MAP = {
     "int16": T.ShortType(),
@@ -167,3 +168,61 @@ def validate_record_keys(record_props: dict, schema_props: dict) -> None:
     if extra:
         raise SchemaError(
             f"record contains fields not in schema: {sorted(extra)}")
+
+
+# ---------------------------------------------------------------------------
+# Geometry-type schema validation (fiona/collection.py:699-721 +
+# ogrext.pyx:1631-1665 write gate, tests/test_schema_geom.py contract)
+# ---------------------------------------------------------------------------
+
+ALL_GEOMETRY_TYPES = {
+    "Point", "LineString", "LinearRing", "Polygon", "MultiPoint",
+    "MultiLineString", "MultiPolygon", "GeometryCollection", "None",
+}
+
+
+def valid_geom_types(schema_geometry, driver: str | None = None) -> set:
+    """The set of geometry types a schema accepts —
+    ``_get_valid_geom_types`` parity: str or tuple/list declarations,
+    '3D ' prefixes stripped, 'Unknown'/'Any' accept everything,
+    unknown names raise UnsupportedGeometryTypeError.  The shapefile
+    single/multi promotion applies for ``driver='ESRI Shapefile'``."""
+    if isinstance(schema_geometry, str) or schema_geometry is None:
+        schema_geometry = (schema_geometry,)
+    valid: set = set()
+    for geom_type in schema_geometry:
+        geom_type = str(geom_type).lstrip("3D ")
+        if geom_type in ("Unknown", "Any"):
+            valid.update(ALL_GEOMETRY_TYPES)
+        else:
+            if geom_type not in ALL_GEOMETRY_TYPES:
+                raise UnsupportedGeometryTypeError(geom_type)
+            valid.add(geom_type)
+    if driver == "ESRI Shapefile" and "Point" not in valid:
+        for geom_type in list(valid):
+            if not geom_type.startswith("Multi"):
+                valid.add("Multi" + geom_type)
+    return valid
+
+
+def enforce_geometry_types(df, schema_geometry, geom_col: str = "geom_type",
+                           driver: str | None = None):
+    """Set-oriented form of the reference's per-record write gate
+    (`ogrext.pyx:1631-1665`): rows whose geometry type (NULL = no
+    geometry, always accepted; '3D ' prefix stripped) is outside the
+    schema's valid set raise GeometryTypeValidationError AT EXECUTION
+    via ``raise_error`` — the streaming/batch analogue of the
+    reference raising mid-writerecords.  Returns df unchanged when the
+    declaration accepts everything (no plan overhead)."""
+    from pyspark.sql import functions as F
+
+    valid = valid_geom_types(schema_geometry, driver)
+    if valid >= ALL_GEOMETRY_TYPES:
+        return df
+    norm = F.regexp_replace(F.col(geom_col), "^[3D ]+", "")
+    ok = F.col(geom_col).isNull() | norm.isin(*sorted(valid))
+    gated = F.when(ok, F.col(geom_col)).otherwise(F.raise_error(F.concat(
+        F.lit("GeometryTypeValidationError: record geometry type "),
+        F.col(geom_col),
+        F.lit(f" does not match collection schema {schema_geometry!r}"))))
+    return df.withColumn(geom_col, gated)

@@ -85,3 +85,38 @@ def test_geometry_none_schema():
     st = schema.to_spark_schema({"geometry": "None",
                                  "properties": {"a": "int32"}})
     assert [f.name for f in st.fields] == ["id", "a"]
+
+
+# -- geometry-type schema validation (r4; tests/test_schema_geom.py) --------
+
+def test_valid_geom_types_rules():
+    from fiona_spark.errors import UnsupportedGeometryTypeError
+    from fiona_spark.schema import ALL_GEOMETRY_TYPES, valid_geom_types
+    assert valid_geom_types("Point") == {"Point"}
+    assert valid_geom_types(("Point", "LineString")) == {"Point",
+                                                         "LineString"}
+    assert valid_geom_types("Unknown") == ALL_GEOMETRY_TYPES
+    assert valid_geom_types("Any") == ALL_GEOMETRY_TYPES
+    assert valid_geom_types("3D Point") == {"Point"}
+    with pytest.raises(UnsupportedGeometryTypeError):
+        valid_geom_types("Triangle!")
+    # shapefile single/multi promotion, except points
+    assert valid_geom_types("Polygon", driver="ESRI Shapefile") == \
+        {"Polygon", "MultiPolygon"}
+    assert valid_geom_types("Point", driver="ESRI Shapefile") == {"Point"}
+
+
+def test_enforce_geometry_types_gate(spark):
+    from fiona_spark.schema import enforce_geometry_types
+    df = spark.createDataFrame(
+        [("a", "Point"), ("b", "3D Point"), ("c", None)],
+        "id string, geom_type string")
+    ok = enforce_geometry_types(df, ("Point", "LineString"))
+    assert ok.count() == 3                      # all pass, incl. null
+    bad = df.unionByName(spark.createDataFrame(
+        [("d", "Polygon")], "id string, geom_type string"))
+    gated = enforce_geometry_types(bad, "Point")
+    with pytest.raises(Exception, match="GeometryTypeValidationError"):
+        gated.collect()
+    # Unknown accepts everything with zero plan overhead
+    assert enforce_geometry_types(bad, "Unknown") is bad
