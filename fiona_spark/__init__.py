@@ -1,0 +1,62 @@
+"""fiona_spark — PySpark-native spatial-join + tiling engine with the
+query surface of Toblerity/Fiona, re-expressed as set-oriented
+DataFrame operators.
+
+Top-level convenience API mirroring the reference's module surface
+(`fiona.open` / `listlayers` / `listdir` / `remove` /
+`supported_drivers` / `bounds` — `fiona/__init__.py:91-659`); a
+``SparkSession`` takes the place of the GDAL environment.  The full
+operator library lives in the submodules (see README.md).
+"""
+
+from __future__ import annotations
+
+__version__ = "0.4.0"          # round-4 build
+
+
+def open(spark, path: str, mode: str = "r", driver: str | None = None,
+         **opts):
+    """``fiona.open`` analogue: read returns a DataFrame; pass
+    ``mode='w'``/``'a'`` with ``df=`` to write/append."""
+    from .sources import drivers
+    if mode == "r":
+        return drivers.open_dataset(spark, path, driver, **opts)
+    if mode in ("w", "a"):
+        df = opts.pop("df", None)
+        if df is None:
+            raise ValueError("write mode needs df=<DataFrame>")
+        drivers.write_dataset(df, path, driver, mode=mode, **opts)
+        return None
+    raise ValueError(f"unsupported mode {mode!r}")
+
+
+def listlayers(path: str) -> list:
+    from .sources import catalog
+    return catalog.listlayers(path)
+
+
+def listdir(path: str) -> list:
+    from .sources import catalog
+    return catalog.listdir(path)
+
+
+def remove(path: str, layer: str | None = None) -> None:
+    from .sources import catalog
+    catalog.remove(path, layer)
+
+
+def supported_drivers() -> dict:
+    from .sources import drivers
+    return drivers.supported_drivers()
+
+
+def bounds(feature_or_geometry) -> tuple:
+    """``fiona.bounds`` analogue over a model Feature/Geometry/dict."""
+    from . import model as _m
+    ob = _m.decode_object(feature_or_geometry)
+    if isinstance(ob, _m.Feature):
+        ob = ob.geometry
+    _t, rxs, rys = _m.rings_from_geometry(ob)
+    allx = [x for r in rxs for x in r]
+    ally = [y for r in rys for y in r]
+    return (min(allx), min(ally), max(allx), max(ally))

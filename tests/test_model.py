@@ -79,3 +79,19 @@ def test_row_feature_roundtrip(spark):
     assert f.geometry is not None and len(f.properties) > 0
     d = model.feature_to_row(f, id_col="zone_id")
     assert d["xs"] == list(row["xs"]) and d["xmin"] == min(row["xs"])
+
+
+def test_top_level_api(spark, tmp_path):
+    """fiona.open/listlayers/remove/bounds parity at the package top
+    level (fiona/__init__.py:91-659)."""
+    import fiona_spark as fs
+    assert fs.__version__
+    assert "parquet" in fs.supported_drivers()
+    p = str(tmp_path / "t.parquet")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    fs.open(spark, p, mode="w", df=df)
+    back = fs.open(spark, p)
+    assert back.count() == 1
+    assert fs.bounds({"type": "Feature", "geometry": {
+        "type": "LineString",
+        "coordinates": [[0, 2], [4, -1]]}}) == (0.0, -1.0, 4.0, 2.0)
