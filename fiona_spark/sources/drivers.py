@@ -56,6 +56,7 @@ _EXT_TO_DRIVER = {
     ".parquet": "parquet", ".pq": "parquet",
     ".orc": "orc",
     ".topojson": "topojson",
+    ".gpkg": "geopackage",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -176,7 +177,12 @@ def _read_topojson(spark, path, **opts):
 
 
 def _no_write(df, path, **opts):
-    raise DriverError("TopoJSON driver is read-only")
+    raise DriverError("this driver is read-only")
+
+
+def _read_gpkg(spark, path, layer=None, **opts):
+    from . import geopackage
+    return geopackage.read_geopackage(spark, path, layer)
 
 
 def _read_geojson(spark, path, **opts):
@@ -206,6 +212,7 @@ register_driver("json", _read_json, _write_json, "raw")
 register_driver("text", _read_text, _write_text, "raw")
 register_driver("geojson", _read_geojson, _write_geojson, "rw")
 register_driver("topojson", _read_topojson, _no_write, "r")
+register_driver("geopackage", _read_gpkg, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -119,6 +119,14 @@ _META: dict[str, dict] = {
         },
         "field_types": ["str"],
     },
+    "geopackage": {
+        "open": {
+            "layer": {"type": "string", "default": "first",
+                      "description": "feature table to open"},
+        },
+        "creation": {},
+        "field_types": _ATOMIC + ["bytes"],
+    },
     "topojson": {
         "open": {},
         "creation": {},

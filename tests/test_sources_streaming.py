@@ -408,3 +408,66 @@ def test_topojson_quantized_and_stitched(spark, tmp_path):
     # point coords are scaled/translated but NOT delta-decoded
     assert feats[1]["xs"] == [12.0] and feats[1]["ys"] == [5.0]
     assert feats[0]["xmin"] == 10.0 and feats[0]["ymax"] == 3.0
+
+
+def _make_gpkg(path, features):
+    """Spec-shaped GeoPackage fixture via stdlib sqlite3 + the engine's
+    own WKB encoder (wkb codec itself is differential-tested)."""
+    import sqlite3
+
+    from fiona_spark import wkb
+    from fiona_spark.sources.geopackage import build_gpkg_blob
+    con = sqlite3.connect(path)
+    con.execute("""CREATE TABLE gpkg_contents (
+        table_name TEXT PRIMARY KEY, data_type TEXT, identifier TEXT,
+        srs_id INTEGER)""")
+    con.execute("""CREATE TABLE gpkg_geometry_columns (
+        table_name TEXT, column_name TEXT, geometry_type_name TEXT,
+        srs_id INTEGER, z TINYINT, m TINYINT)""")
+    con.execute("""CREATE TABLE pts (fid INTEGER PRIMARY KEY,
+        geom BLOB, name TEXT, v REAL)""")
+    con.execute("INSERT INTO gpkg_contents VALUES "
+                "('pts', 'features', 'pts', 4326)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                "('pts', 'geom', 'GEOMETRY', 4326, 0, 0)")
+    for fid, g, name, v in features:
+        blob = build_gpkg_blob(wkb.encode(g) if g else None)
+        con.execute("INSERT INTO pts VALUES (?, ?, ?, ?)",
+                    (fid, blob, name, v))
+    con.commit(); con.close()
+
+
+def test_geopackage_source(spark, tmp_path):
+    """GeoPackage read: layer listing from gpkg_contents, GP-header
+    blob parse (envelope variants, empty flag), WKB decode to the ring
+    model, attributes preserved."""
+    from fiona_spark.sources import drivers, geopackage
+    p = str(tmp_path / "t.gpkg")
+    feats = [
+        (1, {"type": "Point", "coordinates": [10.0, 20.0]}, "a", 1.5),
+        (2, {"type": "Polygon", "coordinates":
+             [[[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]]]},
+         "b", -2.0),
+        (3, None, "c", 0.0),                      # empty geometry
+    ]
+    _make_gpkg(p, feats)
+    assert geopackage.listlayers_gpkg(p) == ["pts"]
+    assert drivers.driver_from_extension(p) == "geopackage"
+    df = drivers.open_dataset(spark, p).orderBy("fid")
+    rows = df.collect()
+    assert [r["fid"] for r in rows] == [1, 2, 3]
+    assert rows[0]["geom_type"] == "Point"
+    assert rows[0]["xs"] == [10.0] and rows[0]["ys"] == [20.0]
+    assert rows[1]["geom_type"] == "Polygon"
+    assert rows[1]["xmin"] == 0.0 and rows[1]["xmax"] == 4.0
+    assert rows[2]["geom_type"] is None
+    assert [r["name"] for r in rows] == ["a", "b", "c"]
+    assert rows[1]["v"] == -2.0
+    # envelope-carrying blob parses identically
+    from fiona_spark import wkb as _wkb
+    from fiona_spark.sources.geopackage import (build_gpkg_blob,
+                                                parse_gpkg_blob)
+    g = {"type": "Point", "coordinates": [1.0, 2.0]}
+    blob = build_gpkg_blob(_wkb.encode(g), envelope=(1.0, 1.0, 2.0, 2.0))
+    wkb_bytes, srs = parse_gpkg_blob(blob)
+    assert _wkb.decode(wkb_bytes) == g and srs == 4326
