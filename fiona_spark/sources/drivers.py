@@ -185,6 +185,12 @@ def _read_gpkg(spark, path, layer=None, **opts):
     return geopackage.read_geopackage(spark, path, layer)
 
 
+def _write_gpkg(df, path, mode="overwrite", layer="features", **opts):
+    from . import geopackage
+    geopackage.write_geopackage(
+        df, path, layer, mode="a" if mode == "append" else "w", **opts)
+
+
 def _read_geojson(spark, path, **opts):
     from . import geojson
     return geojson.read_collection(spark, path)
@@ -212,7 +218,7 @@ register_driver("json", _read_json, _write_json, "raw")
 register_driver("text", _read_text, _write_text, "raw")
 register_driver("geojson", _read_geojson, _write_geojson, "rw")
 register_driver("topojson", _read_topojson, _no_write, "r")
-register_driver("geopackage", _read_gpkg, _no_write, "r")
+register_driver("geopackage", _read_gpkg, _write_gpkg, "raw")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -135,3 +135,88 @@ def read_geopackage(spark, path: str, layer: str | None = None) -> DataFrame:
                 "transform(rings_xs, r -> array_max(r))")))
             .withColumn("ymax", F.array_max(F.expr(
                 "transform(rings_ys, r -> array_max(r))"))))
+
+
+_SQLITE_T = {"string": "TEXT", "long": "INTEGER", "int": "INTEGER",
+             "smallint": "INTEGER", "boolean": "INTEGER",
+             "double": "REAL", "float": "REAL", "binary": "BLOB",
+             "date": "TEXT", "timestamp": "TEXT"}
+
+_GEOM_COLS = ("geom_type", "rings_xs", "rings_ys", "xs", "ys",
+              "xmin", "ymin", "xmax", "ymax")
+
+
+def write_geopackage(df: DataFrame, path: str, layer: str = "features",
+                     mode: str = "w", srs_id: int = 4326) -> None:
+    """Single-file GeoPackage sink (the reference's GPKG 'raw' modes).
+
+    A .gpkg is one SQLite file, so this is a driver-side writer by
+    nature — rows stream through ``toLocalIterator`` (one partition in
+    memory at a time, never the whole table; the same shape as a
+    coalesce(1) single-file write).  Ring-model geometry columns
+    encode through the engine's WKB codec into GeoPackageBinary blobs
+    with envelopes; remaining columns map to SQLite types.
+    ``mode='a'`` appends to an existing layer.
+    """
+    from .. import model, wkb
+
+    props = [f for f in df.schema.fields if f.name not in _GEOM_COLS]
+    con = sqlite3.connect(path)
+    try:
+        if mode == "w":
+            con.execute("""CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+                srs_name TEXT, srs_id INTEGER PRIMARY KEY,
+                organization TEXT, organization_coordsys_id INTEGER,
+                definition TEXT)""")
+            con.execute("INSERT OR IGNORE INTO gpkg_spatial_ref_sys "
+                        "VALUES ('WGS 84', ?, 'EPSG', ?, 'GEOGCS')",
+                        (srs_id, srs_id))
+            con.execute("""CREATE TABLE IF NOT EXISTS gpkg_contents (
+                table_name TEXT PRIMARY KEY, data_type TEXT,
+                identifier TEXT, srs_id INTEGER)""")
+            con.execute("""CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+                table_name TEXT, column_name TEXT,
+                geometry_type_name TEXT, srs_id INTEGER,
+                z TINYINT, m TINYINT)""")
+            cols = ", ".join(
+                f'"{f.name}" {_SQLITE_T.get(f.dataType.simpleString(), "TEXT")}'
+                for f in props)
+            con.execute(f'DROP TABLE IF EXISTS "{layer}"')
+            con.execute(f'CREATE TABLE "{layer}" '
+                        f'(fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+                        f'geom BLOB{", " + cols if cols else ""})')
+            con.execute("DELETE FROM gpkg_contents WHERE table_name = ?",
+                        (layer,))
+            con.execute("INSERT INTO gpkg_contents VALUES "
+                        "(?, 'features', ?, ?)", (layer, layer, srs_id))
+            con.execute("DELETE FROM gpkg_geometry_columns "
+                        "WHERE table_name = ?", (layer,))
+            con.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                        "(?, 'geom', 'GEOMETRY', ?, 0, 0)",
+                        (layer, srs_id))
+        elif mode != "a":
+            raise DriverError(f"unsupported mode {mode!r}")
+        names = [f.name for f in props]
+        ph = ", ".join(["?"] * (len(names) + 1))
+        collist = ", ".join(["geom"] + [f'"{n}"' for n in names])
+        insert = f'INSERT INTO "{layer}" ({collist}) VALUES ({ph})'
+        cols_set = set(df.columns)
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            if d.get("rings_xs") is not None:
+                g = model.geometry_from_rings(
+                    d.get("geom_type") or "Polygon",
+                    d["rings_xs"], d["rings_ys"])
+            elif "xs" in cols_set and d.get("xs") is not None:
+                g = model.geometry_from_rings(
+                    d.get("geom_type") or "Polygon", [d["xs"]], [d["ys"]])
+            else:
+                g = None
+            if g is None:
+                blob = build_gpkg_blob(None, srs_id)
+            else:
+                blob = build_gpkg_blob(wkb.encode(dict(g)), srs_id)
+            con.execute(insert, [blob] + [d.get(n) for n in names])
+        con.commit()
+    finally:
+        con.close()

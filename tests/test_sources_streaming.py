@@ -471,3 +471,21 @@ def test_geopackage_source(spark, tmp_path):
     blob = build_gpkg_blob(_wkb.encode(g), envelope=(1.0, 1.0, 2.0, 2.0))
     wkb_bytes, srs = parse_gpkg_blob(blob)
     assert _wkb.decode(wkb_bytes) == g and srs == 4326
+
+
+def test_geopackage_write_roundtrip(spark, zones, tmp_path):
+    """Full rw parity: ring-model DataFrame -> .gpkg -> read back,
+    geometry and properties identical; append mode grows the layer."""
+    from fiona_spark.sources import drivers
+    p = str(tmp_path / "rt.gpkg")
+    src = zones.select("zone_id", "xs", "ys", "NAME")
+    drivers.write_dataset(src, p, layer="zones")
+    back = drivers.open_dataset(spark, p).orderBy("fid")
+    assert back.count() == N_ZONES
+    r0 = back.collect()[0]
+    z0 = src.orderBy("zone_id").collect()[0]
+    assert r0["xs"] == list(z0["xs"]) and r0["ys"] == list(z0["ys"])
+    assert r0["NAME"] == z0["NAME"] and r0["zone_id"] == z0["zone_id"]
+    assert r0["geom_type"] == "Polygon"
+    drivers.write_dataset(src, p, mode="a", layer="zones")
+    assert drivers.open_dataset(spark, p).count() == 2 * N_ZONES
