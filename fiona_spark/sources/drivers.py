@@ -57,6 +57,7 @@ _EXT_TO_DRIVER = {
     ".orc": "orc",
     ".topojson": "topojson",
     ".gpkg": "geopackage",
+    ".shp": "shapefile",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -185,6 +186,18 @@ def _read_gpkg(spark, path, layer=None, **opts):
     return geopackage.read_geopackage(spark, path, layer)
 
 
+def _read_shp(spark, path, encoding=None, **opts):
+    from . import shapefile
+    return shapefile.read_shapefile(spark, path, encoding)
+
+
+def _write_shp(df, path, mode="overwrite", **opts):
+    from . import shapefile
+    if mode == "append":
+        raise DriverError("shapefile append not supported; use 'w'")
+    shapefile.write_shapefile(df, path, **opts)
+
+
 def _write_gpkg(df, path, mode="overwrite", layer="features", **opts):
     from . import geopackage
     geopackage.write_geopackage(
@@ -219,6 +232,7 @@ register_driver("text", _read_text, _write_text, "raw")
 register_driver("geojson", _read_geojson, _write_geojson, "rw")
 register_driver("topojson", _read_topojson, _no_write, "r")
 register_driver("geopackage", _read_gpkg, _write_gpkg, "raw")
+register_driver("shapefile", _read_shp, _write_shp, "rw")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -119,6 +119,18 @@ _META: dict[str, dict] = {
         },
         "field_types": ["str"],
     },
+    "shapefile": {
+        "open": {
+            "encoding": {"type": "string", "default": "auto",
+                         "description": "dbf charset; UTF-8 probe with "
+                                        "ISO-8859-1 fallback"},
+        },
+        "creation": {
+            "encoding": {"type": "string", "default": "utf-8",
+                         "description": "dbf charset"},
+        },
+        "field_types": ["bool", "date", "float", "int", "str"],
+    },
     "geopackage": {
         "open": {
             "layer": {"type": "string", "default": "first",

@@ -489,3 +489,52 @@ def test_geopackage_write_roundtrip(spark, zones, tmp_path):
     assert r0["geom_type"] == "Polygon"
     drivers.write_dataset(src, p, mode="a", layer="zones")
     assert drivers.open_dataset(spark, p).count() == 2 * N_ZONES
+
+
+def test_shapefile_roundtrip(spark, zones, tmp_path):
+    """ESRI Shapefile r/w on the public binary format (no GDAL): ring
+    geometry, N/C/L/D attribute types, .shx index, and the dbf
+    encoding fallback all round-trip."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fiona_spark.sources import drivers
+    p = str(tmp_path / "z.shp")
+    src = (zones.select("zone_id", "xs", "ys", "NAME", "WILDRNP020")
+           .withColumn("score", F.col("WILDRNP020") * 1.5)
+           .withColumn("flag", F.col("WILDRNP020") % 2 == 0)
+           .withColumn("d", F.lit(datetime.date(2021, 3, 4))))
+    drivers.write_dataset(src, p)
+    assert drivers.driver_from_extension(p) == "shapefile"
+    back = drivers.open_dataset(spark, p).orderBy("fid")
+    assert back.count() == N_ZONES
+    r0 = back.collect()[0]
+    z0 = src.orderBy("zone_id").collect()[0]
+    # polygon rings close explicitly on disk; reopen keeps the closure
+    assert r0["xs"][:-1] == list(z0["xs"]) and r0["xs"][0] == r0["xs"][-1]
+    assert r0["geom_type"] == "Polygon"
+    assert r0["NAME"] == z0["NAME"]
+    assert r0["zone_id"] == z0["zone_id"]
+    assert abs(r0["score"] - z0["score"]) < 1e-6
+    assert bool(r0["flag"]) == z0["flag"]
+    assert str(r0["d"]) == "2021-03-04"
+    # .shx written and consistent
+    import os as _os
+    assert _os.path.getsize(p.replace(".shp", ".shx")) == 100 + 8 * N_ZONES
+
+
+def test_shapefile_point_and_null(spark, tmp_path):
+    from fiona_spark.sources import shapefile
+    df = spark.createDataFrame(
+        [("Point", [[7.0]], [[8.0]], "a"),
+         (None, None, None, "b")],
+        "geom_type string, rings_xs array<array<double>>, "
+        "rings_ys array<array<double>>, name string")
+    p = str(tmp_path / "pts.shp")
+    shapefile.write_shapefile(df, p)
+    back = shapefile.read_shapefile(spark, p).orderBy("fid").collect()
+    assert back[0]["geom_type"] == "Point"
+    assert back[0]["xs"] == [7.0] and back[0]["ys"] == [8.0]
+    assert back[1]["geom_type"] is None
+    assert [r["name"] for r in back] == ["a", "b"]
