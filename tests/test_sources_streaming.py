@@ -538,3 +538,39 @@ def test_shapefile_point_and_null(spark, tmp_path):
     assert back[0]["xs"] == [7.0] and back[0]["ys"] == [8.0]
     assert back[1]["geom_type"] is None
     assert [r["name"] for r in back] == ["a", "b"]
+
+
+REF_SHP = "/root/reference/tests/data/coutwildrnp.shp"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SHP),
+                    reason="reference test data not present")
+def test_shapefile_reads_reference_fixture(spark):
+    """The pure-numpy reader opens the REFERENCE'S OWN canonical test
+    shapefile and reproduces its documented expectations
+    (tests/test_collection.py:203-207 bounds, 67 features, the schema
+    fields, first record)."""
+    from pyspark.sql import functions as F
+
+    from fiona_spark.sources import shapefile
+    df = shapefile.read_shapefile(spark, REF_SHP)
+    assert df.count() == 67
+    b = df.agg(F.min("xmin"), F.min("ymin"),
+               F.max("xmax"), F.max("ymax")).first()
+    assert b[0] == pytest.approx(-113.564247)
+    assert b[1] == pytest.approx(37.068981)
+    assert b[2] == pytest.approx(-104.970871)
+    assert b[3] == pytest.approx(41.996277)
+    assert {"PERIMETER", "FEATURE2", "NAME", "FEATURE1", "URL", "AGBUR",
+            "AREA", "STATE_FIPS", "WILDRNP020", "STATE"} <= set(df.columns)
+    r0 = df.orderBy("fid").first()
+    assert r0["NAME"] == "Mount Naomi Wilderness"
+    assert r0["STATE"] == "UT" and r0["geom_type"] == "Polygon"
+    # engine operators run directly on the reference's data: the bbox
+    # filter + where filter compose exactly like the reference's
+    # Collection.filter
+    n_ut = df.filter(F.col("STATE") == "UT").count()
+    assert 0 < n_ut < 67
+    from fiona_spark.operators import filters
+    sub = filters.filter_bbox(df, (-113.0, 37.0, -109.0, 41.0))
+    assert 0 < sub.count() <= 67
