@@ -574,3 +574,20 @@ def test_shapefile_reads_reference_fixture(spark):
     from fiona_spark.operators import filters
     sub = filters.filter_bbox(df, (-113.0, 37.0, -109.0, 41.0))
     assert 0 < sub.count() <= 67
+
+
+REF_TOPO = "/root/reference/tests/data/example.topojson"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TOPO),
+                    reason="reference test data not present")
+def test_topojson_reads_reference_fixture(spark):
+    """The reference's own example.topojson under its own test contract
+    (tests/test_topojson.py: 3 features, each with a geometry among
+    Point/LineString/Polygon and non-empty properties)."""
+    from fiona_spark.sources import topojson
+    feats = topojson.read_topojson(spark, REF_TOPO).collect()
+    assert len(feats) == 3, "unexpected number of features"
+    for f in feats:
+        assert len(f["properties"]) > 0
+        assert f["geom_type"] in {"Point", "LineString", "Polygon"}
