@@ -138,11 +138,17 @@ def _features_to_rows(js: DataFrame) -> DataFrame:
     else:                 # Point
         rx = F.expr("array(array(CAST(geometry.coordinates[0] AS DOUBLE)))")
         ry = F.expr("array(array(CAST(geometry.coordinates[1] AS DOUBLE)))")
-    out = js.select(
-        F.col("id"),
-        F.col("geometry.type").alias("geom_type"),
-        rx.alias("rings_xs"), ry.alias("rings_ys"),
-        F.col("properties.*"))
+    from pyspark.sql import types as T2
+    names = {f.name: f.dataType for f in js.schema.fields}
+    sel = [F.col("id") if "id" in names
+           else F.lit(None).cast("string").alias("id"),
+           F.col("geometry.type").alias("geom_type"),
+           rx.alias("rings_xs"), ry.alias("rings_ys")]
+    # features without a properties object (reference rmnp.geojson) or
+    # with null-typed properties have nothing to expand
+    if isinstance(names.get("properties"), T2.StructType):
+        sel.append(F.col("properties.*"))
+    out = js.select(*sel)
     return (out
             # first ring kept as flat (xs, ys) for single-ring consumers
             .withColumn("xs", F.expr("rings_xs[0]"))

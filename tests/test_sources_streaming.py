@@ -591,3 +591,22 @@ def test_topojson_reads_reference_fixture(spark):
     for f in feats:
         assert len(f["properties"]) > 0
         assert f["geom_type"] in {"Point", "LineString", "Polygon"}
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/data/rmnp.geojson"),
+    reason="reference test data not present")
+def test_geojson_reads_reference_fixtures(spark):
+    """The reference's own GeoJSON fixtures through the engine reader:
+    rmnp (MultiPolygon, NO properties object — the r4 hardening),
+    grenada (one feature), issue627 (three features)."""
+    from fiona_spark.sources import geojson
+    base = "/root/reference/tests/data"
+    rmnp = geojson.read_collection(spark, f"{base}/rmnp.geojson")
+    assert rmnp.count() == 1
+    r = rmnp.first()
+    assert r["geom_type"] == "MultiPolygon" and len(r["rings_xs"]) >= 1
+    assert geojson.read_collection(
+        spark, f"{base}/grenada.geojson").count() == 1
+    assert geojson.read_collection(
+        spark, f"{base}/issue627.geojson").count() == 3
