@@ -106,8 +106,7 @@ def read_geopackage(spark, path: str, layer: str | None = None) -> DataFrame:
         from .. import model, wkb
         for b in batches:
             recs = []
-            for r in b.itertuples(index=False):
-                d = r._asdict()
+            for d in b.to_dict("records"):
                 blob = d.pop("gpkg0blob")
                 if blob is None:
                     d.update(geom_type=None, rings_xs=None, rings_ys=None)

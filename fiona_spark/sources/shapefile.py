@@ -148,6 +148,11 @@ def read_shapefile(spark, path: str, encoding: str | None = None) -> DataFrame:
         blobs.append((fid, bytearray(body)))
         off += 8 + 2 * clen
         fid += 1
+    if encoding is None and os.path.exists(base + ".cpg"):
+        # the .cpg sidecar declares the dbf codepage (the reference's
+        # encoding tests drive behavior through it)
+        with open(base + ".cpg") as fh:
+            encoding = fh.read().strip() or None
     props = None
     if os.path.exists(base + ".dbf"):
         props = _read_dbf(base + ".dbf", encoding)
@@ -165,8 +170,10 @@ def read_shapefile(spark, path: str, encoding: str | None = None) -> DataFrame:
     def run(batches):
         for b in batches:
             recs = []
-            for r in b.itertuples(index=False):
-                d = r._asdict()
+            # to_dict, not itertuples: field names with hyphens or
+            # other non-identifier chars (reference gre.shp has
+            # 'ISO3166-1') survive only as dict keys
+            for d in b.to_dict("records"):
                 t, rxs, rys = _decode_record(d.pop("shp0body"))
                 d.update(geom_type=t, rings_xs=rxs, rings_ys=rys)
                 recs.append(d)

@@ -610,3 +610,30 @@ def test_geojson_reads_reference_fixtures(spark):
         spark, f"{base}/grenada.geojson").count() == 1
     assert geojson.read_collection(
         spark, f"{base}/issue627.geojson").count() == 3
+
+
+REF_GRE = "/root/reference/tests/data/gre.shp"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GRE),
+                    reason="reference test data not present")
+def test_shapefile_reads_gre_unicode_and_cpg(spark, tmp_path):
+    """The reference's gre.shp: UTF-8 dbf via the .cpg sidecar
+    (Cyrillic/Tamil names decode), hyphenated field names survive; a
+    CP1252 .cpg mis-declares the charset exactly like the reference's
+    encoding test expects (tests/test_encoding.py:15-25)."""
+    import shutil
+    from glob import glob
+
+    from fiona_spark.sources import shapefile
+    r = shapefile.read_shapefile(spark, REF_GRE).first()
+    assert r["name"] == "Grenada" and r["name_ru"] == "Гренада"
+    assert r["ISO3166-1"] == "GD"
+    # copy with a CP1252 .cpg: the Cyrillic bytes mojibake (decode
+    # differently), proving the sidecar is honored
+    for f in glob(REF_GRE.replace(".shp", ".*")):
+        shutil.copy(f, tmp_path)
+    (tmp_path / "gre.cpg").write_text("CP1252")
+    r2 = shapefile.read_shapefile(
+        spark, str(tmp_path / "gre.shp")).first()
+    assert r2["name"] == "Grenada" and r2["name_ru"] != "Гренада"
