@@ -87,6 +87,12 @@ class ZipMemoryFile(MemoryFile):
         with zipfile.ZipFile(self.name) as zf:
             member = path.lstrip("/")
             zf.extract(member, out_dir)
+            # sidecar members share the stem (shapefile .dbf/.shx/.cpg
+            # next to .shp — the reference's zip:// shapefile case)
+            stem = os.path.splitext(member)[0] + "."
+            for other in zf.namelist():
+                if other != member and other.startswith(stem):
+                    zf.extract(other, out_dir)
         from .sources import drivers
         return drivers.open_dataset(spark, os.path.join(out_dir, member),
                                     driver=driver, **opts)

@@ -637,3 +637,21 @@ def test_shapefile_reads_gre_unicode_and_cpg(spark, tmp_path):
     r2 = shapefile.read_shapefile(
         spark, str(tmp_path / "gre.shp")).first()
     assert r2["name"] == "Grenada" and r2["name_ru"] != "Гренада"
+
+
+REF_ZIP = "/root/reference/tests/data/coutwildrnp.zip"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ZIP),
+                    reason="reference test data not present")
+def test_zipmemoryfile_opens_reference_zip_shapefile(spark):
+    """The reference's zip:// shapefile case (fiona/io.py:96-128 +
+    tests/test_vfs.py): the zipped coutwildrnp opens through
+    ZipMemoryFile with sidecar members extracted, attributes intact."""
+    from fiona_spark import io as fio
+    with open(REF_ZIP, "rb") as fh:
+        data = fh.read()
+    with fio.ZipMemoryFile(data) as z:
+        df = z.open(spark, "coutwildrnp.shp")
+        assert df.count() == 67
+        assert df.orderBy("fid").first()["NAME"] == "Mount Naomi Wilderness"
