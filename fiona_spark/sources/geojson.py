@@ -89,9 +89,20 @@ def read_feature_seq(spark, path: str) -> DataFrame:
     `fio/load.py:84-97`), then a JVM-side from_json over the cleaned
     text: no per-row Python anywhere on the read path (the r1 version
     round-tripped through raw.rdd.map, pickling every row)."""
-    raw = spark.read.text(path).select(
-        F.regexp_replace("value", RS, "").alias("value")).filter(
-        F.length("value") > 0)
+    # RS-delimited streams may be PRETTY-PRINTED (one feature spans
+    # many lines — the reference's sequence-pp.txt, RFC 8142): when the
+    # stream carries RS markers, split on THEM, not on newlines.
+    probe = spark.read.text(path).limit(50).collect()
+    has_rs = any(RS in r["value"] for r in probe)
+    if has_rs:
+        raw = (spark.read.text(path, wholetext=True)
+               .select(F.explode(F.split("value", RS)).alias("value"))
+               .select(F.trim(F.col("value")).alias("value"))
+               .filter(F.length("value") > 0))
+    else:
+        raw = spark.read.text(path).select(
+            F.regexp_replace("value", RS, "").alias("value")).filter(
+            F.length("value") > 0)
     first = raw.limit(1).collect()
     if not first:
         raise ValueError(f"no features found in {path}")
@@ -106,6 +117,17 @@ def read_collection(spark, path: str) -> DataFrame:
     """Read a FeatureCollection document (``fio distrib`` equivalent:
     one row per feature)."""
     js = spark.read.option("multiLine", "true").json(path)
+    if set(js.columns) == {"_corrupt_record"}:
+        # an RS marker before the document (the reference's
+        # collection-pp.txt) corrupts the multiLine parse: strip RS
+        # from the whole text and re-parse via from_json
+        clean = (spark.read.text(path, wholetext=True)
+                 .select(F.regexp_replace("value", RS, "").alias("value")))
+        doc = clean.limit(1).collect()[0]["value"]
+        schema = spark.range(1).select(
+            F.schema_of_json(F.lit(doc)).alias("s")).collect()[0]["s"]
+        js = clean.select(F.from_json("value", schema).alias("d")
+                          ).select("d.*")
     feats = js.select(F.explode("features").alias("f")).select("f.*")
     return _features_to_rows(feats)
 

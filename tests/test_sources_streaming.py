@@ -655,3 +655,23 @@ def test_zipmemoryfile_opens_reference_zip_shapefile(spark):
         df = z.open(spark, "coutwildrnp.shp")
         assert df.count() == 67
         assert df.orderBy("fid").first()["NAME"] == "Mount Naomi Wilderness"
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/data/sequence-pp.txt"),
+    reason="reference test data not present")
+def test_geojson_reads_reference_text_streams(spark):
+    """All four reference CLI text fixtures parse: plain and
+    PRETTY-PRINTED sequences (RS split, RFC 8142) and collections
+    (RS-prefixed doc re-parse) — 2 features each."""
+    from fiona_spark.sources import geojson
+    base = "/root/reference/tests/data"
+    assert geojson.read_feature_seq(
+        spark, f"{base}/sequence.txt").count() == 2
+    pp = geojson.read_feature_seq(spark, f"{base}/sequence-pp.txt")
+    assert pp.count() == 2
+    assert pp.first()["geom_type"] == "Polygon"
+    assert geojson.read_collection(
+        spark, f"{base}/collection.txt").count() == 2
+    assert geojson.read_collection(
+        spark, f"{base}/collection-pp.txt").count() == 2
