@@ -58,6 +58,8 @@ _EXT_TO_DRIVER = {
     ".topojson": "topojson",
     ".gpkg": "geopackage",
     ".shp": "shapefile",
+    ".gml": "gml",
+    ".gpx": "gpx",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -198,6 +200,16 @@ def _write_shp(df, path, mode="overwrite", **opts):
     shapefile.write_shapefile(df, path, **opts)
 
 
+def _read_gml(spark, path, **opts):
+    from . import gml
+    return gml.read_gml(spark, path)
+
+
+def _read_gpx(spark, path, layer="waypoints", **opts):
+    from . import gpx
+    return gpx.read_gpx(spark, path, layer)
+
+
 def _write_gpkg(df, path, mode="overwrite", layer="features", **opts):
     from . import geopackage
     geopackage.write_geopackage(
@@ -233,6 +245,8 @@ register_driver("geojson", _read_geojson, _write_geojson, "rw")
 register_driver("topojson", _read_topojson, _no_write, "r")
 register_driver("geopackage", _read_gpkg, _write_gpkg, "raw")
 register_driver("shapefile", _read_shp, _write_shp, "rw")
+register_driver("gml", _read_gml, _no_write, "r")
+register_driver("gpx", _read_gpx, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -119,6 +119,22 @@ _META: dict[str, dict] = {
         },
         "field_types": ["str"],
     },
+    "gml": {
+        "open": {},
+        "creation": {},
+        "field_types": _ATOMIC,
+    },
+    "gpx": {
+        "open": {
+            "layer": {"type": "string-select",
+                      "values": ["waypoints", "tracks", "track_points",
+                                 "routes", "route_points"],
+                      "default": "waypoints",
+                      "description": "GPX layer to open"},
+        },
+        "creation": {},
+        "field_types": ["str", "float", "int", "datetime"],
+    },
     "shapefile": {
         "open": {
             "encoding": {"type": "string", "default": "auto",

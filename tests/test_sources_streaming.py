@@ -675,3 +675,51 @@ def test_geojson_reads_reference_text_streams(spark):
         spark, f"{base}/collection.txt").count() == 2
     assert geojson.read_collection(
         spark, f"{base}/collection-pp.txt").count() == 2
+
+
+REF_GML = "/root/reference/tests/data/multicurve.gml"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GML),
+                    reason="reference test data not present")
+def test_gml_reads_reference_multicurve(spark):
+    """The reference's multicurve.gml under its own test contract
+    (tests/test_curve_geometries.py::test_multicurve_conversion:
+    1 feature, MultiLineString, curves linearized) — and the densified
+    vertices match decoding the SAME curve from the feature's WKT
+    column through the engine WKT codec."""
+    from fiona_spark import wkt
+    from fiona_spark.sources import drivers
+    df = drivers.open_dataset(spark, REF_GML)
+    assert df.count() == 1
+    r = df.first()
+    assert r["geom_type"] == "MultiLineString"
+    n_verts = sum(len(x) for x in r["rings_xs"])
+    g = wkt.decode(r["WKT"])
+    assert n_verts == sum(len(p) for p in g["coordinates"])
+    assert r["rings_xs"][0] == [p[0] for p in g["coordinates"][0]]
+
+
+REF_GPX = "/root/reference/tests/data/test_gpx.gpx"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GPX),
+                    reason="reference test data not present")
+def test_gpx_reads_reference_track(spark):
+    """The reference's GPX fixture: the tracks layer yields one
+    MultiLineString; track_points flattens the same vertices with
+    ele/time; waypoint-less files raise loudly on that layer."""
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import gpx
+    trk = gpx.read_gpx(spark, REF_GPX, "tracks")
+    assert trk.count() == 1
+    r = trk.first()
+    assert r["geom_type"] == "MultiLineString"
+    n_verts = sum(len(x) for x in r["rings_xs"])
+    pts = gpx.read_gpx(spark, REF_GPX, "track_points")
+    assert pts.count() == n_verts
+    p0 = pts.orderBy("fid").first()
+    assert p0["ele"] == 11.0 and p0["time"].startswith("2014-06-11")
+    import pytest as _pytest
+    with _pytest.raises(DriverError):
+        gpx.read_gpx(spark, REF_GPX, "waypoints")
