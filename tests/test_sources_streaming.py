@@ -723,3 +723,43 @@ def test_gpx_reads_reference_track(spark):
     import pytest as _pytest
     with _pytest.raises(DriverError):
         gpx.read_gpx(spark, REF_GPX, "waypoints")
+
+
+def test_shapefile_random_roundtrip_fuzz(spark, tmp_path):
+    """30 random multi-ring polygons + line features through
+    write_shapefile -> read_shapefile: coordinates bit-exact (both
+    directions are straight <f8 copies), attributes preserved."""
+    rng = np.random.default_rng(77)
+    rows = []
+    for i in range(30):
+        if i % 3 == 2:
+            n = int(rng.integers(2, 6))
+            rxs = [[float(v) for v in rng.uniform(-180, 180, n)]]
+            rys = [[float(v) for v in rng.uniform(-90, 90, n)]]
+            t = "MultiLineString"
+        else:
+            rings = int(rng.integers(1, 3))
+            rxs, rys = [], []
+            for _ in range(rings):
+                n = int(rng.integers(3, 7))
+                xs = [float(v) for v in rng.uniform(-180, 180, n)]
+                ys = [float(v) for v in rng.uniform(-90, 90, n)]
+                rxs.append(xs + [xs[0]])
+                rys.append(ys + [ys[0]])
+            t = "Polygon"
+        rows.append((t, rxs, rys, f"feat{i}", float(i) * 0.5))
+    df = spark.createDataFrame(
+        rows, "geom_type string, rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, name string, v double")
+    from fiona_spark.sources import shapefile
+    p = str(tmp_path / "fuzz.shp")
+    shapefile.write_shapefile(df, p)
+    back = shapefile.read_shapefile(spark, p).orderBy("fid").collect()
+    src = df.collect()
+    assert len(back) == 30
+    for r, s_ in zip(back, src):
+        assert r["geom_type"] == s_["geom_type"]
+        assert r["name"] == s_["name"] and abs(r["v"] - s_["v"]) < 1e-6
+        assert len(r["rings_xs"]) == len(s_["rings_xs"])
+        for got, want in zip(r["rings_xs"], s_["rings_xs"]):
+            assert got == want          # bit-exact doubles

@@ -104,3 +104,44 @@ def test_reference_curves_csv_contract(spark):
     assert all(r["geom_type"] == "MultiLineString" for r in out)
     # the pure-arc row (row 3: one CIRCULARSTRING compound) densifies
     assert max(r["n_verts"] for r in out) > 90
+
+
+def test_wkt_random_roundtrip_fuzz():
+    """120 random geometries: decode(encode(g)) == g bit-exactly
+    (repr floats round-trip)."""
+    rng = np.random.default_rng(23)
+
+    def rand_pt():
+        return [float(np.round(rng.uniform(-180, 180), 9)),
+                float(np.round(rng.uniform(-90, 90), 9))]
+
+    def rand_ring():
+        n = int(rng.integers(3, 8))
+        ring = [rand_pt() for _ in range(n)]
+        return ring + [ring[0]]
+
+    for _ in range(120):
+        kind = rng.integers(0, 6)
+        if kind == 0:
+            g = {"type": "Point", "coordinates": rand_pt()}
+        elif kind == 1:
+            g = {"type": "LineString",
+                 "coordinates": [rand_pt() for _ in range(
+                     int(rng.integers(2, 6)))]}
+        elif kind == 2:
+            g = {"type": "Polygon",
+                 "coordinates": [rand_ring() for _ in range(
+                     int(rng.integers(1, 3)))]}
+        elif kind == 3:
+            g = {"type": "MultiPoint",
+                 "coordinates": [rand_pt() for _ in range(
+                     int(rng.integers(1, 5)))]}
+        elif kind == 4:
+            g = {"type": "MultiLineString",
+                 "coordinates": [[rand_pt() for _ in range(3)]
+                                 for _ in range(int(rng.integers(1, 4)))]}
+        else:
+            g = {"type": "MultiPolygon",
+                 "coordinates": [[rand_ring()]
+                                 for _ in range(int(rng.integers(1, 3)))]}
+        assert wkt.decode(wkt.encode(g)) == g
