@@ -68,15 +68,14 @@ def _coords(p: _P, has_z, has_m):
     vals = []
     while p.peek() not in (",", ")", None):
         vals.append(float(p.next()))
-    want = 2 + has_z + has_m
     if len(vals) < 2:
         raise WKTError(f"coordinate needs >= 2 numbers, got {vals}")
-    if len(vals) > want:
-        want = len(vals)
-    pt = vals[:3] if (has_z and len(vals) >= 3 and not has_m) else vals[:2]
-    if has_z and has_m and len(vals) >= 4:
-        pt = vals[:3]
-    return pt
+    if has_m and not has_z:
+        return vals[:2]                       # M-only: drop the measure
+    if has_z or (not has_m and len(vals) == 3):
+        # explicit Z, or classic bare-XYZ WKT (no dim marker)
+        return vals[:3] if len(vals) >= 3 else vals[:2]
+    return vals[:2]                           # ZM keeps XYZ via has_z
 
 
 def _coord_list(p: _P, has_z, has_m):
