@@ -147,7 +147,52 @@ def _read_csv(spark, path, encoding=None, **opts):
     o["encoding"] = encoding or detect_encoding(path)
     if path.endswith(".tsv"):
         o.setdefault("sep", "\t")
-    return spark.read.options(**o).csv(path)
+    df = spark.read.options(**o).csv(path)
+    # the reference's CSV driver auto-detects a WKT geometry column
+    # (fiona.open over curves_line.csv yields FEATURES): decode it into
+    # the ring model, curves linearized — distributed, one mapInPandas
+    wkt_col = next((c for c in df.columns if c.lower() == "wkt"), None)
+    if wkt_col is not None:
+        df = _decode_wkt_column(df, wkt_col)
+    return df
+
+
+def _decode_wkt_column(df: DataFrame, wkt_col: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .. import model, wkt as wktmod
+
+    out_schema = (", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", geom_type string, rings_xs array<array<double>>, "
+          "rings_ys array<array<double>>")
+
+    def run(batches):
+        for b in batches:
+            recs = []
+            for d in b.to_dict("records"):
+                try:
+                    g = wktmod.decode(d[wkt_col])
+                    t, rxs, rys = model.rings_from_geometry(g)
+                except Exception:
+                    t, rxs, rys = None, None, None
+                d.update(geom_type=t, rings_xs=rxs, rings_ys=rys)
+                recs.append(d)
+            yield pd.DataFrame(recs)
+
+    out = df.mapInPandas(run, out_schema)
+    return (out
+            .withColumn("xs", F.expr("rings_xs[0]"))
+            .withColumn("ys", F.expr("rings_ys[0]"))
+            .withColumn("xmin", F.array_min(F.expr(
+                "transform(rings_xs, r -> array_min(r))")))
+            .withColumn("ymin", F.array_min(F.expr(
+                "transform(rings_ys, r -> array_min(r))")))
+            .withColumn("xmax", F.array_max(F.expr(
+                "transform(rings_xs, r -> array_max(r))")))
+            .withColumn("ymax", F.array_max(F.expr(
+                "transform(rings_ys, r -> array_max(r))"))))
 
 
 def _write_csv(df: DataFrame, path, mode="overwrite", **opts):

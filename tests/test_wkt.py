@@ -88,6 +88,10 @@ def test_reference_curves_csv_contract(spark):
     from fiona_spark.sources import drivers
     df = drivers.open_dataset(spark, REF_CSV, driver="csv")
     assert df.count() == 9
+    # the csv driver AUTO-decodes the WKT column (fiona.open parity:
+    # features with geometry, curves linearized)
+    assert df.filter("geom_type = 'MultiLineString'").count() == 9
+    assert df.select("xmin").first()["xmin"] is not None
 
     @F.pandas_udf("geom_type string, n_parts int, n_verts int")
     def dec(wkt_s: pd.Series) -> pd.DataFrame:
