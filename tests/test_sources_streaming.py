@@ -763,3 +763,24 @@ def test_shapefile_random_roundtrip_fuzz(spark, tmp_path):
         assert len(r["rings_xs"]) == len(s_["rings_xs"])
         for got, want in zip(r["rings_xs"], s_["rings_xs"]):
             assert got == want          # bit-exact doubles
+
+
+def test_shapefile_z_variants_parse_then_drop():
+    """PointZ/PolyLineZ/PolygonZ records (shape types 11/13/15): XY
+    parses, trailing Z/M payloads drop — the WKB codec's convention."""
+    import struct
+
+    from fiona_spark.sources.shapefile import _decode_record
+    # PointZ: type, x, y, z, m
+    body = struct.pack("<i4d", 11, 3.0, 4.0, 9.0, 1.0)
+    t, rxs, rys = _decode_record(body)
+    assert t == "Point" and rxs == [[3.0]] and rys == [[4.0]]
+    # PolygonZ: bbox, 1 part, 4 points, parts[], xy[], z-range+z[]
+    pts = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]
+    body = (struct.pack("<i4d2i i", 15, 0.0, 0.0, 2.0, 2.0, 1, 4, 0)
+            + b"".join(struct.pack("<2d", *p) for p in pts)
+            + struct.pack("<2d", 0.0, 9.0)      # z range
+            + struct.pack("<4d", 1.0, 2.0, 3.0, 4.0))  # z values
+    t, rxs, rys = _decode_record(body)
+    assert t == "Polygon"
+    assert rxs == [[0.0, 2.0, 2.0, 0.0]] and rys == [[0.0, 0.0, 2.0, 0.0]]
