@@ -198,6 +198,17 @@ def rings_from_geometry(geometry) -> tuple[str, list, list]:
     grouping of MultiPolygons flattens, recoverable by nesting)."""
     g = decode_object(geometry)
     t = g["type"]
+    if t == "GeometryCollection":
+        # flatten member rings (the ring model is typeless even-odd
+        # coordinate sets; the collection type is kept on the row).
+        # Not rebuildable by geometry_from_rings — one-way, like the
+        # reference's GC normalization notes.
+        rxs, rys = [], []
+        members = g.get("geometries") or g.get("coordinates") or []
+        for m in members:
+            _t, mx, my = rings_from_geometry(m)
+            rxs.extend(mx); rys.extend(my)
+        return t, rxs, rys
     c = g.get("coordinates")
     if t == "Point":
         return t, [[float(c[0])]], [[float(c[1])]]
