@@ -784,3 +784,31 @@ def test_shapefile_z_variants_parse_then_drop():
     t, rxs, rys = _decode_record(body)
     assert t == "Polygon"
     assert rxs == [[0.0, 2.0, 2.0, 0.0]] and rys == [[0.0, 0.0, 2.0, 0.0]]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/data/sequence.txt"),
+    reason="reference test data not present")
+def test_fio_filter_calc_on_reference_sequence(spark):
+    """The reference's fio filter/calc test expectations replayed on
+    its own sequence fixture through the engine operators
+    (tests/test_fio_filter.py::test_seq thresholds: AREA>0.01 -> 2,
+    >0.015 -> 1, >0.02 -> 0; tests/test_fio_calc.py ratio column)."""
+    from fiona_spark.operators import filters
+    from fiona_spark.sources import geojson
+    df = geojson.read_feature_seq(
+        spark, "/root/reference/tests/data/sequence.txt")
+    assert filters.filter_pyexpr(
+        df, "f.properties.AREA > 0.01").count() == 2
+    assert filters.filter_pyexpr(
+        df, "f.properties.AREA > 0.015").count() == 1
+    assert filters.filter_pyexpr(
+        df, "f.properties.AREA > 0.02").count() == 0
+    out = filters.calc(df, "ratio", "AREA / PERIMETER").collect()
+    for r in out:
+        assert r["ratio"] == pytest.approx(r["AREA"] / r["PERIMETER"])
+    with pytest.raises(ValueError, match="overwrite"):
+        filters.calc(df, "AREA", "AREA * 2")
+    doubled = filters.calc(df, "AREA", "AREA * 2", overwrite=True)
+    assert doubled.agg({"AREA": "sum"}).first()[0] == pytest.approx(
+        2 * df.agg({"AREA": "sum"}).first()[0])
