@@ -194,3 +194,38 @@ def test_buffer_feature_udf_donut(spark):
         assert geom.union_area(row["rings_xs"], row["rings_ys"]) == \
             pytest.approx(geom.union_area(want_x, want_y))
         assert len(row["rings_xs"]) == 2
+
+
+def test_dissolve_distributed_lane_integration(spark):
+    """Integration stress: 8 parcel-grid clusters (6x6 shared-border
+    unions) + 300 disjoint singletons, distributed closure FORCED
+    (max_pairs below the edge count): every cluster dissolves EXACTLY
+    to its 6x6 square, singletons pass through untouched."""
+    import pandas as pd
+
+    from fiona_spark import geom
+    from fiona_spark.operators import aggregates
+    rows = []
+    fid = 0
+    for c in range(8):
+        ox, oy = (c % 4) * 1000.0, (c // 4) * 1000.0
+        for i in range(6):
+            for j in range(6):
+                rows.append((fid, [ox + i, ox + i + 1, ox + i + 1, ox + i],
+                             [oy + j, oy + j, oy + j + 1, oy + j + 1]))
+                fid += 1
+    for s_ in range(300):
+        x0 = 100000.0 + s_ * 10
+        rows.append((fid, [x0, x0 + 1, x0 + 1, x0],
+                     [0.0, 0.0, 1.0, 1.0]))
+        fid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["fid", "xs", "ys"])).repartition(16)
+    out = aggregates.dissolve_components(df, "fid", max_pairs=50).toPandas()
+    assert len(out) == 8 + 300
+    assert bool(out["exact"].all())
+    multi = out[out.n_members > 1]
+    assert len(multi) == 8 and set(multi.n_members) == {36}
+    for r in multi.itertuples():
+        assert geom.union_area(r.rings_xs, r.rings_ys) == \
+            pytest.approx(36.0)
