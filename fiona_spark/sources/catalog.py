@@ -60,8 +60,16 @@ def remove(path: str, layer: str | None = None) -> None:
             raise DriverError(f"no such dataset/layer: {target!r}")
     if os.path.isdir(target):
         shutil.rmtree(target)
-    else:
-        os.remove(target)
+        return
+    os.remove(target)
+    if target.lower().endswith(".shp"):
+        # the reference's remove() drops the whole shapefile dataset:
+        # sidecar members go with the .shp (fiona/ogrext.pyx _remove)
+        stem = os.path.splitext(target)[0]
+        for ext in (".shx", ".dbf", ".cpg", ".prj"):
+            for cand in (stem + ext, stem + ext.upper()):
+                if os.path.exists(cand):
+                    os.remove(cand)
 
 
 _TAGS_FILE = "_fiona_spark_tags.json"

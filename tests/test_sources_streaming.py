@@ -812,3 +812,15 @@ def test_fio_filter_calc_on_reference_sequence(spark):
     doubled = filters.calc(df, "AREA", "AREA * 2", overwrite=True)
     assert doubled.agg({"AREA": "sum"}).first()[0] == pytest.approx(
         2 * df.agg({"AREA": "sum"}).first()[0])
+
+
+def test_remove_shapefile_drops_sidecars(spark, zones, tmp_path):
+    """fiona.remove on a .shp deletes the whole dataset (sidecars
+    included), like the reference's OGR datasource delete."""
+    from fiona_spark.sources import catalog, drivers
+    p = str(tmp_path / "rm.shp")
+    drivers.write_dataset(zones.select("zone_id", "xs", "ys", "NAME"), p)
+    assert os.path.exists(p.replace(".shp", ".dbf"))
+    catalog.remove(p)
+    for ext in (".shp", ".shx", ".dbf"):
+        assert not os.path.exists(p.replace(".shp", ext))
