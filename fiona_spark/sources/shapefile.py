@@ -232,9 +232,11 @@ def _encode_record(geom_type, rings_xs, rings_ys) -> bytes:
 
 
 def write_shapefile(df: DataFrame, path: str,
-                    encoding: str = "utf-8") -> None:
-    """Write ``layer.shp`` / ``.shx`` / ``.dbf`` from a ring-model
-    DataFrame, streaming rows through ``toLocalIterator``."""
+                    encoding: str = "utf-8", epsg: int = 4326) -> None:
+    """Write ``layer.shp`` / ``.shx`` / ``.dbf`` (+ ``.prj`` / ``.cpg``
+    sidecars: CRS WKT and the dbf codepage — the reference writes CRS
+    with every collection) from a ring-model DataFrame, streaming rows
+    through ``toLocalIterator``."""
     base, _ = os.path.splitext(path)
     props = [f for f in df.schema.fields if f.name not in _GEOM_COLS]
     # dbf descriptors: strings C:80, ints N:18, floats N:20.6, bool L
@@ -329,3 +331,8 @@ def write_shapefile(df: DataFrame, path: str,
         for rec in dbf_records:
             dbf.write(rec)
         dbf.write(b"\x1a")
+    from ..crs import CRS
+    with open(base + ".prj", "w") as prj:
+        prj.write(CRS.from_epsg(epsg).to_wkt())
+    with open(base + ".cpg", "w") as cpg:
+        cpg.write(encoding.upper())
