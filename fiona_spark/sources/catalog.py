@@ -106,11 +106,12 @@ def info(spark, table_path: str) -> dict:
     from pyspark.sql import functions as F
 
     from . import drivers, meta
-    df = spark.read.parquet(table_path)
     try:
         drv = drivers.driver_from_extension(table_path)
     except Exception:
         drv = "parquet"
+    df = (spark.read.parquet(table_path) if drv == "parquet"
+          else drivers.open_dataset(spark, table_path, driver=drv))
     rec = {
         "path": table_path,
         "count": df.count(),

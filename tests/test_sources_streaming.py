@@ -824,3 +824,15 @@ def test_remove_shapefile_drops_sidecars(spark, zones, tmp_path):
     catalog.remove(p)
     for ext in (".shp", ".shx", ".dbf"):
         assert not os.path.exists(p.replace(".shp", ext))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SHP),
+                    reason="reference test data not present")
+def test_info_works_on_any_driver(spark):
+    """fio info over a non-parquet dataset: the reference shapefile's
+    record carries its count, schema, driver block and bounds."""
+    from fiona_spark.sources import catalog
+    rec = catalog.info(spark, REF_SHP)
+    assert rec["count"] == 67
+    assert rec["driver"]["driver"] == "shapefile"
+    assert rec["bounds"][0] == pytest.approx(-113.564247)
