@@ -60,6 +60,7 @@ _EXT_TO_DRIVER = {
     ".shp": "shapefile",
     ".gml": "gml",
     ".gpx": "gpx",
+    ".kml": "kml",
     ".csv": "csv", ".tsv": "csv",
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
@@ -255,6 +256,11 @@ def _read_gpx(spark, path, layer="waypoints", **opts):
     return gpx.read_gpx(spark, path, layer)
 
 
+def _read_kml(spark, path, **opts):
+    from . import kml
+    return kml.read_kml(spark, path)
+
+
 def _write_gpkg(df, path, mode="overwrite", layer="features", **opts):
     from . import geopackage
     geopackage.write_geopackage(
@@ -292,6 +298,7 @@ register_driver("geopackage", _read_gpkg, _write_gpkg, "raw")
 register_driver("shapefile", _read_shp, _write_shp, "rw")
 register_driver("gml", _read_gml, _no_write, "r")
 register_driver("gpx", _read_gpx, _no_write, "r")
+register_driver("kml", _read_kml, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -119,6 +119,11 @@ _META: dict[str, dict] = {
         },
         "field_types": ["str"],
     },
+    "kml": {
+        "open": {},
+        "creation": {},
+        "field_types": ["str", "float", "int"],
+    },
     "gml": {
         "open": {},
         "creation": {},

@@ -836,3 +836,46 @@ def test_info_works_on_any_driver(spark):
     assert rec["count"] == 67
     assert rec["driver"]["driver"] == "shapefile"
     assert rec["bounds"][0] == pytest.approx(-113.564247)
+
+
+def test_kml_source(spark, tmp_path):
+    """KML Placemarks: Document/Folder nesting, name/ExtendedData
+    properties, Point/Polygon/MultiGeometry coordinate tuples."""
+    kml_doc = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+  <Folder><name>f1</name>
+    <Placemark><name>pt</name>
+      <ExtendedData><Data name="score"><value>7</value></Data>
+      </ExtendedData>
+      <Point><coordinates>-71.1,42.3,15.0</coordinates></Point>
+    </Placemark>
+    <Placemark><name>poly</name>
+      <Polygon><outerBoundaryIs><LinearRing>
+        <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+      </LinearRing></outerBoundaryIs><innerBoundaryIs><LinearRing>
+        <coordinates>1,1 2,1 2,2 1,2 1,1</coordinates>
+      </LinearRing></innerBoundaryIs></Polygon>
+    </Placemark>
+  </Folder>
+  <Placemark><name>multi</name>
+    <MultiGeometry>
+      <Point><coordinates>1,2</coordinates></Point>
+      <Point><coordinates>3,4</coordinates></Point>
+    </MultiGeometry>
+  </Placemark>
+</Document></kml>"""
+    p = str(tmp_path / "t.kml")
+    with open(p, "w") as fh:
+        fh.write(kml_doc)
+    from fiona_spark.sources import drivers
+    assert drivers.driver_from_extension(p) == "kml"
+    rows = drivers.open_dataset(spark, p).orderBy("fid").collect()
+    assert len(rows) == 3
+    assert rows[0]["geom_type"] == "Point"
+    assert rows[0]["xs"] == [-71.1] and rows[0]["ys"] == [42.3]
+    assert rows[0]["score"] == "7" and rows[0]["name"] == "pt"
+    assert rows[1]["geom_type"] == "Polygon"
+    assert len(rows[1]["rings_xs"]) == 2          # hole kept
+    assert rows[1]["xmin"] == 0.0 and rows[1]["xmax"] == 4.0
+    assert rows[2]["geom_type"] == "MultiPoint"
+    assert rows[2]["xs"] == [1.0, 3.0]
