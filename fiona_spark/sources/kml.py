@@ -100,10 +100,8 @@ def read_kml(spark, path: str) -> DataFrame:
                 yield ch
             elif _local(ch.tag) in ("Document", "Folder", "kml"):
                 yield from walk(ch)
-    placemarks = list(walk(root)) or (
-        list(walk(root)) if _local(root.tag) != "kml" else [])
-    if _local(root.tag) == "Placemark":
-        placemarks = [root]
+    placemarks = [root] if _local(root.tag) == "Placemark" \
+        else list(walk(root))
     for pm in placemarks:
         t, rxs, rys = None, None, None
         props = {}
