@@ -488,9 +488,71 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def kmeans_fit(emb: DataFrame, vec_col: str = "embedding",
+               k: int = 32, dim: int = 64, n_iter: int = 5,
+               seed: int = 7) -> np.ndarray:
+    """FULLY DISTRIBUTED Lloyd's k-means over an embedding column —
+    the unbounded-corpus alternative to ``ivf_index``'s bounded-sample
+    training: per iteration the only driver state is the (k, dim)
+    centroid array; assignment + per-cluster partial sums run as ONE
+    Arrow pass (mapInPandas emits k partial rows per batch), reduced by
+    a groupBy over k keys.  Nothing scales with the row count except
+    the scan itself.
+
+    Deterministic: init = the k vectors with the smallest
+    xxhash64(vector) (a global TakeOrdered, unbiased under any file
+    order — same rationale as ivf_index's hash-mod sample); empty
+    clusters keep their previous centroid.  Returns (k, dim) float64.
+    """
+    init_rows = (emb.select(vec_col)
+                 .orderBy(F.xxhash64(F.col(vec_col)))
+                 .limit(k).collect())
+    if len(init_rows) < k:
+        raise ValueError(f"need >= {k} vectors, have {len(init_rows)}")
+    cents = np.stack([np.asarray(r[vec_col], np.float64)
+                      for r in init_rows])
+
+    part_schema = ("b int, cnt double, " +
+                   ", ".join(f"s{i} double" for i in range(dim)))
+
+    for _ in range(n_iter):
+        c = cents.copy()
+
+        def partials(batches, c=c):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy(object)
+                             ).astype(np.float64)
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                b = d.argmin(axis=1)
+                sums = np.zeros((k, dim))
+                cnts = np.zeros(k)
+                np.add.at(sums, b, m)
+                np.add.at(cnts, b, 1.0)
+                out = {"b": np.arange(k, dtype=np.int32), "cnt": cnts}
+                for i in range(dim):
+                    out[f"s{i}"] = sums[:, i]
+                yield pd.DataFrame(out)
+
+        agg = (emb.select(vec_col).mapInPandas(partials, part_schema)
+               .groupBy("b")
+               .agg(F.sum("cnt").alias("cnt"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
+               .collect())
+        new_c = cents.copy()
+        for r in agg:
+            if r["cnt"] > 0:
+                new_c[r["b"]] = np.array(
+                    [r[f"s{i}"] for i in range(dim)]) / r["cnt"]
+        cents = new_c
+    return cents
+
+
 def ivf_index(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
               n_centroids: int = 32, n_iter: int = 5,
-              sample_rows: int = 20_000, seed: int = 7) -> np.ndarray:
+              sample_rows: int = 20_000, seed: int = 7,
+              train: str = "sample") -> np.ndarray:
     """IVF coarse quantizer: numpy k-means over a bounded sample.
 
     The sample is a deterministic HASH-MOD filter over the vector bytes
@@ -502,6 +564,11 @@ def ivf_index(emb: DataFrame, vec_col: str = "embedding", dim: int = 64,
     Centroid training is driver-side numpy — centroids are a (C, dim)
     array shipped to executors in the assignment UDF closure.
     """
+    if train == "full":
+        # unbounded distributed training (see kmeans_fit): no sample
+        # cap — use when the embedding distribution is heavy-tailed
+        # enough that a 20k sample misplaces centroids
+        return kmeans_fit(emb, vec_col, n_centroids, dim, n_iter, seed)
     total = emb.count()
     mod = 1_000_000
     thresh = mod if total <= sample_rows else \

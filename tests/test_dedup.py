@@ -391,3 +391,33 @@ def test_dedup_pipeline_end_to_end_distributed_lane(spark):
     # cluster keepers are the min members: 0 and 1 survive, plants die
     assert 0 in fast_ids and 1 in fast_ids
     assert not any(i >= 100000 for i in fast_ids)
+
+
+def test_kmeans_fit_matches_numpy_oracle(spark):
+    """Distributed Lloyd's == driver numpy Lloyd's with the same
+    deterministic init (per-iteration driver state is the centroid
+    array only); planted blobs recovered; ivf_index(train='full')
+    routes through it."""
+    rng = np.random.default_rng(3)
+    vecs = np.vstack([rng.standard_normal((200, 8)) + c
+                      for c in (0.0, 30.0, -30.0)])
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.tolist() for v in vecs]})).repartition(8)
+    cents = dedup.kmeans_fit(emb, k=3, dim=8, n_iter=5)
+    init = np.stack([np.asarray(r["embedding"]) for r in emb.select(
+        "embedding").orderBy(F.xxhash64(F.col("embedding")))
+        .limit(3).collect()])
+    c = init.copy()
+    for _ in range(5):
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(2)
+        b = d.argmin(1)
+        for j in range(3):
+            if (b == j).any():
+                c[j] = vecs[b == j].mean(0)
+    assert np.allclose(np.sort(cents, axis=0), np.sort(c, axis=0),
+                       atol=1e-9)
+    assert sorted(round(m) for m in cents.mean(axis=1)) == [-30, 0, 30]
+    full = dedup.ivf_index(emb, dim=8, n_centroids=3, n_iter=5,
+                           train="full")
+    assert np.allclose(np.sort(full, axis=0), np.sort(cents, axis=0))
