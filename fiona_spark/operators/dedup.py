@@ -461,6 +461,53 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     return scored.filter(keep).select("id_a", "id_b", "qdot")
 
 
+def semantic_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding", dim: int = 64,
+                           k: int = 32, n_iter: int = 3,
+                           min_cosine: float = 0.9,
+                           train: str = "sample",
+                           max_bucket: int = 100_000) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates: cluster the embedding
+    space (k-means — ``train='full'`` for the unbounded distributed
+    fit), then exact cosine pairs WITHIN each cluster bucket.  The
+    published SemDeDup recipe (cluster, then dedup within clusters)
+    bounds candidates by cluster size instead of LSH band collisions —
+    the right tool when near-dups are semantic rather than byte-level.
+
+    One bucket equi-self-join on the int cluster id; pairs limited to
+    cosine >= ``min_cosine``, id_a < id_b.  ``max_bucket`` guards a
+    degenerate all-in-one-cluster fit loudly.
+    """
+    cents = ivf_index(emb, vec_col, dim, k, n_iter, train=train)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, out="_sb")
+    sizes = assigned.groupBy("_sb").count()
+    big = sizes.filter(F.col("count") > max_bucket).limit(1).collect()
+    if big:
+        raise ValueError(
+            f"cluster {big[0]['_sb']} holds {big[0]['count']} vectors "
+            f"(> max_bucket={max_bucket}); raise k or the guard")
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"), "_sb")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"), "_sb")
+    cand = a.join(b, "_sb").filter(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.stack(va.to_numpy(object)).astype(np.float64)
+        mb = np.stack(vb.to_numpy(object)).astype(np.float64)
+        dots = (ma * mb).sum(axis=1)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / (na * nb)
+        return pd.Series(np.nan_to_num(c))
+
+    return (cand.withColumn("cosine", cos("_va", "_vb"))
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 8,
                         w: int = 4, hash_fn: str = "md5_60") -> DataFrame:

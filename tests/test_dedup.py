@@ -421,3 +421,31 @@ def test_kmeans_fit_matches_numpy_oracle(spark):
     full = dedup.ivf_index(emb, dim=8, n_centroids=3, n_iter=5,
                            train="full")
     assert np.allclose(np.sort(full, axis=0), np.sort(cents, axis=0))
+
+
+def test_semantic_neardup_pairs_finds_planted(spark):
+    """SemDeDup composition (cluster -> exact cosine within cluster):
+    planted near-identical vectors pair; cross-cluster strangers do
+    not; an eager numpy oracle confirms every reported cosine."""
+    rng = np.random.default_rng(11)
+    base = np.vstack([rng.standard_normal((60, 16)) + c
+                      for c in (0.0, 25.0)])
+    vecs = list(base)
+    vecs.append(base[3] + rng.standard_normal(16) * 1e-3)   # dup of 3
+    vecs.append(base[70] + rng.standard_normal(16) * 1e-3)  # dup of 70
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [list(map(float, v)) for v in vecs]})).repartition(4)
+    got = dedup.semantic_neardup_pairs(
+        emb, dim=16, k=2, n_iter=4, min_cosine=0.999).toPandas()
+    keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    assert (3, 120) in keys and (70, 121) in keys
+    arr = np.stack([np.asarray(v) for v in vecs])
+    for r in got.itertuples():
+        a, b = arr[r.id_a], arr[r.id_b]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.cosine == pytest.approx(want)
+    # degenerate one-cluster fit trips the loud guard
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.semantic_neardup_pairs(emb, dim=16, k=2, n_iter=1,
+                                     max_bucket=10)
