@@ -29,6 +29,13 @@ def listlayers(path: str) -> list[str]:
     """
     if not os.path.exists(path):
         raise DriverError(f"no dataset at {path!r}")
+    low = path.lower()
+    if low.endswith(".gpkg"):
+        from .geopackage import listlayers_gpkg
+        return listlayers_gpkg(path)
+    if low.endswith(".gpx"):
+        from .gpx import LAYERS
+        return list(LAYERS)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

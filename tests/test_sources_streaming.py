@@ -879,3 +879,15 @@ def test_kml_source(spark, tmp_path):
     assert rows[1]["xmin"] == 0.0 and rows[1]["xmax"] == 4.0
     assert rows[2]["geom_type"] == "MultiPoint"
     assert rows[2]["xs"] == [1.0, 3.0]
+
+
+def test_listlayers_multilayer_formats(spark, zones, tmp_path):
+    """fiona.listlayers on .gpkg returns its feature tables; on .gpx
+    the GDAL driver's five layers."""
+    from fiona_spark.sources import catalog, drivers
+    p = str(tmp_path / "ll.gpkg")
+    drivers.write_dataset(zones.select("zone_id", "xs", "ys"), p,
+                          layer="zones")
+    assert catalog.listlayers(p) == ["zones"]
+    if os.path.exists(REF_GPX):
+        assert "track_points" in catalog.listlayers(REF_GPX)
