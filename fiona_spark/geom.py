@@ -433,13 +433,20 @@ def _band_pieces(xs, ys, dist, segs):
     ux, uy = dx / ln, dy / ln
     # outward (right-of-direction) unit normals
     ox_, oy_ = uy, -ux
+    # ONE-SIDED slabs (classical offset construction: region + outward
+    # edge slabs + convex-vertex fans = the Minkowski sum).  Both-sided
+    # slabs overlapped the region's own perpendicular edges collinearly,
+    # and collinear stacks split at points computed from DIFFERENT edge
+    # pairs — ulp-divergent floats broke directed-duplicate dedup at
+    # sporadic dist values (the r4 square-buffer raise).  One-sided
+    # slabs touch the ring and each other only at EXACT shared floats.
     for i in range(n):
         px_l.append(np.array(
-            [xs[i] + ox_[i] * dist, nx1[i] + ox_[i] * dist,
-             nx1[i] - ox_[i] * dist, xs[i] - ox_[i] * dist]))
+            [xs[i], nx1[i],
+             nx1[i] + ox_[i] * dist, xs[i] + ox_[i] * dist]))
         py_l.append(np.array(
-            [ys[i] + oy_[i] * dist, ny1[i] + oy_[i] * dist,
-             ny1[i] - oy_[i] * dist, ys[i] - oy_[i] * dist]))
+            [ys[i], ny1[i],
+             ny1[i] + oy_[i] * dist, ys[i] + oy_[i] * dist]))
     th = np.arctan2(oy_, ox_)
     for i in range(n):
         j = (i - 1) % n          # incoming edge index for vertex i
@@ -639,6 +646,17 @@ def vertex_count(xs_list) -> np.ndarray:
 # fiona/features.py:282-316 — the reference delegates to shapely's
 # unary_union; this is a from-scratch numpy boundary-fragment union)
 # ---------------------------------------------------------------------------
+
+# Split-parameter margin for the union kernel: a crossing landing
+# within _T_EPS of an edge endpoint is treated AS the endpoint (no
+# split).  Without it, an intersection computed from a different edge
+# pair can land one ulp inside a pinned endpoint and produce a
+# 1e-16-long fragment whose float-exact endpoint lookup breaks ring
+# chaining (the r4 square-buffer failures at sporadic distances).
+# 1e-9 of the edge parameter matches the kernel's documented
+# 1e-9-of-diagonal resolution.
+_T_EPS = 1e-9
+
 
 class UnionDegeneracyError(ValueError):
     """Input not in general position (collinear overlapping edges,
@@ -903,11 +921,11 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
                 a, b = ai[k], bi[k]
                 for (px_, py_) in ((x0[b], y0[b]), (x1[b], y1[b])):
                     tt = _param_on(x0[a], y0[a], rx_[a], ry_[a], px_, py_)
-                    if tt is not None and 0.0 < tt < 1.0:
+                    if tt is not None and _T_EPS < tt < 1.0 - _T_EPS:
                         splits[a].append((tt, float(px_), float(py_)))
                 for (px_, py_) in ((x0[a], y0[a]), (x1[a], y1[a])):
                     uu = _param_on(x0[b], y0[b], rx_[b], ry_[b], px_, py_)
-                    if uu is not None and 0.0 < uu < 1.0:
+                    if uu is not None and _T_EPS < uu < 1.0 - _T_EPS:
                         splits[b].append((uu, float(px_), float(py_)))
             t[par] = np.nan
         ok = (~par) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
@@ -919,9 +937,9 @@ def feature_union(feat_rings_xs, feat_rings_ys, max_edges: int = 200_000):
             tt, uu = float(t[k]), float(u[k])
             ix = float(x0[a] + tt * rx_[a])
             iy = float(y0[a] + tt * ry_[a])
-            if 0.0 < tt < 1.0:
+            if _T_EPS < tt < 1.0 - _T_EPS:
                 splits[a].append((tt, ix, iy))
-            if 0.0 < uu < 1.0:
+            if _T_EPS < uu < 1.0 - _T_EPS:
                 splits[b].append((uu, ix, iy))
 
     # --- 2. fragments + EXTERIOR-side probe

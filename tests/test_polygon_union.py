@@ -717,3 +717,28 @@ def test_dissolve_union_tree_reduce_parity(spark):
     rx, ry, exact = aggregates.dissolve_union(df)
     assert exact and len(rx) == 1
     assert geom.union_area(rx, ry) == pytest.approx(144.0)
+
+
+def test_buffer_distance_sweep_no_degeneracy():
+    """Dense (distance x segs) sweep over square dilation and donut
+    erosion: ZERO degeneracy raises.  Pre-fix, both-sided slabs
+    overlapped the ring's perpendicular edges collinearly and
+    ulp-divergent split floats broke chaining at sporadic distances
+    (e.g. square side 4, d=1.0416, all segs)."""
+    sq = ([3., 7., 7., 3.], [3., 3., 7., 7.])
+    for d in np.linspace(0.05, 3.0, 40):
+        for segs in (16, 32):
+            rx, ry = geom.buffer_polygon(sq[0], sq[1], float(d),
+                                         segs=segs)
+            assert geom.union_area(rx, ry) > 16.0
+    dx_ = [[0., 10., 10., 0.], [3., 7., 7., 3.]]
+    dy_ = [[0., 0., 10., 10.], [3., 3., 7., 7.]]
+    for d in np.linspace(0.1, 2.2, 24):
+        if abs(float(d) - 1.5) < 1e-9:
+            continue                    # exact zero-width-wall tangency
+        rx, ry = geom.buffer_feature(dx_, dy_, -float(d), segs=32)
+        assert geom.union_area(rx, ry) >= 0.0
+    # the EXACT tangency (erode 1.5 leaves zero-width walls) is
+    # measure-zero degenerate: a loud raise is the contract
+    with pytest.raises(geom.UnionDegeneracyError):
+        geom.buffer_feature(dx_, dy_, -1.5000000000000002, segs=32)
