@@ -742,3 +742,57 @@ def test_buffer_distance_sweep_no_degeneracy():
     # measure-zero degenerate: a loud raise is the contract
     with pytest.raises(geom.UnionDegeneracyError):
         geom.buffer_feature(dx_, dy_, -1.5000000000000002, segs=32)
+
+
+def _ring_is_simple(xs, ys):
+    n = len(xs)
+
+    def cr(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            a = (xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n])
+            b = (xs[j], ys[j], xs[(j + 1) % n], ys[(j + 1) % n])
+            d1 = cr(a[0], a[1], a[2], a[3], b[0], b[1])
+            d2 = cr(a[0], a[1], a[2], a[3], b[2], b[3])
+            d3 = cr(b[0], b[1], b[2], b[3], a[0], a[1])
+            d4 = cr(b[0], b[1], b[2], b[3], a[2], a[3])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                return False
+    return True
+
+
+def test_buffer_random_polygon_fuzz():
+    """150 random polygons x random +/- distances x segs: SIMPLE rings
+    never raise (dilations grow, erosions stay within the original);
+    self-intersecting inputs may raise LOUDLY — never silently wrong."""
+    rng = np.random.default_rng(99)
+    for trial in range(150):
+        n = int(rng.integers(4, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 3.0, n)
+        xs = (r * np.cos(ang)).tolist()
+        ys = (r * np.sin(ang)).tolist()
+        d = float(rng.uniform(0.05, 2.0)) * (1 if rng.random() < 0.7
+                                             else -1)
+        segs = int(rng.choice([8, 16, 32]))
+        simple = _ring_is_simple(xs, ys)
+        orig = abs(0.5 * float(np.sum(
+            np.array(xs) * np.roll(np.array(ys), -1)
+            - np.roll(np.array(xs), -1) * np.array(ys))))
+        try:
+            rx, ry = geom.buffer_polygon(xs, ys, d, segs=segs)
+        except geom.UnionDegeneracyError:
+            assert not simple, \
+                f"trial {trial}: raise on a SIMPLE ring (d={d})"
+            continue
+        a = geom.union_area(rx, ry)
+        if simple:
+            if d > 0:
+                assert a > orig - 1e-9, f"trial {trial} dilation shrank"
+            else:
+                assert -1e-9 <= a <= orig + 1e-9, \
+                    f"trial {trial} erosion grew"
