@@ -378,7 +378,13 @@ def douglas_peucker(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
         if seg == 0.0:
             d = np.hypot(mx - xs[i0], my - ys[i0])
         else:
-            d = np.abs(dx * (ys[i0] - my) - (xs[i0] - mx) * dy) / seg
+            # point-to-SEGMENT distance (clamped projection), matching
+            # GEOS DouglasPeuckerLineSimplifier — the infinite-line
+            # variant lets points beyond the segment end drift further
+            # than tol from the simplified geometry (found by fuzz)
+            t = np.clip(((mx - xs[i0]) * dx + (my - ys[i0]) * dy)
+                        / (seg * seg), 0.0, 1.0)
+            d = np.hypot(mx - (xs[i0] + t * dx), my - (ys[i0] + t * dy))
         j = int(np.argmax(d))
         if d[j] > tol:
             k = i0 + 1 + j

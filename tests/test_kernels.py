@@ -341,3 +341,31 @@ def test_points_in_rings_equals_xor_of_rings():
     py = np.array([0.0, 0.0, 0.0])
     got = geom.points_in_rings(px, py, [outer[0], hole[0]], [outer[1], hole[1]])
     assert got.tolist() == [True, False, False]
+
+
+def test_douglas_peucker_segment_distance_guarantee():
+    """Every dropped vertex lies within tol of the simplified polyline
+    (SEGMENT distance, the GEOS convention) — the infinite-line variant
+    violated this for points beyond a segment end (found by fuzz)."""
+    def pt_seg(px, py, ax, ay, bx, by):
+        ex, ey = bx - ax, by - ay
+        L2 = ex * ex + ey * ey
+        t = 0.0 if L2 == 0 else np.clip(
+            ((px - ax) * ex + (py - ay) * ey) / L2, 0, 1)
+        return np.hypot(px - (ax + t * ex), py - (ay + t * ey))
+
+    rng = np.random.default_rng(13)
+    for trial in range(80):
+        n = int(rng.integers(5, 60))
+        xs = np.cumsum(rng.uniform(-1, 2, n))
+        ys = rng.standard_normal(n).cumsum()
+        tol = float(rng.uniform(0.05, 2.0))
+        keep = geom.douglas_peucker(xs, ys, tol)
+        kx, ky = xs[keep], ys[keep]
+        for i in range(n):
+            if keep[i]:
+                continue
+            d = min(pt_seg(xs[i], ys[i], kx[j], ky[j],
+                           kx[j + 1], ky[j + 1])
+                    for j in range(len(kx) - 1))
+            assert d <= tol + 1e-9, f"trial {trial} vertex {i}"
