@@ -369,3 +369,32 @@ def test_douglas_peucker_segment_distance_guarantee():
                            kx[j + 1], ky[j + 1])
                     for j in range(len(kx) - 1))
             assert d <= tol + 1e-9, f"trial {trial} vertex {i}"
+
+
+def test_convex_hull_contains_all_points_fuzz():
+    """100 random point sets (incl. grid-snapped collinear-heavy):
+    every input point lies inside or exactly on the hull boundary."""
+    def pt_seg(px, py, ax, ay, bx, by):
+        ex, ey = bx - ax, by - ay
+        L2 = ex * ex + ey * ey
+        t = 0.0 if L2 == 0 else np.clip(
+            ((px - ax) * ex + (py - ay) * ey) / L2, 0, 1)
+        return np.hypot(px - (ax + t * ex), py - (ay + t * ey))
+
+    rng = np.random.default_rng(17)
+    for trial in range(100):
+        n = int(rng.integers(3, 200))
+        px = rng.uniform(-10, 10, n)
+        py = rng.uniform(-10, 10, n)
+        if rng.random() < 0.3:
+            px = np.round(px); py = np.round(py)
+        hx, hy = geom.convex_hull(px, py)
+        if len(hx) < 3:
+            continue
+        inside = geom.points_in_polygon(px, py, hx, hy)
+        m = len(hx)
+        for i in np.nonzero(~inside)[0]:
+            d = min(pt_seg(px[i], py[i], hx[j], hy[j],
+                           hx[(j + 1) % m], hy[(j + 1) % m])
+                    for j in range(m))
+            assert d <= 1e-9, f"trial {trial} point {i} outside by {d}"
