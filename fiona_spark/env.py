@@ -58,9 +58,12 @@ def insp(spark, path: str, n: int = 5) -> dict:
     """``fio insp`` analogue, non-interactive: everything the REPL
     session would show — the info record (count, schema, bounds,
     driver metadata) plus the first ``n`` rows as dicts."""
-    from .sources.catalog import info
+    from .sources.catalog import info, open_any
 
     rec = info(spark, path)
+    # head rows through the SAME driver-resolved reader info() used —
+    # spark.read.parquet here broke insp on every non-parquet format
+    df, _ = open_any(spark, path)
     rec["head"] = [r.asDict(recursive=True)
-                   for r in spark.read.parquet(path).limit(n).collect()]
+                   for r in df.limit(n).collect()]
     return rec

@@ -210,6 +210,11 @@ def rings_from_geometry(geometry) -> tuple[str, list, list]:
             rxs.extend(mx); rys.extend(my)
         return t, rxs, rys
     c = g.get("coordinates")
+    if c is None or len(c) == 0:
+        # EMPTY geometries (e.g. WKT 'POINT EMPTY' decodes to
+        # coordinates: []) carry no rings; crashing with IndexError
+        # here broke feature_to_row / writers on empty inputs
+        return t, [], []
     if t == "Point":
         return t, [[float(c[0])]], [[float(c[1])]]
     if t in ("LineString", "MultiPoint"):

@@ -223,7 +223,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
                   max_dist: int = 3, band_bits: int = 16,
-                  n_bits: int = 64, max_bucket: int = 100_000) -> DataFrame:
+                  n_bits: int = 64, max_bucket: int = 100_000,
+                  warn_recall: bool = True) -> DataFrame:
     """Pairs within Hamming distance ``max_dist`` of an integer hash.
 
     Banded LSH: n_bits/band_bits exact-band buckets; by pigeonhole any
@@ -239,6 +240,14 @@ def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
     minhash_lsh_pairs, bounding the self-join blow-up.
     """
     n_bands = n_bits // band_bits
+    if warn_recall and band_bits > n_bits // (max_dist + 1):
+        import warnings
+        warnings.warn(
+            f"hamming_pairs: band_bits={band_bits} does not guarantee "
+            f"recall at max_dist={max_dist} (pairs at distance >= "
+            f"{n_bands} may share no band); pass band_bits <= "
+            f"{n_bits // (max_dist + 1)} for full recall",
+            RuntimeWarning, stacklevel=2)
 
     def band_mask(b: int) -> int:
         m = (((1 << band_bits) - 1) << (b * band_bits)) & 0xFFFFFFFFFFFFFFFF

@@ -127,8 +127,11 @@ def phash_hamming_pairs(images: DataFrame, max_dist: int = 10,
     — pass band_bits <= 64 // (max_dist + 1) for full recall.
     """
     from .dedup import hamming_pairs
+    # warn_recall=False: the best-effort regime past the pigeonhole
+    # bound is this operator's documented contract (docstring above)
     out = hamming_pairs(images.select("image_id", "phash"), "image_id",
-                        "phash", max_dist=max_dist, band_bits=band_bits)
+                        "phash", max_dist=max_dist, band_bits=band_bits,
+                        warn_recall=False)
     return out.select(F.col("id_a").alias("image_id"),
                       F.col("id_b").alias("image_id_b"), "hamming")
 

@@ -106,19 +106,32 @@ def get_tags(path: str, ns: str = "") -> dict:
         return json.load(fh).get(ns, {})
 
 
-def info(spark, table_path: str) -> dict:
-    """``fio info`` parity: count, bounds (when footprint columns
-    exist), schema, plus the driver capability record
-    (`fiona/fio/info.py:42-78`; driver block mirrors fiona/meta.py)."""
-    from pyspark.sql import functions as F
+def open_any(spark, table_path: str):
+    """Resolve a dataset path through the driver registry and open it.
 
-    from . import drivers, meta
+    Returns ``(df, driver_name)``; falls back to parquet when the
+    extension is unregistered (the engine's native table layout).
+    Shared by :func:`info` and ``env.insp`` so both surfaces open
+    .gpkg/.shp/.gml/... identically.
+    """
+    from . import drivers
     try:
         drv = drivers.driver_from_extension(table_path)
     except Exception:
         drv = "parquet"
     df = (spark.read.parquet(table_path) if drv == "parquet"
           else drivers.open_dataset(spark, table_path, driver=drv))
+    return df, drv
+
+
+def info(spark, table_path: str) -> dict:
+    """``fio info`` parity: count, bounds (when footprint columns
+    exist), schema, plus the driver capability record
+    (`fiona/fio/info.py:42-78`; driver block mirrors fiona/meta.py)."""
+    from pyspark.sql import functions as F
+
+    from . import meta
+    df, drv = open_any(spark, table_path)
     rec = {
         "path": table_path,
         "count": df.count(),

@@ -156,6 +156,11 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "features",
     encode through the engine's WKB codec into GeoPackageBinary blobs
     with envelopes; remaining columns map to SQLite types.
     ``mode='a'`` appends to an existing layer.
+
+    THROUGHPUT CEILING: one SQLite file means driver-serial encode
+    (~single-core, same as the reference's one-GDAL-handle writes).
+    Streaming bounds driver MEMORY only — route bulk exports through
+    partitioned parquet / ``sources.iceberg_like`` instead.
     """
     from .. import model, wkb
 

@@ -75,8 +75,12 @@ def read_gpx(spark, path: str, layer: str = "waypoints") -> DataFrame:
                 pts = _points_of(el, pt_tag)
                 if pts:
                     parts.append(pts)
+            # parity with the reference's GPX driver: routes are
+            # LineString (one rte = one chain); only tracks are
+            # MultiLineString (of their trksegs)
+            gtype = "MultiLineString" if layer == "tracks" else "LineString"
             rows.append({
-                "fid": len(rows), "geom_type": "MultiLineString",
+                "fid": len(rows), "geom_type": gtype,
                 "rings_xs": [[p[0] for p in part] for part in parts],
                 "rings_ys": [[p[1] for p in part] for part in parts],
                 "name": _child_text(el, "name")})

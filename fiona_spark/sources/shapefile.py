@@ -201,6 +201,53 @@ _GEOM_COLS = ("geom_type", "rings_xs", "rings_ys", "xs", "ys",
               "xmin", "ymin", "xmax", "ymax", "fid")
 
 
+def _signed_area2(r: np.ndarray) -> float:
+    """Twice the shoelace signed area of a closed ring (CCW positive)."""
+    x, y = r[:, 0], r[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _point_in_ring(px: float, py: float, r: np.ndarray) -> bool:
+    """Even-odd containment of a point in a closed ring (vectorized)."""
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    straddle = (y0 > py) != (y1 > py)
+    if not straddle.any():
+        return False
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool(np.count_nonzero(straddle & (px < xint)) % 2)
+
+
+def _orient_esri(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Enforce the ESRI polygon convention — outer rings CLOCKWISE,
+    holes COUNTERCLOCKWISE (Shapefile Technical Description p.12).
+
+    Engine-convention rings (union output: outer CCW, holes CW) are
+    exactly inverted, so GDAL/fiona would classify shells as holes if
+    written as-is.  Nesting depth = number of OTHER rings containing a
+    representative vertex; even depth -> shell (signed area must be
+    negative / CW), odd -> hole (positive / CCW).
+    """
+    if len(rings) == 1:
+        depth = [0]
+    else:
+        depth = []
+        for i, r in enumerate(rings):
+            px, py = float(r[0, 0]), float(r[0, 1])
+            depth.append(sum(
+                1 for j, o in enumerate(rings)
+                if j != i and len(o) >= 4 and _point_in_ring(px, py, o)))
+    out = []
+    for r, d in zip(rings, depth):
+        a2 = _signed_area2(r)
+        want_cw = (d % 2 == 0)
+        if (want_cw and a2 > 0) or (not want_cw and a2 < 0):
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
 def _encode_record(geom_type, rings_xs, rings_ys) -> bytes:
     if geom_type is None or rings_xs is None:
         return struct.pack("<i", SHP_NULL)
@@ -222,6 +269,7 @@ def _encode_record(geom_type, rings_xs, rings_ys) -> bytes:
         # shapefile rings are explicitly closed
         rings = [np.vstack([r, r[:1]]) if len(r) and
                  (r[0] != r[-1]).any() else r for r in rings]
+        rings = _orient_esri(rings)
     allpts = np.vstack(rings) if rings else np.empty((0, 2))
     parts = np.cumsum([0] + [len(r) for r in rings[:-1]]).astype("<i4")
     return (struct.pack("<i4d 2i", st,
@@ -236,7 +284,17 @@ def write_shapefile(df: DataFrame, path: str,
     """Write ``layer.shp`` / ``.shx`` / ``.dbf`` (+ ``.prj`` / ``.cpg``
     sidecars: CRS WKT and the dbf codepage — the reference writes CRS
     with every collection) from a ring-model DataFrame, streaming rows
-    through ``toLocalIterator``."""
+    through ``toLocalIterator``.
+
+    THROUGHPUT CEILING: a .shp is one file, so encoding is inherently
+    driver-serial (~single-core; the reference writes through one GDAL
+    handle too).  Streaming bounds driver MEMORY, not wall time — do
+    not route a bulk export through this sink; use the partitioned
+    parquet / ``sources.iceberg_like`` path and convert per-shard.
+
+    Polygon rings are re-wound to the ESRI convention on write (outer
+    CW, holes CCW) so GDAL/fiona readers classify shells correctly.
+    """
     base, _ = os.path.splitext(path)
     props = [f for f in df.schema.fields if f.name not in _GEOM_COLS]
     # dbf descriptors: strings C:80, ints N:18, floats N:20.6, bool L
@@ -284,11 +342,16 @@ def write_shapefile(df: DataFrame, path: str,
             v = d.get(f.name)
             if v is None:
                 s = b" " * flen
-            elif ftype == "N" and fdec == 0:
-                s = str(int(v)).rjust(flen).encode(encoding)[:flen]
             elif ftype == "N":
-                s = f"{float(v):.{fdec}f}".rjust(flen).encode(
-                    encoding)[:flen]
+                txt = (str(int(v)) if fdec == 0
+                       else f"{float(v):.{fdec}f}")
+                if len(txt) > flen:
+                    # slicing would silently drop trailing digits and
+                    # corrupt the stored value — refuse instead
+                    raise DriverError(
+                        f"value {txt!r} exceeds dbf field width "
+                        f"{name}:{flen}.{fdec}")
+                s = txt.rjust(flen).encode(encoding)
             elif ftype == "L":
                 s = b"T" if v else b"F"
             elif ftype == "D":

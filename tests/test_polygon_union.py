@@ -36,8 +36,10 @@ def _sweep_union_area(polys, n_guard: int = 200):
     with np.errstate(divide="ignore", invalid="ignore"):
         t = (qx * (b[..., 3] - b[..., 1]) - qy * (b[..., 2] - b[..., 0])) / d
         u = (qx * (a[..., 3] - a[..., 1]) - qy * (a[..., 2] - a[..., 0])) / d
-    okm = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    cx = a[..., 0] + t * (a[..., 2] - a[..., 0])
+        okm = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        # t holds nan/inf on parallel segments — keep the multiply
+        # inside the errstate guard; okm masks those entries below
+        cx = a[..., 0] + t * (a[..., 2] - a[..., 0])
     events = np.unique(np.concatenate([xs_ev, cx[okm]]))
 
     def covered_len(x):

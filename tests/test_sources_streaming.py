@@ -511,8 +511,13 @@ def test_shapefile_roundtrip(spark, zones, tmp_path):
     assert back.count() == N_ZONES
     r0 = back.collect()[0]
     z0 = src.orderBy("zone_id").collect()[0]
-    # polygon rings close explicitly on disk; reopen keeps the closure
-    assert r0["xs"][:-1] == list(z0["xs"]) and r0["xs"][0] == r0["xs"][-1]
+    # polygon rings close explicitly on disk and may be re-wound to the
+    # ESRI convention (shells CW) — accept either orientation of the
+    # closed ring; coordinates stay bit-exact doubles
+    closed = list(zip(z0["xs"] + [z0["xs"][0]], z0["ys"] + [z0["ys"][0]]))
+    got = list(zip(r0["xs"], r0["ys"]))
+    assert got in (closed, closed[::-1])
+    assert r0["xs"][0] == r0["xs"][-1]
     assert r0["geom_type"] == "Polygon"
     assert r0["NAME"] == z0["NAME"]
     assert r0["zone_id"] == z0["zone_id"]
@@ -761,8 +766,12 @@ def test_shapefile_random_roundtrip_fuzz(spark, tmp_path):
         assert r["geom_type"] == s_["geom_type"]
         assert r["name"] == s_["name"] and abs(r["v"] - s_["v"]) < 1e-6
         assert len(r["rings_xs"]) == len(s_["rings_xs"])
-        for got, want in zip(r["rings_xs"], s_["rings_xs"]):
-            assert got == want          # bit-exact doubles
+        for gx, gy, wx, wy in zip(r["rings_xs"], r["rings_ys"],
+                                  s_["rings_xs"], s_["rings_ys"]):
+            got = list(zip(gx, gy))
+            want = list(zip(wx, wy))
+            # ESRI re-winding may reverse a ring; doubles stay bit-exact
+            assert got in (want, want[::-1])
 
 
 def test_shapefile_z_variants_parse_then_drop():
