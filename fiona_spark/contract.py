@@ -281,26 +281,30 @@ def q_tile_assign(spark, sf_dir):
     return spatial.with_point_cell(pts, TILE_RES).select("image_id", "cell")
 
 
-@register("tile_parent", f"""
-WITH pts AS ({derived.PTS_CTE})
-SELECT image_id,
-       {cells.cell_id_sql('lng', 'lat', TILE_RES)} AS cell,
-       {cells.cell_id_sql('lng', 'lat', COARSE_RES)} AS parent_cell
-FROM pts
-""")
-def q_tile_parent(spark, sf_dir):
-    """Hierarchy property: parent(cell, steps) == cell at coarser res.
-    The engine derives the parent FROM the fine cell id (numpy kernel),
-    the oracle recomputes it from coordinates — they must agree."""
-    pts = derived.pts_df(spark, sf_dir)
-    fine = spatial.with_point_cell(pts, TILE_RES)
-
-    @F.pandas_udf(T.LongType())
-    def parent_udf(c: pd.Series) -> pd.Series:
-        return pd.Series(cells.parent(c.to_numpy(np.int64), TILE_RES - COARSE_RES))
-
-    return fine.select("image_id", "cell",
-                       parent_udf("cell").alias("parent_cell"))
+@register("shapefile_source")
+def q_shapefile_source(spark, sf_dir):
+    """ESRI Shapefile end-to-end under the driver contract (the r4
+    format block's first CORRECTNESS row): canonical zones written to a
+    real .shp/.dbf/.shx through the struct-level sink
+    (`sources/shapefile.py`), re-read distributed via
+    ``read_shapefile``'s mapInPandas decode, exploded to one row per
+    ring vertex.  The oracle reads an INDEPENDENTLY generated parquet
+    twin (`fixtures.ensure_canon_shp_truth`: pure numpy closure + ESRI
+    CW winding) — writer winding, dbf round-trip, and the raw <f8
+    coordinate copies must all agree bit-for-bit.
+    (tile_parent retired for this slot: its parent-derivation kernel
+    stays differentially tested in tests/test_r5_guards.py.)"""
+    from .sources import shapefile
+    shp = fixtures.ensure_canon_shp(spark)
+    df = shapefile.read_shapefile(spark, shp)
+    return (df.select(
+        "zone_id", "NAME", "AGBUR",
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.posexplode(F.arrays_zip("xs", "ys")))
+        .select("zone_id", "NAME", "AGBUR", "WILDRNP020",
+                F.col("pos").cast("long").alias("vi"),
+                F.col("col.xs").alias("x"),
+                F.col("col.ys").alias("y")))
 
 
 @register("covering_count", f"""
@@ -1005,6 +1009,12 @@ SELECT zone_id FROM read_parquet('{zon}')
 WHERE list_reduce(list_prepend(0.0, list_transform(xs, x -> 2.0 * x)),
                   (a, b) -> a + b) > 100.0
   AND upper(AGBUR) = 'FS'
+"""
+    shp_truth = fixtures.ensure_canon_shp_truth()
+    ORACLES["shapefile_source"] = f"""
+SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
+       CAST(vi AS BIGINT) AS vi, x, y
+FROM read_parquet('{shp_truth}')
 """
     csv_path = fixtures.ensure_canon_csv()
     ORACLES["csv_source"] = f"""

@@ -317,6 +317,72 @@ def ensure_canon(cache_dir: str | None = None) -> tuple[str, str]:
     return img_path, zone_path
 
 
+def ensure_canon_shp_truth(cache_dir: str | None = None) -> str:
+    """Per-vertex parquet twin of the canonical-zones shapefile, built
+    INDEPENDENTLY of the engine's .shp writer/reader (pure numpy ring
+    closure + ESRI winding: outer rings clockwise, Shapefile Technical
+    Description p.12).  This is the ORACLE side of the
+    ``shapefile_source`` driver-contract query: the Spark side must
+    reproduce these exact doubles after a full write->read round trip
+    through the binary format, so the writer's winding, the dbf
+    round-trip, and the <f8 coordinate copies are all differentially
+    checked bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones_shp_truth.parquet")
+    if os.path.exists(path):
+        return path
+    zdf = gen_zones_pdf(CANON_N_ZONES)
+    recs = []
+    for _, z in zdf.iterrows():
+        xs = np.asarray(z["xs"], np.float64)
+        ys = np.asarray(z["ys"], np.float64)
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs = np.append(xs, xs[0])
+            ys = np.append(ys, ys[0])
+        # shoelace over the closed ring (duplicate endpoint contributes
+        # zero); positive = CCW => reverse to the ESRI CW shell form
+        a2 = float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+        if a2 > 0:
+            xs, ys = xs[::-1], ys[::-1]
+        for vi, (x, y) in enumerate(zip(xs, ys)):
+            recs.append({"zone_id": z["zone_id"], "NAME": z["NAME"],
+                         "AGBUR": z["AGBUR"],
+                         "WILDRNP020": int(z["WILDRNP020"]),
+                         "vi": vi, "x": float(x), "y": float(y)})
+    tdf = pd.DataFrame(recs)
+    tdf["WILDRNP020"] = tdf["WILDRNP020"].astype("int64")
+    tdf["vi"] = tdf["vi"].astype("int64")
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(tdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_canon_shp(spark, cache_dir: str | None = None) -> str:
+    """Materialize the canonical zones as a real on-disk ESRI Shapefile
+    (through the engine's struct-level sink) and return the .shp path."""
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones_shp", "zones.shp")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from .sources.shapefile import write_shapefile
+    zdf = gen_zones_pdf(CANON_N_ZONES)
+    zdf = zdf[["zone_id", "xs", "ys", "NAME", "AGBUR", "WILDRNP020"]].assign(
+        xs=[list(map(float, v)) for v in zdf["xs"]],
+        ys=[list(map(float, v)) for v in zdf["ys"]])
+    df = spark.createDataFrame(
+        zdf, schema="zone_id string, xs array<double>, ys array<double>, "
+                    "NAME string, AGBUR string, WILDRNP020 long")
+    write_shapefile(df, path)
+    return path
+
+
 def ensure_canon_wkb(cache_dir: str | None = None) -> str:
     """WKB interchange fixture: geometry bytes + ground-truth stats.
 

@@ -143,3 +143,24 @@ def test_hamming_pairs_warns_past_pigeonhole_bound(spark):
         dedup.hamming_pairs(df, "vid", "h", max_dist=3, band_bits=16)
         dedup.hamming_pairs(df, "vid", "h", max_dist=10, band_bits=16,
                             warn_recall=False)
+
+
+# ---------------------------------------------------------------------------
+# tile_parent retired from the 50-query contract (slot given to
+# shapefile_source) — its differential lives on here: deriving the
+# coarse cell FROM the fine cell id must equal recomputing it from
+# coordinates, on fuzzed points including the poles/antimeridian.
+# ---------------------------------------------------------------------------
+
+def test_cell_parent_matches_recompute_from_coords():
+    from fiona_spark import cells
+    rng = np.random.default_rng(5050)
+    lng = np.concatenate([rng.uniform(-180, 180, 5000),
+                          [-180.0, 179.999999, 0.0]])
+    lat = np.concatenate([rng.uniform(-90, 90, 5000),
+                          [89.999999, -90.0, 0.0]])
+    for fine_res, coarse_res in ((12, 5), (12, 0), (7, 6)):
+        fine = cells.cell_id(lng, lat, fine_res)
+        derived_parent = cells.parent(fine, fine_res - coarse_res)
+        recomputed = cells.cell_id(lng, lat, coarse_res)
+        assert (derived_parent == recomputed).all()
