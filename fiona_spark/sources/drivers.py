@@ -242,13 +242,29 @@ def _read_shp(spark, path, encoding=None, **opts):
 def _write_shp(df, path, mode="overwrite", **opts):
     from . import shapefile
     if mode == "append":
-        raise DriverError("shapefile append not supported; use 'w'")
-    shapefile.write_shapefile(df, path, **opts)
+        shapefile.append_shapefile(df, path, **opts)
+    else:
+        shapefile.write_shapefile(df, path, **opts)
 
 
 def _read_gml(spark, path, **opts):
     from . import gml
     return gml.read_gml(spark, path)
+
+
+def _write_gml(df, path, **opts):
+    from . import gml
+    gml.write_gml(df, path, **opts)
+
+
+def _write_gpx(df, path, **opts):
+    from . import gpx
+    gpx.write_gpx(df, path, **opts)
+
+
+def _write_kml(df, path, **opts):
+    from . import kml
+    kml.write_kml(df, path, **opts)
 
 
 def _read_gpx(spark, path, layer="waypoints", **opts):
@@ -295,10 +311,10 @@ register_driver("text", _read_text, _write_text, "raw")
 register_driver("geojson", _read_geojson, _write_geojson, "rw")
 register_driver("topojson", _read_topojson, _no_write, "r")
 register_driver("geopackage", _read_gpkg, _write_gpkg, "raw")
-register_driver("shapefile", _read_shp, _write_shp, "rw")
-register_driver("gml", _read_gml, _no_write, "r")
-register_driver("gpx", _read_gpx, _no_write, "r")
-register_driver("kml", _read_kml, _no_write, "r")
+register_driver("shapefile", _read_shp, _write_shp, "raw")
+register_driver("gml", _read_gml, _write_gml, "rw")
+register_driver("gpx", _read_gpx, _write_gpx, "rw")
+register_driver("kml", _read_kml, _write_kml, "rw")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

@@ -20,6 +20,7 @@ list lands in one ``createDataFrame``.  Convert to parquet for bulk.
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -199,3 +200,110 @@ def read_gml(spark, path: str) -> DataFrame:
                 "transform(rings_xs, r -> array_max(r))")))
             .withColumn("ymax", F.array_max(F.expr(
                 "transform(rings_ys, r -> array_max(r))"))))
+
+
+# ---------------------------------------------------------------------------
+# writer (reference registers GML "rw": fiona/drvsupport.py:69)
+# ---------------------------------------------------------------------------
+
+_DERIVED_COLS = ("geom_type", "rings_xs", "rings_ys", "xs", "ys",
+                 "xmin", "ymin", "xmax", "ymax", "fid")
+
+
+def _pos_list_text(ring_x, ring_y) -> str:
+    return " ".join(f"{float(x)!r} {float(y)!r}"
+                    for x, y in zip(ring_x, ring_y))
+
+
+def _gml_geometry_xml(gt, rxs, rys) -> str:
+    """(geom_type, rings) -> GML 3 geometry markup the reader parses
+    back bit-identically (repr doubles round-trip exactly)."""
+    if gt is None or rxs is None or not len(rxs):
+        return ""
+    if gt == "Point":
+        return (f"<gml:Point><gml:pos>{float(rxs[0][0])!r} "
+                f"{float(rys[0][0])!r}</gml:pos></gml:Point>")
+    if gt == "LineString":
+        return (f"<gml:LineString><gml:posList>"
+                f"{_pos_list_text(rxs[0], rys[0])}"
+                f"</gml:posList></gml:LineString>")
+    if gt == "MultiLineString":
+        members = "".join(
+            f"<gml:curveMember><gml:LineString><gml:posList>"
+            f"{_pos_list_text(rx, ry)}</gml:posList></gml:LineString>"
+            f"</gml:curveMember>" for rx, ry in zip(rxs, rys))
+        return f"<gml:MultiCurve>{members}</gml:MultiCurve>"
+    if gt == "MultiPoint":
+        members = "".join(
+            f"<gml:pointMember><gml:Point><gml:pos>{float(x)!r} "
+            f"{float(y)!r}</gml:pos></gml:Point></gml:pointMember>"
+            for x, y in zip(rxs[0], rys[0]))
+        return f"<gml:MultiPoint>{members}</gml:MultiPoint>"
+    if gt == "Polygon":
+        return _gml_polygon_xml(rxs, rys)
+    if gt == "MultiPolygon":
+        # part grouping reconstructed from ring nesting (the writer's
+        # flat ring model is typeless) — same rule as geometry_from_rings
+        from .. import model
+        g = model.geometry_from_rings("MultiPolygon", rxs, rys)
+        parts = []
+        for part in g["coordinates"]:
+            pxs = [[p[0] for p in ring] for ring in part]
+            pys = [[p[1] for p in ring] for ring in part]
+            parts.append(f"<gml:surfaceMember>"
+                         f"{_gml_polygon_xml(pxs, pys)}</gml:surfaceMember>")
+        return f"<gml:MultiSurface>{''.join(parts)}</gml:MultiSurface>"
+    raise DriverError(f"cannot encode geometry type {gt!r} as GML")
+
+
+def _gml_polygon_xml(rxs, rys) -> str:
+    rings = []
+    for i, (rx, ry) in enumerate(zip(rxs, rys)):
+        role = "exterior" if i == 0 else "interior"
+        rings.append(
+            f"<gml:{role}><gml:LinearRing><gml:posList>"
+            f"{_pos_list_text(rx, ry)}</gml:posList></gml:LinearRing>"
+            f"</gml:{role}>")
+    return f"<gml:Polygon>{''.join(rings)}</gml:Polygon>"
+
+
+def write_gml(df: DataFrame, path: str,
+              feature_name: str = "feature") -> None:
+    """Single-file GML FeatureCollection sink (reference mode parity:
+    GML is "rw", `fiona/drvsupport.py:69`).
+
+    Rows stream through ``toLocalIterator`` (driver-serial encode —
+    the single-file sink throughput ceiling; bulk exports belong in
+    parquet).  Property columns emit as child elements with escaped
+    text; geometry emits GML 3 markup ``read_gml`` decodes back, with
+    ``repr`` doubles so coordinates round-trip bit-exactly.
+    """
+    from xml.sax.saxutils import escape
+
+    props = [f.name for f in df.schema.fields
+             if f.name not in _DERIVED_COLS]
+    cols_set = set(df.columns)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write('<gml:FeatureCollection '
+                 'xmlns:gml="http://www.opengis.net/gml" '
+                 'xmlns:fs="urn:fiona-spark">\n')
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            if d.get("rings_xs") is not None:
+                gt, rxs, rys = d.get("geom_type"), d["rings_xs"], d["rings_ys"]
+            elif "xs" in cols_set and d.get("xs") is not None:
+                gt, rxs, rys = (d.get("geom_type") or "Polygon",
+                                [d["xs"]], [d["ys"]])
+            else:
+                gt, rxs, rys = None, None, None
+            fh.write(f"<gml:featureMember><fs:{feature_name}>")
+            for p in props:
+                v = d.get(p)
+                if v is not None:
+                    fh.write(f"<fs:{p}>{escape(str(v))}</fs:{p}>")
+            fh.write(_gml_geometry_xml(gt, rxs, rys))
+            fh.write(f"</fs:{feature_name}></gml:featureMember>\n")
+        fh.write("</gml:FeatureCollection>\n")
+    os.replace(tmp, path)

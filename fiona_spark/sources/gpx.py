@@ -10,6 +10,7 @@ framing), one ``createDataFrame`` per layer.
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 
 import pandas as pd
@@ -112,3 +113,82 @@ def read_gpx(spark, path: str, layer: str = "waypoints") -> DataFrame:
                 "transform(rings_xs, r -> array_max(r))")))
             .withColumn("ymax", F.array_max(F.expr(
                 "transform(rings_ys, r -> array_max(r))"))))
+
+
+# ---------------------------------------------------------------------------
+# writer (reference registers GPX "rw": fiona/drvsupport.py:76)
+# ---------------------------------------------------------------------------
+
+def write_gpx(df: DataFrame, path: str) -> None:
+    """Single-file GPX 1.1 sink (reference mode parity: GPX is "rw").
+
+    Rows dispatch to GPX elements by geometry type, matching the
+    layer model ``read_gpx`` exposes:
+
+    * ``Point``           -> ``<wpt>``   (waypoints layer)
+    * ``LineString``      -> ``<rte>``   (routes layer; one chain)
+    * ``MultiLineString`` -> ``<trk>``   (tracks layer; one
+      ``<trkseg>`` per part)
+
+    ``name``/``ele``/``time`` columns map to the spec's child
+    elements; other property columns are out of the GPX schema and
+    are skipped (the reference's GDAL driver drops them too unless
+    GPX_USE_EXTENSIONS is set).  Streams ``toLocalIterator`` —
+    driver-serial single-file encode; bulk exports belong in parquet.
+    Coordinates emit ``repr`` doubles (bit-exact round-trip).
+    """
+    from xml.sax.saxutils import escape, quoteattr
+
+    def pt(tag, x, y, ele=None, time=None, name=None):
+        body = ""
+        if name:
+            body += f"<name>{escape(str(name))}</name>"
+        if ele is not None:
+            body += f"<ele>{escape(str(ele))}</ele>"
+        if time is not None:
+            body += f"<time>{escape(str(time))}</time>"
+        if body:
+            return (f'<{tag} lat={quoteattr(repr(float(y)))} '
+                    f'lon={quoteattr(repr(float(x)))}>{body}</{tag}>')
+        return (f'<{tag} lat={quoteattr(repr(float(y)))} '
+                f'lon={quoteattr(repr(float(x)))}/>')
+
+    cols = set(df.columns)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write('<gpx version="1.1" creator="fiona_spark" '
+                 'xmlns="http://www.topografix.com/GPX/1/1">\n')
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            gt = d.get("geom_type")
+            rxs, rys = d.get("rings_xs"), d.get("rings_ys")
+            if rxs is None and "xs" in cols and d.get("xs") is not None:
+                rxs, rys = [d["xs"]], [d["ys"]]
+            if gt is None or rxs is None:
+                continue
+            name = d.get("name")
+            name_xml = f"<name>{escape(str(name))}</name>" if name else ""
+            if gt == "Point":
+                fh.write(pt("wpt", rxs[0][0], rys[0][0],
+                            d.get("ele") if "ele" in cols else None,
+                            d.get("time") if "time" in cols else None,
+                            name))
+                fh.write("\n")
+            elif gt == "LineString":
+                pts = "".join(pt("rtept", x, y)
+                              for x, y in zip(rxs[0], rys[0]))
+                fh.write(f"<rte>{name_xml}{pts}</rte>\n")
+            elif gt == "MultiLineString":
+                segs = "".join(
+                    "<trkseg>" + "".join(
+                        pt("trkpt", x, y)
+                        for x, y in zip(rx, ry)) + "</trkseg>"
+                    for rx, ry in zip(rxs, rys))
+                fh.write(f"<trk>{name_xml}{segs}</trk>\n")
+            else:
+                raise DriverError(
+                    f"geometry type {gt!r} has no GPX element "
+                    "(Point/LineString/MultiLineString only)")
+        fh.write("</gpx>\n")
+    os.replace(tmp, path)

@@ -279,6 +279,39 @@ def _encode_record(geom_type, rings_xs, rings_ys) -> bytes:
             + parts.tobytes() + allpts.astype("<f8").tobytes())
 
 
+def _dbf_value_bytes(v, name: str, ftype: str, flen: int, fdec: int,
+                     encoding: str) -> bytes:
+    """One attribute value -> fixed-width dbf field bytes (shared by
+    the writer and the appender).  Numeric overflow RAISES rather than
+    silently truncating digits."""
+    if v is None:
+        return b" " * flen
+    if ftype == "N":
+        txt = str(int(v)) if fdec == 0 else f"{float(v):.{fdec}f}"
+        if len(txt) > flen:
+            # slicing would silently drop trailing digits and
+            # corrupt the stored value — refuse instead
+            raise DriverError(
+                f"value {txt!r} exceeds dbf field width "
+                f"{name}:{flen}.{fdec}")
+        return txt.rjust(flen).encode(encoding)
+    if ftype == "L":
+        return b"T" if v else b"F"
+    if ftype == "D":
+        return v.strftime("%Y%m%d").encode("ascii")
+    return str(v).encode(encoding)[:flen].ljust(flen)
+
+
+def _row_geometry(d: dict, cols_set: set):
+    """Row dict -> (geom_type, rings_xs, rings_ys) with the xs/ys
+    single-ring fallback (shared by writer and appender)."""
+    if d.get("rings_xs") is not None:
+        return d.get("geom_type"), d["rings_xs"], d["rings_ys"]
+    if "xs" in cols_set and d.get("xs") is not None:
+        return d.get("geom_type") or "Polygon", [d["xs"]], [d["ys"]]
+    return None, None, None
+
+
 def write_shapefile(df: DataFrame, path: str,
                     encoding: str = "utf-8", epsg: int = 4326) -> None:
     """Write ``layer.shp`` / ``.shx`` / ``.dbf`` (+ ``.prj`` / ``.cpg``
@@ -321,13 +354,7 @@ def write_shapefile(df: DataFrame, path: str,
     shape_type = SHP_NULL
     for row in df.toLocalIterator():
         d = row.asDict(recursive=True)
-        if d.get("rings_xs") is not None:
-            gt, rxs, rys = d.get("geom_type"), d["rings_xs"], d["rings_ys"]
-        elif "xs" in cols_set and d.get("xs") is not None:
-            gt, rxs, rys = d.get("geom_type") or "Polygon", \
-                [d["xs"]], [d["ys"]]
-        else:
-            gt, rxs, rys = None, None, None
+        gt, rxs, rys = _row_geometry(d, cols_set)
         body = _encode_record(gt, rxs, rys)
         st = struct.unpack("<i", body[:4])[0]
         if st != SHP_NULL:
@@ -339,26 +366,8 @@ def write_shapefile(df: DataFrame, path: str,
         shp_records.append(body)
         rec = b" "
         for (name, ftype, flen, fdec), f in zip(descs, props):
-            v = d.get(f.name)
-            if v is None:
-                s = b" " * flen
-            elif ftype == "N":
-                txt = (str(int(v)) if fdec == 0
-                       else f"{float(v):.{fdec}f}")
-                if len(txt) > flen:
-                    # slicing would silently drop trailing digits and
-                    # corrupt the stored value — refuse instead
-                    raise DriverError(
-                        f"value {txt!r} exceeds dbf field width "
-                        f"{name}:{flen}.{fdec}")
-                s = txt.rjust(flen).encode(encoding)
-            elif ftype == "L":
-                s = b"T" if v else b"F"
-            elif ftype == "D":
-                s = v.strftime("%Y%m%d").encode("ascii")
-            else:
-                s = str(v).encode(encoding)[:flen].ljust(flen)
-            rec += s
+            rec += _dbf_value_bytes(d.get(f.name), name, ftype, flen,
+                                    fdec, encoding)
         dbf_records.append(rec)
 
     if not np.isfinite(gxmin):
@@ -399,3 +408,104 @@ def write_shapefile(df: DataFrame, path: str,
         prj.write(CRS.from_epsg(epsg).to_wkt())
     with open(base + ".cpg", "w") as cpg:
         cpg.write(encoding.upper())
+
+
+def append_shapefile(df: DataFrame, path: str,
+                     encoding: str | None = None) -> None:
+    """Append rows to an EXISTING shapefile in place — the reference's
+    ``fiona.open(..., 'a')`` on an ESRI Shapefile ("raw" capability,
+    `fiona/drvsupport.py:53`).
+
+    Extends ``.shp``/``.shx``/``.dbf`` without rewriting existing
+    records: new geometry records continue the 1-based record
+    numbering, the ``.shx`` index grows in step, the headers' file
+    lengths and global bbox are patched, and the dbf record count is
+    updated (records insert before the 0x1A terminator).  Appended
+    attribute values are formatted against the EXISTING field
+    descriptors; geometry must match the file's base shape type
+    (nulls always allowed).  Same driver-serial throughput ceiling as
+    :func:`write_shapefile`.
+    """
+    base, _ = os.path.splitext(path)
+    if not os.path.exists(base + ".shp"):
+        raise DriverError(f"cannot append: no shapefile at {path!r}")
+    with open(base + ".shp", "rb") as fh:
+        shp = bytearray(fh.read())
+    with open(base + ".shx", "rb") as fh:
+        shx = bytearray(fh.read())
+    with open(base + ".dbf", "rb") as fh:
+        dbf = bytearray(fh.read())
+    if encoding is None:
+        if os.path.exists(base + ".cpg"):
+            with open(base + ".cpg") as fh:
+                encoding = fh.read().strip() or "utf-8"
+        else:
+            encoding = "utf-8"
+
+    # existing state: shape type + bbox from the .shp header, record
+    # count from the .shx length, field descriptors from the .dbf
+    shape_type = struct.unpack("<i", shp[32:36])[0]
+    gxmin, gymin, gxmax, gymax = struct.unpack("<4d", shp[36:68])
+    n_existing = (len(shx) - 100) // 8
+    descs = []
+    off = 32
+    while off < len(dbf) and dbf[off] != 0x0D:
+        fd = dbf[off:off + 32]
+        descs.append((fd[:11].split(b"\x00")[0].decode("ascii"),
+                      fd[11:12].decode("ascii"), fd[16], fd[17]))
+        off += 32
+    n_rec_old = struct.unpack("<i", bytes(dbf[4:8]))[0]
+    if dbf and dbf[-1] == 0x1A:                 # strip the terminator
+        del dbf[-1]
+
+    cols_set = set(df.columns)
+    new_shp = bytearray()
+    new_shx = bytearray()
+    new_dbf = bytearray()
+    off_words = len(shp) // 2
+    rec_no = n_existing
+    n_new = 0
+    base_existing = _BASE_OF.get(shape_type, shape_type)
+    for row in df.toLocalIterator():
+        d = row.asDict(recursive=True)
+        gt, rxs, rys = _row_geometry(d, cols_set)
+        body = _encode_record(gt, rxs, rys)
+        st = struct.unpack("<i", body[:4])[0]
+        if st != SHP_NULL:
+            if shape_type == SHP_NULL:
+                shape_type = st
+                base_existing = _BASE_OF.get(st, st)
+            elif _BASE_OF.get(st, st) != base_existing:
+                raise DriverError(
+                    f"append geometry type {st} incompatible with "
+                    f"existing shape type {shape_type}")
+            allx = [x for r in rxs for x in r]
+            ally = [y for r in rys for y in r]
+            gxmin = min(gxmin, *allx); gymin = min(gymin, *ally)
+            gxmax = max(gxmax, *allx); gymax = max(gymax, *ally)
+        rec_no += 1
+        n_new += 1
+        new_shp += struct.pack(">2i", rec_no, len(body) // 2) + body
+        new_shx += struct.pack(">2i", off_words, len(body) // 2)
+        off_words += 4 + len(body) // 2
+        rec = b" "
+        for name, ftype, flen, fdec in descs:
+            rec += _dbf_value_bytes(d.get(name), name, ftype, flen,
+                                    fdec, encoding)
+        new_dbf += rec
+
+    # patch headers: big-endian 16-bit-word file lengths + bbox
+    shp += new_shp
+    shx += new_shx
+    shp[24:28] = struct.pack(">i", len(shp) // 2)
+    shx[24:28] = struct.pack(">i", len(shx) // 2)
+    for buf in (shp, shx):
+        buf[36:68] = struct.pack("<4d", gxmin, gymin, gxmax, gymax)
+        buf[32:36] = struct.pack("<i", shape_type)
+    dbf[4:8] = struct.pack("<i", n_rec_old + n_new)
+    dbf += new_dbf + b"\x1a"
+    for suffix, buf in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
+        tmp = base + suffix + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(buf)
+        os.replace(tmp, base + suffix)

@@ -900,3 +900,199 @@ def test_listlayers_multilayer_formats(spark, zones, tmp_path):
     assert catalog.listlayers(p) == ["zones"]
     if os.path.exists(REF_GPX):
         assert "track_points" in catalog.listlayers(REF_GPX)
+
+
+# ---------------------------------------------------------------------------
+# r5: GML/GPX/KML writers + shapefile append (reference registers all
+# three XML formats "rw" and shapefile "raw" — drvsupport.py:53,69,76)
+# ---------------------------------------------------------------------------
+
+_MIXED_SCHEMA = ("fid long, geom_type string, "
+                 "rings_xs array<array<double>>, "
+                 "rings_ys array<array<double>>, name string, v string")
+
+
+def _mixed_geoms(spark):
+    rows = [
+        (0, "Point", [[1.5]], [[2.5]], "pt", "10"),
+        (1, "LineString", [[0.0, 3.25, 7.125]], [[0.0, 1.0, -2.0]],
+         "ln", "11"),
+        (2, "MultiLineString", [[0.0, 1.0], [5.0, 6.0, 7.0]],
+         [[0.5, 1.5], [5.5, 6.5, 7.5]], "mls", None),
+        (3, "Polygon",
+         [[0.0, 10.0, 10.0, 0.0, 0.0], [2.0, 5.0, 5.0, 2.0, 2.0]],
+         [[0.0, 0.0, 10.0, 10.0, 0.0], [2.0, 2.0, 5.0, 5.0, 2.0]],
+         "poly&hole", "13"),
+        (4, "MultiPolygon",
+         [[20.0, 24.0, 24.0, 20.0, 20.0], [30.0, 34.0, 34.0, 30.0, 30.0]],
+         [[0.0, 0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0]],
+         "mp", "14"),
+        (5, "MultiPoint", [[40.0, 41.0, 42.0]], [[1.0, 2.0, 3.0]],
+         "mpt", "15"),
+    ]
+    return spark.createDataFrame(rows, _MIXED_SCHEMA)
+
+
+def _assert_geoms_roundtrip(back_rows, src_rows):
+    by_name = {r["name"]: r for r in back_rows}
+    for s in src_rows:
+        r = by_name[s["name"]]
+        assert r["geom_type"] == s["geom_type"]
+        assert len(r["rings_xs"]) == len(s["rings_xs"])
+        # ring multisets equal bit-exactly (MultiPolygon nesting
+        # reconstruction may reorder parts)
+        got = sorted(tuple(zip(rx, ry)) for rx, ry
+                     in zip(r["rings_xs"], r["rings_ys"]))
+        want = sorted(tuple(zip(rx, ry)) for rx, ry
+                      in zip(s["rings_xs"], s["rings_ys"]))
+        assert got == want
+
+
+def test_gml_write_roundtrip(spark, tmp_path):
+    from fiona_spark.sources import gml
+    src = _mixed_geoms(spark)
+    p = str(tmp_path / "mixed.gml")
+    gml.write_gml(src, p)
+    back = gml.read_gml(spark, p).collect()
+    _assert_geoms_roundtrip(back, src.collect())
+    by_name = {r["name"]: r for r in back}
+    assert by_name["pt"]["v"] == "10"           # XML escape round-trip
+    assert "poly&hole" in by_name
+
+
+def test_gml_write_reference_multicurve_replay(spark, tmp_path):
+    """Read the reference's own multicurve.gml, write it with the new
+    sink, re-read: linearized geometry survives bit-exactly."""
+    from fiona_spark.sources import gml
+    ref = "/root/reference/tests/data/multicurve.gml"
+    src = gml.read_gml(spark, ref)
+    p = str(tmp_path / "mc.gml")
+    gml.write_gml(src.select("fid", "geom_type", "rings_xs", "rings_ys"), p)
+    back = gml.read_gml(spark, p).collect()
+    s0 = src.collect()[0]
+    b0 = back[0]
+    assert b0["geom_type"] == s0["geom_type"] == "MultiLineString"
+    assert b0["rings_xs"] == s0["rings_xs"]
+    assert b0["rings_ys"] == s0["rings_ys"]
+
+
+def test_gpx_write_roundtrip_layers(spark, tmp_path):
+    from fiona_spark.sources import gpx
+    rows = [
+        (0, "Point", [[7.5]], [[45.25]], "wp1"),
+        (1, "LineString", [[1.0, 2.0, 3.0]], [[4.0, 5.0, 6.0]], "r1"),
+        (2, "MultiLineString", [[10.0, 11.0], [12.0, 13.0]],
+         [[20.0, 21.0], [22.0, 23.0]], "t1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "fid long, geom_type string, rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, name string")
+    p = str(tmp_path / "rt.gpx")
+    gpx.write_gpx(df, p)
+    wpt = gpx.read_gpx(spark, p, "waypoints").first()
+    assert wpt["rings_xs"] == [[7.5]] and wpt["name"] == "wp1"
+    rte = gpx.read_gpx(spark, p, "routes").first()
+    assert rte["geom_type"] == "LineString"
+    assert rte["rings_xs"] == [[1.0, 2.0, 3.0]] and rte["name"] == "r1"
+    trk = gpx.read_gpx(spark, p, "tracks").first()
+    assert trk["geom_type"] == "MultiLineString"
+    assert trk["rings_xs"] == [[10.0, 11.0], [12.0, 13.0]]
+    tp = gpx.read_gpx(spark, p, "track_points").collect()
+    assert [(r["track_seg_id"]) for r in tp] == [0, 0, 1, 1]
+
+
+def test_gpx_write_reference_track_replay(spark, tmp_path):
+    from fiona_spark.sources import gpx
+    src = gpx.read_gpx(spark, REF_GPX, "tracks")
+    p = str(tmp_path / "ref_rt.gpx")
+    gpx.write_gpx(src.select("fid", "geom_type", "rings_xs", "rings_ys",
+                             "name"), p)
+    back = gpx.read_gpx(spark, p, "tracks").collect()
+    s = src.collect()
+    assert len(back) == len(s)
+    for b0, s0 in zip(back, s):
+        assert b0["rings_xs"] == s0["rings_xs"]
+        assert b0["rings_ys"] == s0["rings_ys"]
+        assert b0["name"] == s0["name"]
+
+
+def test_kml_write_roundtrip(spark, tmp_path):
+    from fiona_spark.sources import kml
+    src = _mixed_geoms(spark)
+    p = str(tmp_path / "mixed.kml")
+    kml.write_kml(src, p)
+    back = kml.read_kml(spark, p).collect()
+    _assert_geoms_roundtrip(back, src.collect())
+    by_name = {r["name"]: r for r in back}
+    # non-name/description props travel through ExtendedData as strings
+    assert by_name["ln"]["v"] == "11"
+
+
+def test_driver_registry_modes_r5():
+    from fiona_spark.sources import drivers
+    caps = drivers.supported_drivers()
+    assert caps["shapefile"] == "raw"
+    assert caps["gml"] == "rw" and caps["gpx"] == "rw" and caps["kml"] == "rw"
+    drivers.check_mode("shapefile", "a")
+    drivers.check_mode("gml", "w")
+
+
+def test_shapefile_append_equals_write_once(spark, tmp_path):
+    """write(first half) + append(second half) must byte-equal
+    write(all rows) on re-read: geometry, attributes, record numbering,
+    .shx growth, bbox union, sidecars intact."""
+    import os as _os
+
+    import numpy as np
+    from fiona_spark.sources import drivers, shapefile
+    rng = np.random.default_rng(505)
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(3, 7))
+        xs = [float(v) for v in rng.uniform(-170, 170, n)]
+        ys = [float(v) for v in rng.uniform(-80, 80, n)]
+        rows.append(("Polygon", [xs + [xs[0]]], [ys + [ys[0]]],
+                     f"f{i}", i * 3))
+    schema = ("geom_type string, rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, name string, k long")
+    df_all = spark.createDataFrame(rows, schema)
+    df_a = spark.createDataFrame(rows[:12], schema)
+    df_b = spark.createDataFrame(rows[12:], schema)
+
+    p_once = str(tmp_path / "once.shp")
+    shapefile.write_shapefile(df_all, p_once)
+    p_app = str(tmp_path / "app.shp")
+    shapefile.write_shapefile(df_a, p_app)
+    drivers.write_dataset(df_b, p_app, mode="a")   # through the registry
+
+    once = shapefile.read_shapefile(spark, p_once).orderBy("fid").collect()
+    app = shapefile.read_shapefile(spark, p_app).orderBy("fid").collect()
+    assert len(app) == len(once) == 20
+    for r1, r2 in zip(once, app):
+        assert r1["rings_xs"] == r2["rings_xs"]
+        assert r1["rings_ys"] == r2["rings_ys"]
+        assert r1["name"] == r2["name"] and r1["k"] == r2["k"]
+    # .shx tracks all 20 records; bbox headers match; sidecars remain
+    assert _os.path.getsize(p_app.replace(".shp", ".shx")) == 100 + 8 * 20
+    with open(p_once, "rb") as fh1, open(p_app, "rb") as fh2:
+        assert fh1.read(100)[24:] == fh2.read(100)[24:]
+    assert _os.path.exists(p_app.replace(".shp", ".prj"))
+    assert _os.path.exists(p_app.replace(".shp", ".cpg"))
+
+
+def test_shapefile_append_type_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import shapefile
+    poly = spark.createDataFrame(
+        [("Polygon", [[0.0, 1.0, 1.0, 0.0]], [[0.0, 0.0, 1.0, 0.0]])],
+        "geom_type string, rings_xs array<array<double>>, "
+        "rings_ys array<array<double>>")
+    pt = spark.createDataFrame(
+        [("Point", [[5.0]], [[6.0]])],
+        "geom_type string, rings_xs array<array<double>>, "
+        "rings_ys array<array<double>>")
+    p = str(tmp_path / "mismatch.shp")
+    shapefile.write_shapefile(poly, p)
+    with _pytest.raises(DriverError, match="incompatible"):
+        shapefile.append_shapefile(pt, p)
