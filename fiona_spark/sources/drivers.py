@@ -56,6 +56,7 @@ _EXT_TO_DRIVER = {
     ".parquet": "parquet", ".pq": "parquet",
     ".orc": "orc",
     ".topojson": "topojson",
+    ".fgb": "flatgeobuf",
     ".gpkg": "geopackage",
     ".shp": "shapefile",
     ".gml": "gml",
@@ -267,6 +268,16 @@ def _write_kml(df, path, **opts):
     kml.write_kml(df, path, **opts)
 
 
+def _read_fgb(spark, path, **opts):
+    from . import flatgeobuf
+    return flatgeobuf.read_flatgeobuf(spark, path)
+
+
+def _write_fgb(df, path, **opts):
+    from . import flatgeobuf
+    flatgeobuf.write_flatgeobuf(df, path, **opts)
+
+
 def _read_gpx(spark, path, layer="waypoints", **opts):
     from . import gpx
     return gpx.read_gpx(spark, path, layer)
@@ -315,6 +326,7 @@ register_driver("shapefile", _read_shp, _write_shp, "raw")
 register_driver("gml", _read_gml, _write_gml, "rw")
 register_driver("gpx", _read_gpx, _write_gpx, "rw")
 register_driver("kml", _read_kml, _write_kml, "rw")
+register_driver("flatgeobuf", _read_fgb, _write_fgb, "rw")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

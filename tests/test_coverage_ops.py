@@ -122,8 +122,9 @@ def test_driver_from_extension_and_unknown():
     assert drivers.driver_from_extension("/x/y.parquet") == "parquet"
     from fiona_spark.errors import DriverError
     assert drivers.driver_from_extension("/x/y.shp") == "shapefile"  # r4
+    assert drivers.driver_from_extension("/x/y.fgb") == "flatgeobuf"  # r5
     with pytest.raises(DriverError):
-        drivers.driver_from_extension("/x/y.fgb")
+        drivers.driver_from_extension("/x/y.nc")
     assert "csv" in drivers.supported_drivers()
 
 
@@ -226,7 +227,7 @@ def test_driver_mode_gating(spark, tmp_path):
     with pytest.raises(DriverError, match="unsupported mode 'a'"):
         drivers.check_mode("geojson", "a")
     with pytest.raises(DriverError, match="unsupported driver"):
-        drivers.check_mode("flatgeobuf", "r")
+        drivers.check_mode("netcdf", "r")
     with pytest.raises(DriverError, match="unsupported mode"):
         drivers.check_mode("csv", "x")
     # append actually appends for an 'a'-capable driver

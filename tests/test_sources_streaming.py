@@ -1096,3 +1096,96 @@ def test_shapefile_append_type_mismatch_raises(spark, tmp_path):
     shapefile.write_shapefile(poly, p)
     with _pytest.raises(DriverError, match="incompatible"):
         shapefile.append_shapefile(pt, p)
+
+
+# ---------------------------------------------------------------------------
+# r5: FlatGeobuf driver (reference drvsupport.py:55 — public spec,
+# flatbuffers wire format implemented struct-level, no GDAL)
+# ---------------------------------------------------------------------------
+
+def test_flatgeobuf_roundtrip_mixed_geoms(spark, tmp_path):
+    from fiona_spark.sources import flatgeobuf
+    src = _mixed_geoms(spark)
+    p = str(tmp_path / "mixed.fgb")
+    flatgeobuf.write_flatgeobuf(src, p)
+    back = flatgeobuf.read_flatgeobuf(spark, p).collect()
+    _assert_geoms_roundtrip(back, src.collect())
+    by_name = {r["name"]: r for r in back}
+    assert by_name["pt"]["v"] == "10"
+    assert by_name["mls"]["v"] is None          # null property round-trip
+
+
+def test_flatgeobuf_typed_properties_and_registry(spark, tmp_path):
+    from fiona_spark.sources import drivers
+    rows = [(0, "Point", [[1.25]], [[2.5]], "a", 7, 0.125, True),
+            (1, "Point", [[3.0]], [[4.0]], "b", -9, 1e300, False)]
+    df = spark.createDataFrame(
+        rows, "fid long, geom_type string, "
+              "rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, "
+              "name string, k long, v double, ok boolean")
+    p = str(tmp_path / "typed.fgb")
+    # through the registry: extension inference + mode gating
+    assert drivers.driver_from_extension(p) == "flatgeobuf"
+    drivers.write_dataset(df, p)
+    back = drivers.open_dataset(spark, p).orderBy("fid").collect()
+    assert [r["k"] for r in back] == [7, -9]
+    assert [r["v"] for r in back] == [0.125, 1e300]     # bit-exact f8
+    assert [r["ok"] for r in back] == [True, False]
+    assert back[0]["rings_xs"] == [[1.25]]
+    caps = drivers.supported_drivers()
+    assert caps["flatgeobuf"] == "rw"
+
+
+def test_flatgeobuf_fuzz_roundtrip(spark, tmp_path):
+    """40 random polygons/lines through write->read: coordinates are
+    straight <f8 copies both ways, so bit-exact."""
+    import numpy as np
+    from fiona_spark.sources import flatgeobuf
+    rng = np.random.default_rng(909)
+    rows = []
+    for i in range(40):
+        if i % 4 == 3:
+            n = int(rng.integers(2, 8))
+            rows.append((i, "LineString",
+                         [[float(v) for v in rng.uniform(-180, 180, n)]],
+                         [[float(v) for v in rng.uniform(-90, 90, n)]],
+                         f"l{i}"))
+        else:
+            rings = int(rng.integers(1, 4))
+            rxs, rys = [], []
+            for _ in range(rings):
+                n = int(rng.integers(3, 9))
+                xs = [float(v) for v in rng.uniform(-180, 180, n)]
+                ys = [float(v) for v in rng.uniform(-90, 90, n)]
+                rxs.append(xs + [xs[0]]); rys.append(ys + [ys[0]])
+            rows.append((i, "Polygon", rxs, rys, f"p{i}"))
+    df = spark.createDataFrame(
+        rows, "fid long, geom_type string, "
+              "rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>, name string")
+    from fiona_spark.sources.flatgeobuf import (read_flatgeobuf,
+                                                write_flatgeobuf)
+    p = str(tmp_path / "fuzz.fgb")
+    write_flatgeobuf(df, p)
+    back = read_flatgeobuf(spark, p).orderBy("fid").collect()
+    src = df.collect()
+    assert len(back) == 40
+    for r, s_ in zip(back, src):
+        assert r["geom_type"] == s_["geom_type"]
+        assert r["rings_xs"] == s_["rings_xs"]
+        assert r["rings_ys"] == s_["rings_ys"]
+        assert r["name"] == s_["name"]
+
+
+def test_flatgeobuf_index_skip():
+    """Packed Hilbert R-tree sizing (spec packedrtree 40-byte nodes):
+    the reader must skip exactly this many bytes when a GDAL-written
+    file carries an index."""
+    from fiona_spark.sources.flatgeobuf import _index_size
+    assert _index_size(0, 16) == 0
+    assert _index_size(10, 0) == 0              # unindexed (our writer)
+    assert _index_size(1, 16) == (1 + 1) * 40
+    assert _index_size(16, 16) == (16 + 1) * 40
+    assert _index_size(17, 16) == (17 + 2 + 1) * 40
+    assert _index_size(256, 16) == (256 + 16 + 1) * 40
