@@ -36,6 +36,9 @@ def listlayers(path: str) -> list[str]:
     if low.endswith(".gpx"):
         from .gpx import LAYERS
         return list(LAYERS)
+    if low.rstrip("/").endswith(".gdb"):
+        from .openfilegdb import listlayers_gdb
+        return listlayers_gdb(path)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

@@ -57,6 +57,7 @@ _EXT_TO_DRIVER = {
     ".orc": "orc",
     ".topojson": "topojson",
     ".fgb": "flatgeobuf",
+    ".gdb": "openfilegdb",
     ".gpkg": "geopackage",
     ".shp": "shapefile",
     ".gml": "gml",
@@ -268,6 +269,11 @@ def _write_kml(df, path, **opts):
     kml.write_kml(df, path, **opts)
 
 
+def _read_gdb(spark, path, layer=None, **opts):
+    from . import openfilegdb
+    return openfilegdb.read_openfilegdb(spark, path, layer)
+
+
 def _read_fgb(spark, path, **opts):
     from . import flatgeobuf
     return flatgeobuf.read_flatgeobuf(spark, path)
@@ -327,6 +333,7 @@ register_driver("gml", _read_gml, _write_gml, "rw")
 register_driver("gpx", _read_gpx, _write_gpx, "rw")
 register_driver("kml", _read_kml, _write_kml, "rw")
 register_driver("flatgeobuf", _read_fgb, _write_fgb, "rw")
+register_driver("openfilegdb", _read_gdb, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 

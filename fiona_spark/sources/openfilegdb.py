@@ -1,0 +1,399 @@
+"""OpenFileGDB source — read-only reference parity for the
+OpenFileGDB driver (`fiona/drvsupport.py:47` registers it "raw"; this
+engine implements the read side, like GDAL's OpenFileGDB vs ESRI's
+closed write SDK), implemented directly on the publicly documented
+ESRI File Geodatabase format (the reverse-engineered FGDB spec,
+github.com/rouault/dump_gdbtable/wiki/FGDB-Spec): no GDAL.
+
+Layout per table ``a%08x.gdbtable``: 40-byte header (int32 magic=3,
+int32 row count, ..., int64 offset of the field-descriptor section),
+a field section (utf-16 names, per-type descriptors — the geometry
+field carries the SRS WKT, the coordinate quantization grid
+xorigin/yorigin/xyscale, and an extent block whose zmin/zmax/mmin/mmax
+presence is unreliable, so it is disambiguated by locating the
+trailing grid-size block, the same heuristic GDAL applies), then rows
+located by the ``a%08x.gdbtablx`` index (int32-ish offsets,
+``size_tablx`` bytes each; 0 = deleted).  Each row: int32 size, a
+null bitmap over the NULLABLE fields (LSB-first), then values in
+declaration order.  Geometry blobs are varint-packed: a shape-type
+varuint (extended shapefile enum — Z/M variants parse-then-drop, the
+WKB codec's convention), counts, a scaled bbox, then per-vertex
+sign-bit varint deltas of ``round((coord - origin) * xyscale)``.
+
+Table ``a00000001`` is GDB_SystemCatalog: (Name, FileFormat) rows
+whose 1-based row id IS the table file number — that's both
+``listlayers`` and the layer-name -> file resolution.
+
+Spark shape: the driver parses the catalog + field section and slices
+per-row byte blobs via the .gdbtablx offsets (cheap); the per-row
+GEOMETRY + PROPERTY decode runs DISTRIBUTED in one ``mapInPandas``
+over the blob column — the shapefile/GeoPackage/FlatGeobuf blob
+convention.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import struct
+import uuid as _uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..errors import DriverError
+
+FT_INT16, FT_INT32, FT_FLOAT32, FT_FLOAT64, FT_STRING = 0, 1, 2, 3, 4
+FT_DATETIME, FT_OBJECTID, FT_GEOMETRY, FT_BINARY, FT_RASTER = 5, 6, 7, 8, 9
+FT_UUID, FT_GLOBALID, FT_XML = 10, 11, 12
+
+_FT_SPARK = {FT_INT16: "int", FT_INT32: "int", FT_FLOAT32: "float",
+             FT_FLOAT64: "double", FT_STRING: "string",
+             FT_DATETIME: "string", FT_OBJECTID: "long",
+             FT_BINARY: "binary", FT_UUID: "string",
+             FT_GLOBALID: "string", FT_XML: "string"}
+
+# extended shapefile enum inside geometry blobs -> (name, has_z, has_m)
+_SHAPES = {0: (None, False, False),
+           1: ("Point", False, False), 21: ("Point", False, True),
+           9: ("Point", True, False), 11: ("Point", True, True),
+           8: ("MultiPoint", False, False),
+           28: ("MultiPoint", False, True), 20: ("MultiPoint", True, False),
+           18: ("MultiPoint", True, True),
+           3: ("MultiLineString", False, False),
+           23: ("MultiLineString", False, True),
+           10: ("MultiLineString", True, False),
+           13: ("MultiLineString", True, True),
+           5: ("Polygon", False, False), 25: ("Polygon", False, True),
+           19: ("Polygon", True, False), 15: ("Polygon", True, True),
+           50: ("MultiLineString", None, None),   # general: flags in bits
+           51: ("Polygon", None, None),
+           52: ("Point", None, None),
+           53: ("MultiPoint", None, None)}
+
+
+def _varuint(b, p):
+    r = 0
+    s = 0
+    while True:
+        x = b[p]
+        p += 1
+        r |= (x & 0x7F) << s
+        if not x & 0x80:
+            return r, p
+        s += 7
+
+
+def _varint(b, p):
+    """FGDB signed varint: bit 6 of the FIRST byte is the sign."""
+    x = b[p]
+    p += 1
+    neg = bool(x & 0x40)
+    r = x & 0x3F
+    s = 6
+    while x & 0x80:
+        x = b[p]
+        p += 1
+        r |= (x & 0x7F) << s
+        s += 7
+    return (-r if neg else r), p
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+def _gdb_dir(path: str) -> str:
+    if not os.path.isdir(path):
+        raise DriverError(f"no FileGDB directory at {path!r}")
+    return path
+
+
+def _catalog(path: str) -> dict[int, str]:
+    """GDB_SystemCatalog rows: 1-based row id -> table name."""
+    d = _read(path, 1, ".gdbtable")
+    dx = _read(path, 1, ".gdbtablx")
+    names = {}
+    for rid, o in _row_offsets(dx):
+        # catalog row: no null bitmap (no nullable fields),
+        # varuint name length + utf8 name (+ int32 FileFormat)
+        ln, p = _varuint(d, o + 4)
+        names[rid] = d[p:p + ln].decode("utf-8")
+    return names
+
+
+def _read(path: str, table_no: int, ext: str) -> bytes:
+    f = os.path.join(_gdb_dir(path), f"a{table_no:08x}{ext}")
+    if not os.path.exists(f):
+        raise DriverError(f"missing {f!r}")
+    with open(f, "rb") as fh:
+        return fh.read()
+
+
+def _row_offsets(tablx: bytes):
+    """-> iterable of (1-based row id, .gdbtable offset), skipping
+    deleted rows (offset 0)."""
+    n_rows = struct.unpack("<i", tablx[8:12])[0]
+    osz = struct.unpack("<i", tablx[12:16])[0]
+    for i in range(n_rows):
+        o = int.from_bytes(tablx[16 + i * osz:16 + (i + 1) * osz], "little")
+        if o:
+            yield i + 1, o
+
+
+def listlayers_gdb(path: str) -> list[str]:
+    """User layers of a .gdb (catalog names minus GDB_* system
+    tables), in catalog order."""
+    return [n for _i, n in sorted(_catalog(path).items())
+            if not n.startswith("GDB_")]
+
+
+# ---------------------------------------------------------------------------
+# field descriptors
+# ---------------------------------------------------------------------------
+
+def _parse_fields(d: bytes):
+    """-> (layer_geom_type_byte, fields) where each field is a dict
+    (name, ftype, nullable, geom params for the geometry field)."""
+    fdo = struct.unpack("<q", d[32:40])[0]
+    sec_size = struct.unpack("<i", d[fdo:fdo + 4])[0]
+    end = fdo + 4 + sec_size
+    p = fdo + 8
+    layer_geom = d[p]
+    p += 4
+    nfields = struct.unpack("<h", d[p:p + 2])[0]
+    p += 2
+    fields = []
+    for _ in range(nfields):
+        nlen = d[p]; p += 1
+        name = d[p:p + 2 * nlen].decode("utf-16-le"); p += 2 * nlen
+        alen = d[p]; p += 1
+        p += 2 * alen                                  # alias, unused
+        ft = d[p]; p += 1
+        fld = {"name": name, "ftype": ft, "nullable": False}
+        if ft == FT_OBJECTID:
+            p += 2
+        elif ft == FT_GEOMETRY:
+            p += 1                                     # unknown byte
+            flag = d[p]; p += 1
+            fld["nullable"] = bool(flag & 1)
+            sl = struct.unpack("<h", d[p:p + 2])[0]; p += 2
+            fld["srs"] = d[p:p + sl].decode("utf-16-le"); p += sl
+            p += 1                                     # z/m flags byte
+            vals = struct.unpack("<10d", d[p:p + 80]); p += 80
+            fld.update(xorigin=vals[0], yorigin=vals[1], xyscale=vals[2],
+                       morigin=vals[3], mscale=vals[4],
+                       zorigin=vals[5], zscale=vals[6])
+            # extent: 4, 6 or 8 doubles; the z/m min/max presence is
+            # unreliable, so locate the trailing grid block instead
+            # (byte 0x00 + int32 grid count in [1..3] + that many
+            # doubles) — the same disambiguation GDAL applies
+            for k in (4, 6, 8, 0):
+                pc = p + 8 * k
+                if pc + 5 > end or d[pc] != 0:
+                    continue
+                ng = struct.unpack("<i", d[pc + 1:pc + 5])[0]
+                if 1 <= ng <= 3 and pc + 5 + 8 * ng <= end:
+                    p = pc + 5 + 8 * ng
+                    break
+            else:
+                raise DriverError(
+                    f"cannot locate geometry grid block for {name!r}")
+        elif ft == FT_STRING:
+            fld["width"] = struct.unpack("<i", d[p:p + 4])[0]; p += 4
+            flag = d[p]; p += 1
+            fld["nullable"] = bool(flag & 1)
+            if flag & 4:
+                dl, p = _varuint(d, p)
+                p += dl
+        elif ft in (FT_BINARY, FT_RASTER, FT_UUID, FT_GLOBALID, FT_XML):
+            p += 1                                     # width byte
+            flag = d[p]; p += 1
+            fld["nullable"] = bool(flag & 1)
+        else:                                          # fixed scalars
+            fld["width"] = d[p]; p += 1
+            flag = d[p]; p += 1
+            fld["nullable"] = bool(flag & 1)
+            if flag & 4:
+                dl = d[p]
+                p += 1 + dl
+        fields.append(fld)
+    return layer_geom, fields
+
+
+# ---------------------------------------------------------------------------
+# row / geometry decode (runs on executors)
+# ---------------------------------------------------------------------------
+
+_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _decode_geometry(blob: bytes, gp: dict):
+    st, p = _varuint(blob, 0)
+    base = st & 0xFF
+    if base not in _SHAPES:
+        return None, None, None
+    name, has_z, has_m = _SHAPES[base]
+    if name is None:
+        return None, None, None
+    if has_z is None:                      # general type: flags in bits
+        has_z = bool(st & 0x80000000)
+        has_m = bool(st & 0x40000000)
+    xo, yo, sc = gp["xorigin"], gp["yorigin"], gp["xyscale"]
+    if name == "Point":
+        xr, p = _varuint(blob, p)
+        if xr == 0:                        # empty point sentinel
+            return name, [], []
+        yr, p = _varuint(blob, p)
+        return name, [[(xr - 1) / sc + xo]], [[(yr - 1) / sc + yo]]
+    npts, p = _varuint(blob, p)
+    if npts == 0:
+        return name, [], []
+    if name == "MultiPoint":
+        nparts, parts = 1, [npts]
+    else:
+        nparts, p = _varuint(blob, p)
+        parts = []
+    for _ in range(4):                     # scaled bbox, recomputable
+        _v, p = _varuint(blob, p)
+    if name != "MultiPoint":
+        tot = 0
+        for _ in range(nparts - 1):
+            v, p = _varuint(blob, p)
+            parts.append(v)
+            tot += v
+        parts.append(npts - tot)
+    cx = cy = 0
+    xs = np.empty(npts)
+    ys = np.empty(npts)
+    for i in range(npts):
+        dxv, p = _varint(blob, p)
+        dyv, p = _varint(blob, p)
+        cx += dxv
+        cy += dyv
+        xs[i] = cx / sc + xo
+        ys[i] = cy / sc + yo
+    # z/m payloads trail the xy deltas and are dropped (the WKB
+    # codec's parse-then-drop convention) — nothing to consume since
+    # the blob length bounds the read
+    if name == "MultiPoint":
+        return name, [xs.tolist()], [ys.tolist()]
+    bounds = np.cumsum([0] + parts)
+    rxs = [xs[bounds[i]:bounds[i + 1]].tolist() for i in range(nparts)]
+    rys = [ys[bounds[i]:bounds[i + 1]].tolist() for i in range(nparts)]
+    return name, rxs, rys
+
+
+def _decode_row(body: bytes, fid: int, fields: list) -> dict:
+    nullable = [f for f in fields if f["nullable"]]
+    nb = (len(nullable) + 7) // 8
+    bitmap = body[:nb]
+    p = nb
+    out = {}
+    ni = 0
+    geom = (None, None, None)
+    for f in fields:
+        ft = f["ftype"]
+        if ft == FT_OBJECTID:
+            out[f["name"]] = fid
+            continue
+        if f["nullable"]:
+            is_null = bool(bitmap[ni // 8] >> (ni % 8) & 1)
+            ni += 1
+            if is_null:
+                if ft != FT_GEOMETRY:
+                    out[f["name"]] = None
+                continue
+        if ft == FT_GEOMETRY:
+            ln, p = _varuint(body, p)
+            geom = _decode_geometry(body[p:p + ln], f)
+            p += ln
+        elif ft == FT_INT16:
+            out[f["name"]] = struct.unpack_from("<h", body, p)[0]; p += 2
+        elif ft == FT_INT32:
+            out[f["name"]] = struct.unpack_from("<i", body, p)[0]; p += 4
+        elif ft == FT_FLOAT32:
+            out[f["name"]] = struct.unpack_from("<f", body, p)[0]; p += 4
+        elif ft == FT_FLOAT64:
+            out[f["name"]] = struct.unpack_from("<d", body, p)[0]; p += 8
+        elif ft == FT_DATETIME:
+            days = struct.unpack_from("<d", body, p)[0]; p += 8
+            out[f["name"]] = (_EPOCH + _dt.timedelta(days=days)) \
+                .strftime("%Y-%m-%dT%H:%M:%S")
+        elif ft in (FT_STRING, FT_XML):
+            ln, p = _varuint(body, p)
+            out[f["name"]] = body[p:p + ln].decode("utf-8"); p += ln
+        elif ft == FT_BINARY:
+            ln, p = _varuint(body, p)
+            out[f["name"]] = bytes(body[p:p + ln]); p += ln
+        elif ft in (FT_UUID, FT_GLOBALID):
+            out[f["name"]] = "{%s}" % str(
+                _uuid.UUID(bytes_le=bytes(body[p:p + 16]))).upper()
+            p += 16
+        else:
+            raise DriverError(f"unsupported field type {ft}")
+    out["geom_type"], out["rings_xs"], out["rings_ys"] = geom
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def read_openfilegdb(spark, path: str, layer: str | None = None) -> DataFrame:
+    """Open one layer of an ESRI File Geodatabase directory as a
+    ring-model DataFrame: (fid, properties..., geom_type, rings_xs,
+    rings_ys, xs, ys, envelope).  ``layer=None`` opens the first user
+    layer.  Z/M coordinates parse-then-drop; multipatch rows decode to
+    null geometry."""
+    cat = _catalog(path)
+    by_name = {n: i for i, n in cat.items()}
+    if layer is None:
+        users = listlayers_gdb(path)
+        if not users:
+            raise DriverError(f"no user layers in {path!r}")
+        layer = users[0]
+    if layer not in by_name:
+        raise DriverError(
+            f"no layer {layer!r} in {path!r} (have {listlayers_gdb(path)})")
+    tno = by_name[layer]
+    d = _read(path, tno, ".gdbtable")
+    dx = _read(path, tno, ".gdbtablx")
+    _layer_geom, fields = _parse_fields(d)
+
+    rows = []
+    for rid, o in _row_offsets(dx):
+        size = struct.unpack("<i", d[o:o + 4])[0]
+        rows.append((rid, d[o + 4:o + 4 + size]))
+    pdf = pd.DataFrame({"fid": np.array([r[0] for r in rows], np.int64),
+                        "gdb0body": [r[1] for r in rows]})
+    src = spark.createDataFrame(pdf)
+    prop_cols = [(f["name"], _FT_SPARK[f["ftype"]]) for f in fields
+                 if f["ftype"] != FT_GEOMETRY]
+    out_schema = ("fid bigint, "
+                  + "".join(f"`{n}` {t}, " for n, t in prop_cols)
+                  + "geom_type string, rings_xs array<array<double>>, "
+                    "rings_ys array<array<double>>")
+
+    def run(batches):
+        for b in batches:
+            recs = []
+            for rec_in in b.to_dict("records"):
+                rec = _decode_row(rec_in["gdb0body"], rec_in["fid"], fields)
+                rec["fid"] = rec_in["fid"]
+                recs.append(rec)
+            yield pd.DataFrame(recs)
+
+    out = src.mapInPandas(run, out_schema)
+    return (out
+            .withColumn("xs", F.expr("rings_xs[0]"))
+            .withColumn("ys", F.expr("rings_ys[0]"))
+            .withColumn("xmin", F.array_min(F.expr(
+                "transform(rings_xs, r -> array_min(r))")))
+            .withColumn("ymin", F.array_min(F.expr(
+                "transform(rings_ys, r -> array_min(r))")))
+            .withColumn("xmax", F.array_max(F.expr(
+                "transform(rings_xs, r -> array_max(r))")))
+            .withColumn("ymax", F.array_max(F.expr(
+                "transform(rings_ys, r -> array_max(r))"))))
