@@ -35,6 +35,23 @@ _REGISTRY: dict[int, tuple[str, str, str, str]] = {
             "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"),
 }
 
+
+def _ensure_utm(code: int) -> bool:
+    """Populate WGS84 UTM codes on demand: EPSG:32601-32660 (north)
+    and 32701-32760 (south) — the whole family the engine transforms
+    closed-form (geom.to_utm/from_utm Krüger series)."""
+    if code in _REGISTRY:
+        return True
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+        zone = code % 100
+        hemi = "N" if code < 32700 else "S"
+        south = " +south" if hemi == "S" else ""
+        _REGISTRY[code] = (
+            f"WGS 84 / UTM zone {zone}{hemi}", "projected", "metre",
+            f"+proj=utm +zone={zone}{south} +datum=WGS84 +units=m +no_defs")
+        return True
+    return False
+
 _WKT_AUTH = re.compile(
     r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]\s*\]\s*$', re.IGNORECASE)
 _WKT2_ID = re.compile(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$',
@@ -52,7 +69,7 @@ class CRS:
 
     def __init__(self, code: int):
         code = int(code)
-        if code not in _REGISTRY:
+        if not _ensure_utm(code):
             raise CRSError(f"EPSG:{code} is not in the bundled registry")
         object.__setattr__(self, "_code", code)
 
@@ -86,8 +103,13 @@ class CRS:
         if v.upper().startswith("EPSG:"):
             return CRS.from_epsg(int(v.split(":", 1)[1]))
         if v.startswith("+"):   # proj4
+            d = _proj4_dict(v)
+            if d.get("proj") == "utm" and "zone" in d:
+                code = 32600 + int(d["zone"]) + (100 if "south" in d else 0)
+                if _proj4_dict(CRS(code).to_proj4()) == d:
+                    return CRS(code)
             for code, (_n, _k, _u, proj4) in _REGISTRY.items():
-                if _proj4_dict(v) == _proj4_dict(proj4):
+                if d == _proj4_dict(proj4):
                     return CRS(code)
             raise CRSError(f"unrecognized proj4 string {v!r}")
         if "[" in v:            # WKT-ish

@@ -245,21 +245,54 @@ _FORWARD = {("EPSG:4326", "EPSG:6933"): geom.to_6933,
             ("EPSG:3857", "EPSG:4326"): geom.from_3857}
 
 
+def _utm_of(code: str):
+    """'EPSG:326xx'/'EPSG:327xx' -> (zone, north) or None."""
+    if not code.startswith("EPSG:"):
+        return None
+    try:
+        n = int(code.split(":", 1)[1])
+    except ValueError:
+        return None
+    if 32601 <= n <= 32660:
+        return n - 32600, True
+    if 32701 <= n <= 32760:
+        return n - 32700, False
+    return None
+
+
+def _forward_fn(src: str, dst: str):
+    """Direct transform step, or None.  Covers the closed-form pairs
+    plus the whole WGS84 UTM family (geom Krüger series, r5 — the bulk
+    of real projected data the reference reaches via PROJ)."""
+    if (src, dst) in _FORWARD:
+        return _FORWARD[(src, dst)]
+    utm = _utm_of(dst)
+    if utm and src == "EPSG:4326":
+        zone, north = utm
+        return lambda x, y: geom.to_utm(x, y, zone, north)
+    utm = _utm_of(src)
+    if utm and dst == "EPSG:4326":
+        zone, north = utm
+        return lambda x, y: geom.from_utm(x, y, zone, north)
+    return None
+
+
 def transform_udf(src: str, dst: str):
     """Coordinate transform (`fiona/transform.py:11-124` equivalent).
 
-    Closed-form CRS pairs only (4326 <-> 6933/3857) — the projections
-    the reference's own operator set invokes.  Unknown pairs raise, like
+    Closed-form CRS pairs: 4326 <-> 6933/3857 plus the whole WGS84 UTM
+    family (EPSG:32601-32660 / 32701-32760, Krüger series) — and any
+    pair of those composed through 4326.  Unknown pairs raise, like
     Fiona does on an unknown CRS.
     """
     if src == dst:
         fn = lambda x, y: (x, y)  # noqa: E731
-    elif (src, dst) in _FORWARD:
-        fn = _FORWARD[(src, dst)]
+    elif _forward_fn(src, dst) is not None:
+        fn = _forward_fn(src, dst)
     elif src.startswith("EPSG:") and dst.startswith("EPSG:") \
             and ("EPSG:4326" not in (src, dst)):
-        f1 = _FORWARD.get((src, "EPSG:4326"))
-        f2 = _FORWARD.get(("EPSG:4326", dst))
+        f1 = _forward_fn(src, "EPSG:4326")
+        f2 = _forward_fn("EPSG:4326", dst)
         if not (f1 and f2):
             raise ValueError(f"unsupported CRS pair {src} -> {dst}")
         fn = lambda x, y: f2(*f1(x, y))  # noqa: E731
@@ -302,11 +335,11 @@ def transform_geom_udf(src: str, dst: str, antimeridian_cutting: bool = True,
     """
     if src == dst:
         fn = lambda x, y: (x, y)  # noqa: E731
-    elif (src, dst) in _FORWARD:
-        fn = _FORWARD[(src, dst)]
+    elif _forward_fn(src, dst) is not None:
+        fn = _forward_fn(src, dst)
     else:
-        f1 = _FORWARD.get((src, "EPSG:4326"))
-        f2 = _FORWARD.get(("EPSG:4326", dst))
+        f1 = _forward_fn(src, "EPSG:4326")
+        f2 = _forward_fn("EPSG:4326", dst)
         if not (f1 and f2):
             raise ValueError(f"unsupported CRS pair {src} -> {dst}")
         fn = lambda x, y: f2(*f1(x, y))  # noqa: E731

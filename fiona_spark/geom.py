@@ -336,6 +336,113 @@ def from_3857(x, y):
     return lng, lat
 
 
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_S = 10_000_000.0
+
+
+def _tm_coeffs():
+    """Krüger-series coefficients to n^6 for the WGS84 ellipsoid
+    (Karney 2011, "Transverse Mercator with an accuracy of a few
+    nanometers"; the same series PROJ's etmerc/GeographicLib use —
+    the reference reaches these through PROJ,
+    `fiona/_transform.pyx:62-98`)."""
+    n = WGS84_F / (2.0 - WGS84_F)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    A = WGS84_A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+        - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360
+        - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480
+        + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800])
+    delta = np.array([
+        2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45 + 26 * n5 / 45
+        - 2854 * n6 / 675,
+        7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45 + 2704 * n5 / 315
+        + 2323 * n6 / 945,
+        56 * n3 / 15 - 136 * n4 / 35 - 1262 * n5 / 105
+        + 73814 * n6 / 2835,
+        4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
+        4174 * n5 / 315 - 144838 * n6 / 6237,
+        601676 * n6 / 22275])
+    e = np.sqrt(WGS84_F * (2.0 - WGS84_F))
+    return A, alpha, beta, delta, e
+
+
+_TM = _tm_coeffs()
+
+
+def utm_zone_lon0(zone: int) -> float:
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1..60")
+    return -183.0 + 6.0 * zone
+
+
+def to_utm(lng, lat, zone: int, north: bool = True):
+    """EPSG:4326 -> UTM zone (EPSG:326xx north / 327xx south), exact
+    Krüger series on the WGS84 ellipsoid (k0=0.9996, FE=500km,
+    FN=10000km south).  Vectorized numpy; ~nm agreement with PROJ."""
+    A, alpha, _beta, _delta, e = _TM
+    lng = np.asarray(lng, np.float64)
+    lat = np.asarray(lat, np.float64)
+    lam = np.deg2rad(lng - utm_zone_lon0(zone))
+    phi = np.deg2rad(lat)
+    sphi = np.sin(phi)
+    with np.errstate(divide="ignore"):      # poles: arctanh(+-1)=inf,
+        t = np.sinh(np.arctanh(sphi)        # sinh carries it through
+                    - e * np.arctanh(e * sphi))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.hypot(1.0, t))
+    xi_s = xi.copy()
+    eta_s = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_s += alpha[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_s += alpha[j] * np.cos(k * xi) * np.sinh(k * eta)
+    x = _UTM_FE + _UTM_K0 * A * eta_s
+    y = (0.0 if north else _UTM_FN_S) + _UTM_K0 * A * xi_s
+    return x, y
+
+
+def from_utm(x, y, zone: int, north: bool = True):
+    """Inverse UTM -> EPSG:4326 (Krüger series; conformal-to-geodetic
+    latitude via the delta series)."""
+    A, _alpha, beta, delta, _e = _TM
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    xi = (y - (0.0 if north else _UTM_FN_S)) / (_UTM_K0 * A)
+    eta = (x - _UTM_FE) / (_UTM_K0 * A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p -= beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p -= beta[j] * np.cos(k * xi) * np.sinh(k * eta)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+    phi = chi.copy()
+    for j in range(6):
+        phi += delta[j] * np.sin(2.0 * (j + 1) * chi)
+    return (np.rad2deg(lam) + utm_zone_lon0(zone)), np.rad2deg(phi)
+
+
 def cut_antimeridian_bbox(xmin, ymin, xmax, ymax):
     """Split bboxes that wrap past +/-180 into up to two boxes.
 

@@ -164,3 +164,71 @@ def test_cell_parent_matches_recompute_from_coords():
         derived_parent = cells.parent(fine, fine_res - coarse_res)
         recomputed = cells.cell_id(lng, lat, coarse_res)
         assert (derived_parent == recomputed).all()
+
+
+# ---------------------------------------------------------------------------
+# UTM transverse Mercator (r5, verdict ask #5): Krüger series on the
+# WGS84 ellipsoid — the closed-form family covering EPSG:326xx/327xx
+# that the reference reaches via PROJ (fiona/_transform.pyx:62-98).
+# ---------------------------------------------------------------------------
+
+def test_utm_meridian_arc_anchors():
+    """Independent truth anchors: on the central meridian,
+    N = k0 * meridian_arc(lat).  The WGS84 quarter meridian is the
+    published 10001965.7293 m; the 45-deg arc is 4984944.378 m."""
+    from fiona_spark import geom
+    x, y = geom.to_utm(9.0, 90.0, 32)
+    assert abs(float(x) - 500000.0) < 1e-6
+    assert abs(float(y) - 0.9996 * 10001965.7293) < 1e-3
+    x, y = geom.to_utm(9.0, 45.0, 32)
+    assert abs(float(x) - 500000.0) < 1e-6
+    assert abs(float(y) - 0.9996 * 4984944.378) < 5e-2
+    # equator, east-west symmetry about the central meridian
+    x1, _ = geom.to_utm(9.5, 0.0, 32)
+    x2, _ = geom.to_utm(8.5, 0.0, 32)
+    assert abs((float(x1) - 500000.0) - (500000.0 - float(x2))) < 1e-6
+
+
+def test_utm_roundtrip_fuzz_all_zones():
+    from fiona_spark import geom
+    rng = np.random.default_rng(32633)
+    for zone in (1, 18, 32, 33, 60):
+        lon0 = geom.utm_zone_lon0(zone)
+        lng = lon0 + rng.uniform(-4.5, 4.5, 4000)
+        lat = rng.uniform(-84.0, 84.0, 4000)
+        for north in (True, False):
+            x, y = geom.to_utm(lng, lat, zone, north)
+            lng2, lat2 = geom.from_utm(x, y, zone, north)
+            assert np.abs(lng2 - lng).max() < 1e-9   # verdict gate
+            assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_utm_crs_and_transform_udf(spark):
+    from fiona_spark import crs as crsmod
+    from fiona_spark.functions import geometry as gf
+    c = crsmod.CRS.from_epsg(32618)
+    assert c.is_projected and c.name == "WGS 84 / UTM zone 18N"
+    assert crsmod.CRS.from_user_input(
+        "+proj=utm +zone=18 +datum=WGS84 +units=m +no_defs") == c
+    s = crsmod.CRS.from_epsg(32721)
+    assert "21S" in s.name and "+south" in s.to_proj4()
+    with pytest.raises(crsmod.CRSError):
+        crsmod.CRS.from_epsg(32661)        # UPS, not UTM — still out
+
+    df = spark.createDataFrame(
+        [(0, -74.0, 40.7), (1, -75.5, 41.2)], "i long, lng double, lat double")
+    u = gf.transform_udf("EPSG:4326", "EPSG:32618")
+    out = df.select("i", u("lng", "lat").alias("p")).orderBy("i").collect()
+    x0, y0 = out[0]["p"]["x"], out[0]["p"]["y"]
+    # zone 18 central meridian is -75: -74 lands east of 500 km
+    assert 500000.0 < x0 < 700000.0 and 4.4e6 < y0 < 4.6e6
+    back = gf.transform_udf("EPSG:32618", "EPSG:4326")
+    df2 = spark.createDataFrame([(float(x0), float(y0))], "x double, y double")
+    r = df2.select(back("x", "y").alias("p")).first()["p"]
+    assert abs(r["x"] - -74.0) < 1e-9 and abs(r["y"] - 40.7) < 1e-9
+    # composed pair: UTM -> web mercator (through 4326)
+    comp = gf.transform_udf("EPSG:32618", "EPSG:3857")
+    r2 = df2.select(comp("x", "y").alias("p")).first()["p"]
+    from fiona_spark import geom
+    ex, ey = geom.to_3857(-74.0, 40.7)
+    assert abs(r2["x"] - float(ex)) < 1e-6 and abs(r2["y"] - float(ey)) < 1e-6
