@@ -152,6 +152,25 @@ _META: dict[str, dict] = {
         },
         "field_types": ["bool", "date", "float", "int", "str"],
     },
+    "flatgeobuf": {
+        "open": {},
+        "creation": {
+            "name": {"type": "string", "default": "layer",
+                     "description": "header layer name"},
+            "geometry_type": {"type": "string", "default": "Unknown",
+                              "description": "header geometry type "
+                                             "(per-feature when Unknown)"},
+        },
+        "field_types": ["bool", "bytes", "float", "int", "str"],
+    },
+    "openfilegdb": {
+        "open": {
+            "layer": {"type": "string", "default": "first user layer",
+                      "description": "GDB_SystemCatalog table name"},
+        },
+        "creation": {},
+        "field_types": ["bool", "bytes", "datetime", "float", "int", "str"],
+    },
     "geopackage": {
         "open": {
             "layer": {"type": "string", "default": "first",

@@ -91,6 +91,14 @@ def spatial_job():
     (the pip_join default)."""
     return spatial.pip_join(pts, zones, res=PIP_RES).count()
 
+def spatial_shuffled_job():
+    """the PAST-GUARD lane: zones too large to broadcast -> rings
+    travel with the candidate rows through a shuffled cell equi-join,
+    auto-salting engaged (r4 verdict ask #7: this regime had no
+    wall-time evidence)."""
+    return spatial.pip_join(pts, zones, res=PIP_RES,
+                            broadcast_zones=False).count()
+
 def knn_job():
     return spatial.knn_join(pts, zones, k=3,
                             res=spatial.knn_res_for(n_zones, 3)).count()
@@ -138,6 +146,7 @@ for name, fn, reset in [("cells", cells_job, None),
                         ("cand", cand_job, None),
                         ("spatial_staged", staged_job, None),
                         ("spatial", spatial_job, None),
+                        ("spatial_shuffled", spatial_shuffled_job, None),
                         ("knn", knn_job, knn_reset),
                         ("decode", decode_job, None)]:
     fn()  # warm (JIT, python workers, page cache)
@@ -180,7 +189,8 @@ def run_level(cores: int, sf: float, zsf: float, reps: int) -> dict:
     raise RuntimeError(f"no RESULT from local[{cores}]: {proc.stderr[-2000:]}")
 
 
-JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial", "knn", "decode"]
+JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial",
+             "spatial_shuffled", "knn", "decode"]
 
 
 def main() -> None:
@@ -281,7 +291,12 @@ def main() -> None:
         "`spatial` = the FUSED single-Arrow-pass plan (pip_join default: "
         "covering probe via torrent-broadcast searchsorted inside the "
         "residual UDF — no JVM broadcast-exchange build), the headline "
-        "operator.  A stage whose unsaturated-pair efficiency is high but "
+        "operator; `spatial_shuffled` = the PAST-GUARD lane "
+        "(broadcast_zones=False, the plan pip_join takes when zones "
+        "exceed max_broadcast_zones: ring arrays shuffle with the "
+        "candidate rows through the cell equi-join, hot cells "
+        "auto-salted — r4 verdict ask #7's wall-time evidence).  "
+        "A stage whose unsaturated-pair efficiency is high but "
         "saturated-pair efficiency collapses is bandwidth-bound on this "
         "box, not algorithmically serial — the per-stage table makes that "
         "attribution explicit instead of asserting it.",

@@ -238,7 +238,7 @@ def test_driver_meta_options_and_extensions():
         meta.dataset_creation_options("csv")
     import pytest as _pytest
     with _pytest.raises(DriverError):
-        meta.dataset_open_options("flatgeobuf")
+        meta.dataset_open_options("netcdf")
 
 
 def test_driver_meta_field_types_parse():
