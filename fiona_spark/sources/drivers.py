@@ -338,7 +338,13 @@ register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
-    """``fiona.open(path)`` analogue: driver from extension unless given."""
+    """``fiona.open(path)`` analogue: driver from extension unless
+    given.  VFS URIs (``zip://archive!member``, ``tar://``,
+    ``gzip://``, ``file://`` — the reference's fiona/vfs.py syntax)
+    resolve first; remote schemes pass through to the cluster FS."""
+    if "://" in path:
+        from .. import vfs
+        path = vfs.resolve(path)
     name = driver or driver_from_extension(path)
     check_mode(name, "r")
     reader, _w, _m = _REGISTRY[name]
