@@ -358,7 +358,8 @@ def read_flatgeobuf(spark, path: str) -> DataFrame:
             f"found {len(blobs)}")
     pdf = pd.DataFrame({"fid": np.arange(len(blobs), dtype=np.int64),
                         "fgb0body": blobs})
-    src = spark.createDataFrame(pdf)
+    # explicit schema: inference fails on an empty (0-feature) file
+    src = spark.createDataFrame(pdf, schema="fid long, fgb0body binary")
     prop_schema = ", ".join(
         f"`{cname}` {_CT_SPARK[ct]}" for cname, ct in cols)
     out_schema = ("fid bigint, "

@@ -368,7 +368,8 @@ def read_openfilegdb(spark, path: str, layer: str | None = None) -> DataFrame:
         rows.append((rid, d[o + 4:o + 4 + size]))
     pdf = pd.DataFrame({"fid": np.array([r[0] for r in rows], np.int64),
                         "gdb0body": [r[1] for r in rows]})
-    src = spark.createDataFrame(pdf)
+    # explicit schema: inference fails on an empty (0-row) layer
+    src = spark.createDataFrame(pdf, schema="fid long, gdb0body binary")
     prop_cols = [(f["name"], _FT_SPARK[f["ftype"]]) for f in fields
                  if f["ftype"] != FT_GEOMETRY]
     out_schema = ("fid bigint, "
