@@ -69,19 +69,31 @@ def q_where_filter(spark, sf_dir):
     ).select("o_orderkey")
 
 
-@register("bbox_where", f"""
-WITH pts AS ({derived.PTS_CTE})
-SELECT p.image_id FROM pts p JOIN orders o ON p.image_id = o.o_orderkey
-WHERE p.xmax >= -20.0 AND p.xmin <= 40.0 AND p.ymax >= -10.0 AND p.ymin <= 30.0
-  AND o.o_orderstatus = 'F'
-""")
-def q_bbox_where(spark, sf_dir):
-    """Combined bbox+where (tests/test_collection.py:411-415 pattern)."""
-    pts = derived.pts_df(spark, sf_dir)
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("image_id"),
-                                                "o_orderstatus")
-    j = filters.filter_bbox(pts, (-20.0, -10.0, 40.0, 30.0)).join(orders, "image_id")
-    return filters.filter_where(j, "o_orderstatus = 'F'").select("image_id")
+@register("gpkg_source")
+def q_gpkg_source(spark, sf_dir):
+    """GeoPackage end-to-end under the driver contract (r5; second
+    format-driver CORRECTNESS row after shapefile_source): canonical
+    zones written to a real .gpkg through the sqlite3 +
+    GeoPackageBinary sink (`sources/geopackage.py`), re-read
+    distributed via ``read_geopackage``'s mapInPandas WKB decode,
+    exploded to one row per ring vertex.  The GPKG path applies NO
+    winding/closure normalization, so the oracle is the canonical
+    zones parquet itself unnested per vertex — the sink's WKB encode,
+    the GP blob envelope framing, the sqlite round trip, and the
+    reader's decode must reproduce the source doubles bit-for-bit.
+    (bbox_where retired for this slot: it was a pure composition of
+    the still-registered bbox_filter + where_filter rows.)"""
+    from .sources import geopackage
+    gpkg = fixtures.ensure_canon_gpkg(spark)
+    df = geopackage.read_geopackage(spark, gpkg)
+    return (df.select(
+        "zone_id", "NAME", "AGBUR",
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.posexplode(F.arrays_zip("xs", "ys")))
+        .select("zone_id", "NAME", "AGBUR", "WILDRNP020",
+                F.col("pos").cast("long").alias("vi"),
+                F.col("col.xs").alias("x"),
+                F.col("col.ys").alias("y")))
 
 
 @register("slice_step", """
@@ -190,14 +202,29 @@ def q_distinct_flags(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-@register("union_cat", """
-SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
-""")
-def q_union_cat(spark, sf_dir):
-    """fio cat concat of datasets (fiona/fio/cat.py:63-139)."""
-    a = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
-    b = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
-    return a.unionByName(b)
+@register("fgb_source")
+def q_fgb_source(spark, sf_dir):
+    """FlatGeobuf end-to-end under the driver contract (r5): canonical
+    zones written to a real unindexed .fgb through the struct-level
+    flatbuffers sink (`sources/flatgeobuf.py`), re-read distributed via
+    ``read_flatgeobuf``'s mapInPandas decode, exploded per ring vertex.
+    Same bit-exact oracle convention as gpkg_source (no winding or
+    closure changes on this path): the flatbuffers vtable/table
+    framing, the <f8 xy interleave, and the property-blob codec must
+    reproduce the source frame exactly.
+    (union_cat retired for this slot: plain UNION ALL; the concat
+    family stays covered by distinct_flags/tpch_q1 and fio-cat pytest.)"""
+    from .sources import flatgeobuf
+    fgb = fixtures.ensure_canon_fgb(spark)
+    df = flatgeobuf.read_flatgeobuf(spark, fgb)
+    return (df.select(
+        "zone_id", "NAME", "AGBUR",
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.posexplode(F.arrays_zip("xs", "ys")))
+        .select("zone_id", "NAME", "AGBUR", "WILDRNP020",
+                F.col("pos").cast("long").alias("vi"),
+                F.col("col.xs").alias("x"),
+                F.col("col.ys").alias("y")))
 
 
 @register("tpch_q1", """
@@ -1016,6 +1043,20 @@ SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
        CAST(vi AS BIGINT) AS vi, x, y
 FROM read_parquet('{shp_truth}')
 """
+    # gpkg/fgb sinks copy coordinates as raw <f8 with no winding or
+    # closure normalization, so the round-trip truth IS the canonical
+    # zones parquet, unnested per vertex (bit-identical doubles).
+    _vertex_truth = f"""
+WITH z AS (SELECT zone_id, NAME, AGBUR, WILDRNP020, xs, ys
+           FROM read_parquet('{zon}')),
+e AS (SELECT zone_id, NAME, AGBUR, WILDRNP020, xs, ys,
+             UNNEST(range(len(xs))) AS vi FROM z)
+SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
+       CAST(vi AS BIGINT) AS vi, xs[vi + 1] AS x, ys[vi + 1] AS y
+FROM e
+"""
+    ORACLES["gpkg_source"] = _vertex_truth
+    ORACLES["fgb_source"] = _vertex_truth
     csv_path = fixtures.ensure_canon_csv()
     ORACLES["csv_source"] = f"""
 SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020

@@ -33,6 +33,18 @@ _REGISTRY: dict[int, tuple[str, str, str, str]] = {
            "+proj=longlat +datum=NAD83 +no_defs"),
     32633: ("WGS 84 / UTM zone 33N", "projected", "metre",
             "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"),
+    # GRS80 conic/azimuthal families (closed-form Snyder kernels in
+    # geom.make_albers/make_lcc2sp/make_laea; the datums are treated as
+    # WGS84-equivalent, PROJ's own gridless default)
+    5070: ("NAD83 / Conus Albers", "projected", "metre",
+           "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+           "+x_0=0 +y_0=0 +datum=NAD83 +units=m +no_defs"),
+    2154: ("RGF93 v1 / Lambert-93", "projected", "metre",
+           "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs"),
+    3035: ("ETRS89-extended / LAEA Europe", "projected", "metre",
+           "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+           "+ellps=GRS80 +units=m +no_defs"),
 }
 
 

@@ -372,14 +372,58 @@ def ensure_canon_shp(spark, cache_dir: str | None = None) -> str:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     from .sources.shapefile import write_shapefile
+    write_shapefile(_canon_zones_spark_df(spark), path)
+    return path
+
+
+def _canon_zones_spark_df(spark):
+    """Canonical zones as a ring-model Spark frame (writer input for the
+    single-file format fixtures).  Column order is the fixture contract:
+    zone_id, xs, ys, NAME, AGBUR, WILDRNP020."""
     zdf = gen_zones_pdf(CANON_N_ZONES)
     zdf = zdf[["zone_id", "xs", "ys", "NAME", "AGBUR", "WILDRNP020"]].assign(
         xs=[list(map(float, v)) for v in zdf["xs"]],
         ys=[list(map(float, v)) for v in zdf["ys"]])
-    df = spark.createDataFrame(
+    return spark.createDataFrame(
         zdf, schema="zone_id string, xs array<double>, ys array<double>, "
                     "NAME string, AGBUR string, WILDRNP020 long")
-    write_shapefile(df, path)
+
+
+def ensure_canon_gpkg(spark, cache_dir: str | None = None) -> str:
+    """Materialize the canonical zones as a real GeoPackage (through the
+    engine's sqlite3 + GeoPackageBinary sink) and return the .gpkg path.
+
+    Unlike the shapefile twin there is NO winding normalization in the
+    GPKG path: the WKB codec copies coordinates as raw <f8, so the
+    ``gpkg_source`` oracle is the canonical zones parquet itself,
+    unnested per vertex — the write->read round trip must be
+    bit-identical to the source frame."""
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones.gpkg")
+    if os.path.exists(path):
+        return path
+    from .sources.geopackage import write_geopackage
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    write_geopackage(_canon_zones_spark_df(spark), tmp, layer="zones")
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_canon_fgb(spark, cache_dir: str | None = None) -> str:
+    """Materialize the canonical zones as a real FlatGeobuf file
+    (struct-level flatbuffers sink, unindexed) and return the .fgb path.
+    Same bit-exact round-trip contract as :func:`ensure_canon_gpkg`."""
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones.fgb")
+    if os.path.exists(path):
+        return path
+    from .sources.flatgeobuf import write_flatgeobuf
+    write_flatgeobuf(_canon_zones_spark_df(spark), path, name="zones",
+                     geometry_type="Polygon")
     return path
 
 

@@ -242,7 +242,14 @@ _XY_T = T.StructType([T.StructField("x", _D), T.StructField("y", _D)])
 _FORWARD = {("EPSG:4326", "EPSG:6933"): geom.to_6933,
             ("EPSG:6933", "EPSG:4326"): geom.from_6933,
             ("EPSG:4326", "EPSG:3857"): geom.to_3857,
-            ("EPSG:3857", "EPSG:4326"): geom.from_3857}
+            ("EPSG:3857", "EPSG:4326"): geom.from_3857,
+            # conic/azimuthal closed forms (r5, Snyder kernels)
+            ("EPSG:4326", "EPSG:5070"): geom.to_5070,
+            ("EPSG:5070", "EPSG:4326"): geom.from_5070,
+            ("EPSG:4326", "EPSG:2154"): geom.to_2154,
+            ("EPSG:2154", "EPSG:4326"): geom.from_2154,
+            ("EPSG:4326", "EPSG:3035"): geom.to_3035,
+            ("EPSG:3035", "EPSG:4326"): geom.from_3035}
 
 
 def _utm_of(code: str):
@@ -277,27 +284,31 @@ def _forward_fn(src: str, dst: str):
     return None
 
 
+def pair_fn(src: str, dst: str):
+    """Resolve (src, dst) to one vectorized numpy transform: a direct
+    closed-form step, or any two steps composed through EPSG:4326.
+    Unknown pairs raise, like Fiona does on an unknown CRS."""
+    if src == dst:
+        return lambda x, y: (x, y)
+    f = _forward_fn(src, dst)
+    if f is not None:
+        return f
+    f1 = _forward_fn(src, "EPSG:4326")
+    f2 = _forward_fn("EPSG:4326", dst)
+    if f1 and f2:
+        return lambda x, y: f2(*f1(x, y))
+    raise ValueError(f"unsupported CRS pair {src} -> {dst}")
+
+
 def transform_udf(src: str, dst: str):
     """Coordinate transform (`fiona/transform.py:11-124` equivalent).
 
-    Closed-form CRS pairs: 4326 <-> 6933/3857 plus the whole WGS84 UTM
-    family (EPSG:32601-32660 / 32701-32760, Krüger series) — and any
-    pair of those composed through 4326.  Unknown pairs raise, like
-    Fiona does on an unknown CRS.
+    Closed-form CRS pairs: 4326 <-> 6933/3857, the whole WGS84 UTM
+    family (EPSG:32601-32660 / 32701-32760, Krüger series), the GRS80
+    conic/azimuthal families (5070/2154/3035) — and any pair of those
+    composed through 4326.
     """
-    if src == dst:
-        fn = lambda x, y: (x, y)  # noqa: E731
-    elif _forward_fn(src, dst) is not None:
-        fn = _forward_fn(src, dst)
-    elif src.startswith("EPSG:") and dst.startswith("EPSG:") \
-            and ("EPSG:4326" not in (src, dst)):
-        f1 = _forward_fn(src, "EPSG:4326")
-        f2 = _forward_fn("EPSG:4326", dst)
-        if not (f1 and f2):
-            raise ValueError(f"unsupported CRS pair {src} -> {dst}")
-        fn = lambda x, y: f2(*f1(x, y))  # noqa: E731
-    else:
-        raise ValueError(f"unsupported CRS pair {src} -> {dst}")
+    fn = pair_fn(src, dst)
 
     @F.pandas_udf(_XY_T)
     def u(x: pd.Series, y: pd.Series) -> pd.DataFrame:
@@ -333,16 +344,7 @@ def transform_geom_udf(src: str, dst: str, antimeridian_cutting: bool = True,
     batch per call; the coordinate math is the same closed-form numpy
     as transform_udf, applied to the flattened ring vertices.
     """
-    if src == dst:
-        fn = lambda x, y: (x, y)  # noqa: E731
-    elif _forward_fn(src, dst) is not None:
-        fn = _forward_fn(src, dst)
-    else:
-        f1 = _forward_fn(src, "EPSG:4326")
-        f2 = _forward_fn("EPSG:4326", dst)
-        if not (f1 and f2):
-            raise ValueError(f"unsupported CRS pair {src} -> {dst}")
-        fn = lambda x, y: f2(*f1(x, y))  # noqa: E731
+    fn = pair_fn(src, dst)
     cut = antimeridian_cutting and dst == "EPSG:4326"
 
     @F.pandas_udf(_RINGS_T)

@@ -443,6 +443,172 @@ def from_utm(x, y, zone: int, north: bool = True):
     return (np.rad2deg(lam) + utm_zone_lon0(zone)), np.rad2deg(phi)
 
 
+# ---------------------------------------------------------------------------
+# conic / azimuthal closed forms (Snyder, "Map Projections — A Working
+# Manual", USGS PP 1395: Albers ch. 14, LCC ch. 15, LAEA ch. 24).
+# The reference reaches these via PROJ (fiona/_transform.pyx:62-98);
+# here each family is an exact ellipsoidal numpy kernel.  EPSG:5070 /
+# 2154 / 3035 are GRS80-based datums (NAD83 / RGF93 / ETRS89) that PROJ
+# itself treats as WGS84-equivalent absent grid shifts, so the engine's
+# 4326 composition applies the same null datum step.
+# ---------------------------------------------------------------------------
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _ell_consts(a, f):
+    e2 = f * (2.0 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _auth_q(sphi, e, e2):
+    """Authalic-latitude helper q(phi) (Snyder 3-12)."""
+    return (1.0 - e2) * (sphi / (1.0 - e2 * sphi * sphi)
+                         - (0.5 / e) * np.log((1.0 - e * sphi)
+                                              / (1.0 + e * sphi)))
+
+
+def _snyder_m(sphi, e2):
+    """m(phi) = cos(phi)/sqrt(1 - e^2 sin^2 phi) (Snyder 14-15)."""
+    return np.sqrt(1.0 - sphi * sphi) / np.sqrt(1.0 - e2 * sphi * sphi)
+
+
+def _phi_from_q(q, e, e2, iters: int = 6):
+    """Invert q -> phi by Snyder 3-16 Newton iteration (vectorized);
+    |q| at the authalic pole maps exactly to +-90 deg."""
+    q = np.asarray(q, np.float64)
+    qp = _auth_q(1.0, e, e2)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        sphi = np.clip(np.sin(phi), -1.0, 1.0)
+        den = 1.0 - e2 * sphi * sphi
+        cphi = np.cos(phi)
+        # at the poles the correction term -> 0/0; fixed up below
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = (den * den / (2.0 * cphi)) * (
+                q / (1.0 - e2) - sphi / den
+                + (0.5 / e) * np.log((1.0 - e * sphi) / (1.0 + e * sphi)))
+        phi = phi + np.where(np.isfinite(d), d, 0.0)
+    return np.where(np.abs(q) >= qp * (1.0 - 1e-12),
+                    np.sign(q) * (np.pi / 2.0), phi)
+
+
+def make_albers(lat0, lon0, sp1, sp2, fe, fn, a=GRS80_A, f=GRS80_F):
+    """Albers equal-area conic, ellipsoidal 2SP (Snyder eqs 14-1..14-21).
+    Returns (forward, inverse) vectorized lng/lat<->x/y kernels."""
+    a, e2, e = _ell_consts(a, f)
+    s0, s1, s2 = (np.sin(np.deg2rad(v)) for v in (lat0, sp1, sp2))
+    m1, m2 = _snyder_m(s1, e2), _snyder_m(s2, e2)
+    q0, q1, q2 = (_auth_q(s, e, e2) for s in (s0, s1, s2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64); lat = np.asarray(lat, np.float64)
+        q = _auth_q(np.sin(np.deg2rad(lat)), e, e2)
+        rho = a * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+        th = n * np.deg2rad(lng - lon0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64) - fe
+        y = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.hypot(x, y)
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        q = (C - (rho * n / a) ** 2) / n
+        phi = _phi_from_q(q, e, e2)
+        return (np.rad2deg(th / n) + lon0), np.rad2deg(phi)
+
+    return forward, inverse
+
+
+def make_lcc2sp(lat0, lon0, sp1, sp2, fe, fn, a=GRS80_A, f=GRS80_F):
+    """Lambert conformal conic, ellipsoidal 2SP (Snyder eqs 15-1..15-11)."""
+    a, e2, e = _ell_consts(a, f)
+
+    def _t(phi):
+        sphi = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+
+    p0, p1, p2 = (np.deg2rad(v) for v in (lat0, sp1, sp2))
+    m1, m2 = _snyder_m(np.sin(p1), e2), _snyder_m(np.sin(p2), e2)
+    t0, t1, t2 = _t(p0), _t(p1), _t(p2)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = a * Fc * t0 ** n
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64); lat = np.asarray(lat, np.float64)
+        rho = a * Fc * _t(np.deg2rad(lat)) ** n
+        th = n * np.deg2rad(lng - lon0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64) - fe
+        y = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.sign(n) * np.hypot(x, y)
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        t = (rho / (a * Fc)) ** (1.0 / n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):     # Snyder 7-9 fixed point, quad convergence
+            sphi = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - sphi) / (1.0 + sphi)) ** (e / 2.0))
+        return (np.rad2deg(th / n) + lon0), np.rad2deg(phi)
+
+    return forward, inverse
+
+
+def make_laea(lat0, lon0, fe, fn, a=GRS80_A, f=GRS80_F):
+    """Lambert azimuthal equal-area, ellipsoidal oblique case
+    (Snyder eqs 24-2..24-29 / 3-11..3-18)."""
+    a, e2, e = _ell_consts(a, f)
+    qp = _auth_q(1.0, e, e2)
+    s0 = np.sin(np.deg2rad(lat0))
+    q0 = _auth_q(s0, e, e2)
+    b0 = np.arcsin(q0 / qp)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    Rq = a * np.sqrt(qp / 2.0)
+    D = a * _snyder_m(s0, e2) / (Rq * cb0)
+    lam0 = np.deg2rad(lon0)
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64); lat = np.asarray(lat, np.float64)
+        dl = np.deg2rad(lng) - lam0
+        q = _auth_q(np.sin(np.deg2rad(lat)), e, e2)
+        b = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        sb, cb = np.sin(b), np.cos(b)
+        B = Rq * np.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * np.cos(dl)))
+        return (fe + B * D * cb * np.sin(dl),
+                fn + (B / D) * (cb0 * sb - sb0 * cb * np.cos(dl)))
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64) - fe
+        y = np.asarray(y, np.float64) - fn
+        rho = np.hypot(x / D, D * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = qp * (cce * sb0 + D * y * sce * cb0 / rho)
+        q = np.where(rho == 0.0, qp * sb0, q)
+        phi = _phi_from_q(q, e, e2)
+        lam = lam0 + np.arctan2(
+            x * sce, D * rho * cb0 * cce - D * D * y * sb0 * sce)
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+    return forward, inverse
+
+
+# EPSG presets on the GRS80 families above.
+to_5070, from_5070 = make_albers(23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+to_2154, from_2154 = make_lcc2sp(46.5, 3.0, 44.0, 49.0,
+                                 700_000.0, 6_600_000.0)
+to_3035, from_3035 = make_laea(52.0, 10.0, 4_321_000.0, 3_210_000.0)
+
+
 def cut_antimeridian_bbox(xmin, ymin, xmax, ymax):
     """Split bboxes that wrap past +/-180 into up to two boxes.
 

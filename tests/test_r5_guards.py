@@ -292,3 +292,31 @@ def test_vfs_errors():
         vfs.resolve("zip:///nope/missing.zip!a.shp")
     with _pytest.raises(DriverError, match="needs '!member'"):
         vfs.resolve("zip:///root/reference/tests/data/coutwildrnp.zip")
+
+
+# ---------------------------------------------------------------------------
+# retired-slot coverage: bbox_where left the 50-query contract for
+# gpkg_source (r5) — the composed bbox+where path keeps a differential
+# here (bbox_filter and where_filter each still hold their own oracle
+# rows; this pins their composition).
+# ---------------------------------------------------------------------------
+
+def test_bbox_where_composition_matches_eager(spark):
+    from fiona_spark import fixtures
+    from fiona_spark.operators import filters
+    img_path, _ = fixtures.ensure_canon()
+    pts = (spark.read.parquet(img_path)
+           .select("image_id", "lng", "lat")
+           .withColumn("xmin", F.col("lng") - 0.01)
+           .withColumn("xmax", F.col("lng") + 0.01)
+           .withColumn("ymin", F.col("lat") - 0.01)
+           .withColumn("ymax", F.col("lat") + 0.01))
+    bbox = (-20.0, -10.0, 40.0, 30.0)
+    got = sorted(r["image_id"] for r in filters.filter_where(
+        filters.filter_bbox(pts, bbox), "lng > 0.0").collect())
+    pdf = pts.toPandas()
+    keep = ((pdf.xmax >= bbox[0]) & (pdf.xmin <= bbox[2])
+            & (pdf.ymax >= bbox[1]) & (pdf.ymin <= bbox[3])
+            & (pdf.lng > 0.0))
+    want = sorted(pdf.image_id[keep])
+    assert got == want and len(got) > 0
