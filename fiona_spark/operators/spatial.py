@@ -131,31 +131,6 @@ def salt_sides(probe: DataFrame, build: DataFrame, hot: DataFrame,
 # PIP join (point-in-polygon)
 # ---------------------------------------------------------------------------
 
-def _pip_test_groups(key, pxv, pyv, lookup):
-    """Shared residual kernel: group candidate rows by zone key, one
-    vectorized (points x edges) even-odd ray-cast per group (multi-ring:
-    holes and MultiPolygon parts XOR per ring); antimeridian zones
-    re-test misses with +/-360-shifted points."""
-    out = np.zeros(len(pxv), dtype=bool)
-    codes, uniq = pd.factorize(key, sort=False)
-    order = np.argsort(codes, kind="stable")
-    cuts = np.flatnonzero(np.diff(codes[order])) + 1
-    for grp in np.split(order, cuts):
-        rings_x, rings_y = lookup(grp[0])
-        hit = geom.points_in_rings(pxv[grp], pyv[grp], rings_x, rings_y)
-        gmax = max(np.max(r) for r in rings_x)
-        gmin = min(np.min(r) for r in rings_x)
-        if gmax > 180.0 or gmin < -180.0:
-            for shift in (360.0, -360.0):
-                pend = np.flatnonzero(~hit)
-                if not len(pend):
-                    break
-                hit[pend] |= geom.points_in_rings(
-                    pxv[grp][pend] + shift, pyv[grp][pend], rings_x, rings_y)
-        out[grp] = hit
-    return out
-
-
 def _pip_residual_packed_udf(poly_bc):
     """Residual PIP against packed feature edges from a Spark broadcast.
 
@@ -188,34 +163,38 @@ def _pip_residual_packed_udf(poly_bc):
     return pip
 
 
-def _pip_residual_udf(multi: bool = False):
-    """Residual PIP with per-row ring arrays (shuffled-zone path, used
-    when the zone side is too large to broadcast).  ``multi=True`` reads
-    array<array<double>> ring columns (holes / MultiPolygon)."""
-    if multi:
-        @F.pandas_udf(T.BooleanType())
-        def pip(key: pd.Series, px: pd.Series, py: pd.Series,
-                xs: pd.Series, ys: pd.Series) -> pd.Series:
-            xs_l = xs.to_numpy(object)
-            ys_l = ys.to_numpy(object)
-            return pd.Series(_pip_test_groups(
-                key.to_numpy(object), px.to_numpy(np.float64),
-                py.to_numpy(np.float64),
-                lambda i0: ([np.asarray(r, np.float64) for r in xs_l[i0]],
-                            [np.asarray(r, np.float64) for r in ys_l[i0]])))
-        return pip
+def _pip_cogroup_fn(lng, lat, ring_cols, multi, out_cols):
+    """Per-zone residual for the cogrouped shuffled lane: one vectorized
+    (points x rings) even-odd ray-cast per cogroup (multi-ring: holes and
+    MultiPolygon parts XOR per ring); antimeridian zones re-test misses
+    with +/-360-shifted points.  Never per-row Python — the whole
+    candidate block of a zone is one numpy call."""
+    rx_col, ry_col = ring_cols
 
-    @F.pandas_udf(T.BooleanType())
-    def pip(key: pd.Series, px: pd.Series, py: pd.Series,
-            xs: pd.Series, ys: pd.Series) -> pd.Series:
-        xs_l = xs.to_numpy(object)
-        ys_l = ys.to_numpy(object)
-        return pd.Series(_pip_test_groups(
-            key.to_numpy(object), px.to_numpy(np.float64),
-            py.to_numpy(np.float64),
-            lambda i0: ([np.asarray(xs_l[i0], np.float64)],
-                        [np.asarray(ys_l[i0], np.float64)])))
-    return pip
+    def fn(cpdf: pd.DataFrame, zpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(zpdf):
+            return cpdf.iloc[0:0][out_cols]
+        if multi:
+            rings_x = [np.asarray(r, np.float64) for r in zpdf[rx_col].iloc[0]]
+            rings_y = [np.asarray(r, np.float64) for r in zpdf[ry_col].iloc[0]]
+        else:
+            rings_x = [np.asarray(zpdf[rx_col].iloc[0], np.float64)]
+            rings_y = [np.asarray(zpdf[ry_col].iloc[0], np.float64)]
+        px = cpdf[lng].to_numpy(np.float64)
+        py = cpdf[lat].to_numpy(np.float64)
+        hit = geom.points_in_rings(px, py, rings_x, rings_y)
+        gmax = max(float(np.max(r)) for r in rings_x)
+        gmin = min(float(np.min(r)) for r in rings_x)
+        if gmax > 180.0 or gmin < -180.0:       # antimeridian stradder
+            for shift in (360.0, -360.0):
+                pend = np.flatnonzero(~hit)
+                if not len(pend):
+                    break
+                hit[pend] |= geom.points_in_rings(
+                    px[pend] + shift, py[pend], rings_x, rings_y)
+        return cpdf.loc[np.asarray(hit, bool), out_cols]
+
+    return fn
 
 
 def pip_res_for(zones: DataFrame, max_cover_rows: int = 4_000_000,
@@ -473,16 +452,21 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
 
     ``broadcast_zones=None`` (default) auto-guards: the zone layer is
     collected driver-side ONLY when its row count is <=
-    ``max_broadcast_zones``; bigger layers take the shuffled plan where
-    rings travel with the candidates.  (A 10^8-row zone table must never
-    be toPandas'd — that was r1 "what's wrong" #4.)
+    ``max_broadcast_zones``; bigger layers take the COGROUPED shuffled
+    plan: a light cell equi-join (keys + coords only) generates the
+    candidates, then candidates and zone rings cogroup on the zone key
+    so each zone's ring arrays cross the shuffle/Arrow boundary once
+    per zone, never per candidate row.  (A 10^8-row zone table must
+    never be toPandas'd — that was r1 "what's wrong" #4.)
 
     Skew: ``salt='auto'`` salts hot cells ONLY on the shuffled plan —
     a broadcast join never moves probe rows, so a hot cell cannot
     concentrate a reducer there and salting would only replicate build
-    rows for nothing.  On the shuffled plan a ``hot_cells`` pre-pass
-    (one map-side-combined count) decides; no hot cells -> unsalted.
-    Pass an int to force (0 disables).
+    rows for nothing.  On the shuffled plan one ``hot_cells``-style
+    map-side-combined count decides BOTH skew guards (hot candidate
+    cells -> cell salting on the equi-join; hot zones -> candidate
+    splitting + ring replication on the cogroup); no hot keys ->
+    unsalted.  Pass an int to force (0 disables).
 
     ``fused=True`` (default) runs the broadcast plan as ONE Arrow pass
     (covering probe + residual inside the UDF, zones via torrent
@@ -556,37 +540,98 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         ).select(*zone_cols, "xs", "ys", "cell")
         pred = " OR ".join(f"({_convex_pip_sql(lng, lat, s)})"
                            for s in (0.0, 360.0, -360.0))
-        pip = None
-        pip_args = F.expr(pred)
-    else:
-        # Shuffled regime (zone side too large to broadcast): the ring
-        # arrays travel with the candidate rows.
-        z = with_covering_cells(
-            zones.select(*zone_cols, *ring_cols, "xmin", "ymin", "xmax", "ymax"),
-            res).select(*zone_cols, *ring_cols, "cell")
-        pip = _pip_residual_udf(multi=multi)
-        pip_args = (F.col(zone_cols[0]), F.col(lng), F.col(lat),
-                    F.col(ring_cols[0]), F.col(ring_cols[1]))
+        if salt == "auto":
+            # shuffled join: a hot cell = one overloaded reducer.  One
+            # map-side-combined count decides; the hot set is tiny.
+            hot = hot_cells(p, threshold=hot_threshold)
+            n_salt = 8 if (not broadcast_zones
+                           and hot.limit(1).count() > 0) else 0
+        else:
+            n_salt = int(salt)
+            hot = hot_cells(p, threshold=hot_threshold) if n_salt > 0 else None
+        if n_salt > 0:
+            p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
+            join_keys = ["cell", "_salt"]
+        else:
+            join_keys = ["cell"]
+        zj = F.broadcast(z) if broadcast_zones else z
+        cand = p.join(zj, join_keys, "inner")
+        return cand.filter(F.expr(pred)).select(*point_cols, *zone_cols)
 
-    if salt == "auto":
-        # shuffled join: a hot cell = one overloaded reducer.  One
-        # map-side-combined count decides; the hot set is tiny.
-        hot = hot_cells(p, threshold=hot_threshold)
-        n_salt = 8 if (not broadcast_zones
-                       and hot.limit(1).count() > 0) else 0
+    # Shuffled regime v2 (zone side too large to broadcast), cogrouped:
+    # rings NEVER ride candidate rows.  Phase 1 is a LIGHT cell
+    # equi-join (keys + coords only); phase 2 cogroups the candidates
+    # with the zone rings on the zone key, so each zone's ring arrays
+    # cross the shuffle and the Arrow boundary exactly once per
+    # (zone, salt split) instead of once per candidate row — the v1
+    # rings-on-candidates plan measured 15x slower than the fused lane
+    # at sf2 (BENCH/BASELINE.md) and its shuffle volume grew with
+    # |candidates| x |ring bytes|, a 100 TB scale-killer.
+    zkey = zone_cols[0]
+    z = with_covering_cells(
+        zones.select(*zone_cols, "xmin", "ymin", "xmax", "ymax"),
+        res).select(*zone_cols, "cell")
+
+    if salt == "auto" or int(salt) > 0:
+        # one light map-side-combined count feeds BOTH skew decisions
+        pc = p.groupBy("cell").count()
+        hot = pc.filter(F.col("count") > hot_threshold)
+        if salt == "auto":
+            n_salt = 8 if hot.limit(1).count() > 0 else 0
+        else:
+            n_salt = int(salt)
     else:
-        n_salt = int(salt)
-        hot = hot_cells(p, threshold=hot_threshold) if n_salt > 0 else None
+        pc, hot, n_salt = None, None, 0
+
     if n_salt > 0:
         p, z = salt_sides(p, z, hot, n_salt, probe_key=point_cols[0])
         join_keys = ["cell", "_salt"]
     else:
         join_keys = ["cell"]
+    cand = (p.join(z, join_keys, "inner")
+            .select(*point_cols, *zone_cols, lng, lat))
 
-    zj = F.broadcast(z) if broadcast_zones else z
-    cand = p.join(zj, join_keys, "inner")
-    out = cand.filter(pip_args if pip is None else pip(*pip_args))
-    return out.select(*point_cols, *zone_cols)
+    # rings side carries a RENAMED key: cand / hotz / rings all descend
+    # from `zones`, and joins between same-lineage frames on a shared
+    # column name trip Spark's ambiguous-self-join analysis.
+    rings = zones.select(F.col(zkey).alias("_rkey"), *ring_cols)
+    if pc is not None:
+        # zone-level skew: the cogroup stage has no AQE skew handling,
+        # so a zone whose covering collects > hot_threshold candidate
+        # points is SPLIT — its candidates hash into n_zsalt subgroups
+        # and its rings replicate once per subgroup (rings per zone are
+        # tiny next to rings per candidate).  The estimate is exact:
+        # sum of per-cell point counts over the zone's covering cells
+        # IS the zone's candidate count.
+        n_zsalt = max(n_salt, 8)
+        hotz = (z.join(pc, "cell")
+                .groupBy(zkey).agg(F.sum("count").alias("_est"))
+                .filter(F.col("_est") > hot_threshold)
+                .select(F.col(zkey).alias("_hotz")))
+        cand = (cand.join(F.broadcast(hotz),
+                          cand[zkey] == hotz["_hotz"], "left")
+                .withColumn("_zsalt", F.when(
+                    F.col("_hotz").isNotNull(),
+                    F.pmod(F.hash(point_cols[0]), F.lit(n_zsalt)))
+                    .otherwise(F.lit(0)))
+                .drop("_hotz"))
+        rings = (rings.join(F.broadcast(hotz),
+                            rings["_rkey"] == hotz["_hotz"], "left")
+                 .withColumn("_zsalt", F.explode(F.when(
+                     F.col("_hotz").isNotNull(),
+                     F.sequence(F.lit(0), F.lit(n_zsalt - 1)))
+                     .otherwise(F.array(F.lit(0)))))
+                 .drop("_hotz"))
+        gcols, rcols = [zkey, "_zsalt"], ["_rkey", "_zsalt"]
+    else:
+        gcols, rcols = [zkey], ["_rkey"]
+
+    out_cols = [*point_cols, *zone_cols]
+    out_schema = T.StructType([cand.schema[c] for c in out_cols])
+    fn = _pip_cogroup_fn(lng, lat, ring_cols, multi, out_cols)
+    return (cand.groupBy(*gcols)
+            .cogroup(rings.groupBy(*rcols))
+            .applyInPandas(fn, out_schema))
 
 
 def spatial_semi_join(points: DataFrame, zones: DataFrame, **kw) -> DataFrame:

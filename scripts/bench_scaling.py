@@ -92,10 +92,11 @@ def spatial_job():
     return spatial.pip_join(pts, zones, res=PIP_RES).count()
 
 def spatial_shuffled_job():
-    """the PAST-GUARD lane: zones too large to broadcast -> rings
-    travel with the candidate rows through a shuffled cell equi-join,
-    auto-salting engaged (r4 verdict ask #7: this regime had no
-    wall-time evidence)."""
+    """the PAST-GUARD lane (r5 cogrouped plan): zones too large to
+    broadcast -> light shuffled cell equi-join for candidates, then a
+    candidate x rings cogroup on the zone key (rings cross the wire
+    once per zone, never per candidate row), skew guards engaged
+    (r4 verdict ask #7: this regime had no wall-time evidence)."""
     return spatial.pip_join(pts, zones, res=PIP_RES,
                             broadcast_zones=False).count()
 
@@ -293,9 +294,13 @@ def main() -> None:
         "residual UDF — no JVM broadcast-exchange build), the headline "
         "operator; `spatial_shuffled` = the PAST-GUARD lane "
         "(broadcast_zones=False, the plan pip_join takes when zones "
-        "exceed max_broadcast_zones: ring arrays shuffle with the "
-        "candidate rows through the cell equi-join, hot cells "
-        "auto-salted — r4 verdict ask #7's wall-time evidence).  "
+        "exceed max_broadcast_zones; r5 COGROUPED design: a light cell "
+        "equi-join generates candidates, then candidates cogroup with "
+        "the zone rings on the zone key so rings cross the shuffle and "
+        "Arrow once per zone instead of once per candidate row — the "
+        "v1 rings-on-candidates plan measured 15x the fused lane here; "
+        "hot cells salt the equi-join, hot zones split the cogroup — "
+        "r4 verdict ask #7's wall-time evidence).  "
         "A stage whose unsaturated-pair efficiency is high but "
         "saturated-pair efficiency collapses is bandwidth-bound on this "
         "box, not algorithmically serial — the per-stage table makes that "

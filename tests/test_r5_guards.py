@@ -320,3 +320,27 @@ def test_bbox_where_composition_matches_eager(spark):
             & (pdf.lng > 0.0))
     want = sorted(pdf.image_id[keep])
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# shuffled-PIP cogrouped lane (r5): rings must never ride candidate rows
+# ---------------------------------------------------------------------------
+
+def test_shuffled_pip_is_cogrouped_and_join_is_light(spark):
+    """The past-guard lane's plan must contain the cogroup operator
+    (FlatMapCoGroupsInPandas) and its equi-join must NOT carry ring
+    arrays — the v1 rings-on-candidates plan shuffled |candidates| x
+    |ring bytes| and measured 15x the fused lane at sf2."""
+    from fiona_spark import fixtures
+    from fiona_spark.operators import spatial
+    img_path, zone_path = fixtures.ensure_canon()
+    pts = spark.read.parquet(img_path).select("image_id", "lng", "lat")
+    zones = spark.read.parquet(zone_path)
+    df = spatial.pip_join(pts, zones, res=6, broadcast_zones=False)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    # the candidate equi-join output never references ring columns
+    cand_join = join_lines[-1]          # innermost join = cell equi-join
+    assert "xs" not in cand_join and "ys" not in cand_join, cand_join
