@@ -45,6 +45,16 @@ _REGISTRY: dict[int, tuple[str, str, str, str]] = {
     3035: ("ETRS89-extended / LAEA Europe", "projected", "metre",
            "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
            "+ellps=GRS80 +units=m +no_defs"),
+    3395: ("WGS 84 / World Mercator", "projected", "metre",
+           "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84 "
+           "+units=m +no_defs"),
+    3031: ("WGS 84 / Antarctic Polar Stereographic", "projected", "metre",
+           "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+           "+datum=WGS84 +units=m +no_defs"),
+    3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+           "projected", "metre",
+           "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+           "+datum=WGS84 +units=m +no_defs"),
 }
 
 
@@ -77,13 +87,14 @@ class CRSError(ValueError):
 class CRS:
     """Immutable EPSG-backed coordinate reference system descriptor."""
 
-    __slots__ = ("_code",)
+    __slots__ = ("_code", "_proj4")
 
     def __init__(self, code: int):
         code = int(code)
         if not _ensure_utm(code):
             raise CRSError(f"EPSG:{code} is not in the bundled registry")
         object.__setattr__(self, "_code", code)
+        object.__setattr__(self, "_proj4", None)
 
     def __setattr__(self, *a):  # immutability, like the cdef class
         raise AttributeError("CRS objects are immutable")
@@ -123,10 +134,26 @@ class CRS:
             for code, (_n, _k, _u, proj4) in _REGISTRY.items():
                 if d == _proj4_dict(proj4):
                     return CRS(code)
+            # any parameterization of an implemented kernel family is a
+            # valid (codeless) CRS, like the reference's PROJ-backed
+            # CRS(proj4) — to_epsg() returns None on these
+            from . import geom as _geom
+            if _geom.kernel_from_proj4(d) is not None:
+                return CRS._from_params(v)
             raise CRSError(f"unrecognized proj4 string {v!r}")
         if "[" in v:            # WKT-ish
             return CRS.from_wkt(v)
         raise CRSError(f"unrecognized CRS string {value!r}")
+
+    @staticmethod
+    def _from_params(proj4: str) -> "CRS":
+        """Codeless CRS backed by a proj4 parameter string (reference:
+        `fiona/crs.pyx` CRSs built from PROJ params carry no authority
+        and `to_epsg()` is None)."""
+        self = object.__new__(CRS)
+        object.__setattr__(self, "_code", None)
+        object.__setattr__(self, "_proj4", " ".join(proj4.split()))
+        return self
 
     @staticmethod
     def from_dict(data: dict) -> "CRS":
@@ -152,11 +179,13 @@ class CRS:
 
     @property
     def is_geographic(self) -> bool:
+        if self._code is None:
+            return self.to_dict().get("proj") == "longlat"
         return _REGISTRY[self._code][1] == "geographic"
 
     @property
     def is_projected(self) -> bool:
-        return _REGISTRY[self._code][1] == "projected"
+        return not self.is_geographic
 
     @property
     def is_valid(self) -> bool:
@@ -164,49 +193,75 @@ class CRS:
 
     @property
     def linear_units(self) -> str:
+        if self._code is None:
+            return "degree" if self.is_geographic else "metre"
         return _REGISTRY[self._code][2]
 
     @property
     def name(self) -> str:
+        if self._code is None:
+            # like PROJ's synthesized name for authority-less CRSs
+            return f"unknown ({self.to_dict().get('proj', '?')})"
         return _REGISTRY[self._code][0]
 
-    def to_epsg(self) -> int:
+    def to_epsg(self) -> int | None:
+        # None for parameter-built CRSs, like the reference when PROJ
+        # cannot identify an authority code (crs.pyx to_epsg)
         return self._code
 
-    def to_authority(self) -> tuple[str, str]:
+    def to_authority(self) -> tuple[str, str] | None:
+        if self._code is None:
+            return None
         return ("EPSG", str(self._code))
 
     def to_dict(self) -> dict:
-        return _proj4_dict(_REGISTRY[self._code][3])
+        return _proj4_dict(self.to_proj4())
 
     def to_proj4(self) -> str:
+        if self._code is None:
+            return self._proj4
         return _REGISTRY[self._code][3]
 
     def to_wkt(self) -> str:
-        name, kind, unit, _ = _REGISTRY[self._code]
+        if self._code is None:
+            name, kind, unit = self.name, "projected", "metre"
+            if self.is_geographic:
+                kind, unit = "geographic", "degree"
+        else:
+            name, kind, unit, _ = _REGISTRY[self._code]
         geog = ('GEOGCS["WGS 84",DATUM["WGS_1984",'
                 'SPHEROID["WGS 84",6378137,298.257223563]],'
                 'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]')
+        auth = ("" if self._code is None
+                else f',AUTHORITY["EPSG","{self._code}"]')
         if kind == "geographic":
-            return f'{geog},AUTHORITY["EPSG","{self._code}"]]'
-        return (f'PROJCS["{name}",{geog}],UNIT["{unit}",1],'
-                f'AUTHORITY["EPSG","{self._code}"]]')
+            return f'{geog}{auth}]'
+        return f'PROJCS["{name}",{geog}],UNIT["{unit}",1]{auth}]'
 
     # -- protocol ----------------------------------------------------------
 
     def __eq__(self, other) -> bool:
         try:
-            return CRS.from_user_input(other)._code == self._code
+            o = CRS.from_user_input(other)
         except CRSError:
             return NotImplemented
+        if self._code is not None and o._code is not None:
+            return o._code == self._code
+        return o.to_dict() == self.to_dict()
 
     def __hash__(self):
+        if self._code is None:
+            return hash(("CRS", frozenset(self.to_dict().items())))
         return hash(("CRS", self._code))
 
     def __repr__(self):
+        if self._code is None:
+            return f"CRS.from_string({self._proj4!r})"
         return f"CRS.from_epsg({self._code})"
 
     def __str__(self):
+        if self._code is None:
+            return self._proj4
         return f"EPSG:{self._code}"
 
 

@@ -252,35 +252,38 @@ _FORWARD = {("EPSG:4326", "EPSG:6933"): geom.to_6933,
             ("EPSG:3035", "EPSG:4326"): geom.from_3035}
 
 
-def _utm_of(code: str):
-    """'EPSG:326xx'/'EPSG:327xx' -> (zone, north) or None."""
-    if not code.startswith("EPSG:"):
-        return None
-    try:
-        n = int(code.split(":", 1)[1])
-    except ValueError:
-        return None
-    if 32601 <= n <= 32660:
-        return n - 32600, True
-    if 32701 <= n <= 32760:
-        return n - 32700, False
+def _kernel_pair(code: str):
+    """(forward, inverse) closed-form kernels w.r.t. EPSG:4326 for any
+    CRS descriptor the engine can build: a '+proj=...' parameter string
+    or any registry/UTM EPSG code whose proj4 belongs to an implemented
+    kernel family (geom.kernel_from_proj4)."""
+    if code.startswith("+"):
+        return geom.kernel_from_proj4(code)
+    if code.startswith("EPSG:"):
+        from .. import crs as crsmod
+        try:
+            c = crsmod.CRS.from_epsg(int(code.split(":", 1)[1]))
+        except (ValueError, crsmod.CRSError):
+            return None
+        return geom.kernel_from_proj4(c.to_proj4())
     return None
 
 
 def _forward_fn(src: str, dst: str):
-    """Direct transform step, or None.  Covers the closed-form pairs
-    plus the whole WGS84 UTM family (geom Krüger series, r5 — the bulk
-    of real projected data the reference reaches via PROJ)."""
+    """Direct transform step, or None.  The preset pairs keep their
+    historical closed forms (6933 sphere, 3857 clip); everything else —
+    the WGS84 UTM family, registry EPSG codes, arbitrary '+proj='
+    parameter strings of implemented families — resolves through
+    geom.kernel_from_proj4 (the bulk of real projected data the
+    reference reaches via PROJ)."""
     if (src, dst) in _FORWARD:
         return _FORWARD[(src, dst)]
-    utm = _utm_of(dst)
-    if utm and src == "EPSG:4326":
-        zone, north = utm
-        return lambda x, y: geom.to_utm(x, y, zone, north)
-    utm = _utm_of(src)
-    if utm and dst == "EPSG:4326":
-        zone, north = utm
-        return lambda x, y: geom.from_utm(x, y, zone, north)
+    if src == "EPSG:4326":
+        k = _kernel_pair(dst)
+        return k[0] if k else None
+    if dst == "EPSG:4326":
+        k = _kernel_pair(src)
+        return k[1] if k else None
     return None
 
 
@@ -303,10 +306,12 @@ def pair_fn(src: str, dst: str):
 def transform_udf(src: str, dst: str):
     """Coordinate transform (`fiona/transform.py:11-124` equivalent).
 
-    Closed-form CRS pairs: 4326 <-> 6933/3857, the whole WGS84 UTM
-    family (EPSG:32601-32660 / 32701-32760, Krüger series), the GRS80
-    conic/azimuthal families (5070/2154/3035) — and any pair of those
-    composed through 4326.
+    Closed-form CRS pairs: 4326 <-> 6933/3857, every registry EPSG code
+    (UTM family 32601-32760, conic/azimuthal 5070/2154/3035, Mercator
+    3395, polar stereographic 3031/3413), and ARBITRARY '+proj=...'
+    parameter strings of the implemented kernel families
+    (longlat/utm/tmerc/merc/webmerc/cea/aea/lcc/laea/polar stere via
+    geom.kernel_from_proj4) — any pair composed through 4326.
     """
     fn = pair_fn(src, dst)
 

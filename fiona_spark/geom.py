@@ -26,6 +26,7 @@ oracle, since both run this same kernel.
 from __future__ import annotations
 
 import numpy as np
+from functools import lru_cache as _lru_cache
 
 WGS84_R = 6378137.0           # WGS84 semi-major axis (web-mercator sphere)
 EASE2_COS30 = np.cos(np.deg2rad(30.0))   # EPSG:6933 standard parallel
@@ -343,15 +344,16 @@ _UTM_FE = 500_000.0
 _UTM_FN_S = 10_000_000.0
 
 
-def _tm_coeffs():
-    """Krüger-series coefficients to n^6 for the WGS84 ellipsoid
+@_lru_cache(maxsize=None)
+def _tm_coeffs(a_ell: float = WGS84_A, f_ell: float = WGS84_F):
+    """Krüger-series coefficients to n^6 for an ellipsoid (a, f)
     (Karney 2011, "Transverse Mercator with an accuracy of a few
     nanometers"; the same series PROJ's etmerc/GeographicLib use —
     the reference reaches these through PROJ,
     `fiona/_transform.pyx:62-98`)."""
-    n = WGS84_F / (2.0 - WGS84_F)
+    n = f_ell / (2.0 - f_ell)
     n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
-    A = WGS84_A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    A = a_ell / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
     alpha = np.array([
         n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
         - 127 * n5 / 288 + 7891 * n6 / 37800,
@@ -382,11 +384,8 @@ def _tm_coeffs():
         4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
         4174 * n5 / 315 - 144838 * n6 / 6237,
         601676 * n6 / 22275])
-    e = np.sqrt(WGS84_F * (2.0 - WGS84_F))
+    e = np.sqrt(f_ell * (2.0 - f_ell))
     return A, alpha, beta, delta, e
-
-
-_TM = _tm_coeffs()
 
 
 def utm_zone_lon0(zone: int) -> float:
@@ -395,52 +394,78 @@ def utm_zone_lon0(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
 
+def make_tmerc(lat0: float = 0.0, lon0: float = 0.0, k0: float = 1.0,
+               fe: float = 0.0, fn: float = 0.0,
+               a: float = WGS84_A, f: float = WGS84_F):
+    """Transverse Mercator on an arbitrary ellipsoid / origin / scale
+    (Krüger series to n^6, Karney 2011 — ~nm agreement with PROJ's
+    etmerc).  Returns (forward, inverse) vectorized lng/lat<->x/y
+    kernels.  ``lat0`` shifts the northing by the meridian arc from the
+    equator to the latitude of origin, like PROJ's +lat_0."""
+    A, alpha, beta, delta, e = _tm_coeffs(a, f)
+
+    def _fwd_rel(lng, lat):
+        lng = np.asarray(lng, np.float64)
+        lat = np.asarray(lat, np.float64)
+        lam = np.deg2rad(lng - lon0)
+        phi = np.deg2rad(lat)
+        sphi = np.sin(phi)
+        with np.errstate(divide="ignore"):      # poles: arctanh(+-1)=inf,
+            t = np.sinh(np.arctanh(sphi)        # sinh carries it through
+                        - e * np.arctanh(e * sphi))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arctanh(np.sin(lam) / np.hypot(1.0, t))
+        xi_s = xi.copy()
+        eta_s = eta.copy()
+        for j in range(6):
+            k = 2.0 * (j + 1)
+            xi_s += alpha[j] * np.sin(k * xi) * np.cosh(k * eta)
+            eta_s += alpha[j] * np.cos(k * xi) * np.sinh(k * eta)
+        return k0 * A * eta_s, k0 * A * xi_s
+
+    fn0 = fn - (float(_fwd_rel(lon0, lat0)[1]) if lat0 else 0.0)
+
+    def forward(lng, lat):
+        xr, yr = _fwd_rel(lng, lat)
+        return fe + xr, fn0 + yr
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        xi = (y - fn0) / (k0 * A)
+        eta = (x - fe) / (k0 * A)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j in range(6):
+            k = 2.0 * (j + 1)
+            xi_p -= beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+            eta_p -= beta[j] * np.cos(k * xi) * np.sinh(k * eta)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for j in range(6):
+            phi += delta[j] * np.sin(2.0 * (j + 1) * chi)
+        return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+    return forward, inverse
+
+
+@_lru_cache(maxsize=None)
+def _utm_kernel(zone: int, north: bool):
+    return make_tmerc(0.0, utm_zone_lon0(zone), _UTM_K0, _UTM_FE,
+                      0.0 if north else _UTM_FN_S)
+
+
 def to_utm(lng, lat, zone: int, north: bool = True):
-    """EPSG:4326 -> UTM zone (EPSG:326xx north / 327xx south), exact
-    Krüger series on the WGS84 ellipsoid (k0=0.9996, FE=500km,
-    FN=10000km south).  Vectorized numpy; ~nm agreement with PROJ."""
-    A, alpha, _beta, _delta, e = _TM
-    lng = np.asarray(lng, np.float64)
-    lat = np.asarray(lat, np.float64)
-    lam = np.deg2rad(lng - utm_zone_lon0(zone))
-    phi = np.deg2rad(lat)
-    sphi = np.sin(phi)
-    with np.errstate(divide="ignore"):      # poles: arctanh(+-1)=inf,
-        t = np.sinh(np.arctanh(sphi)        # sinh carries it through
-                    - e * np.arctanh(e * sphi))
-    xi = np.arctan2(t, np.cos(lam))
-    eta = np.arctanh(np.sin(lam) / np.hypot(1.0, t))
-    xi_s = xi.copy()
-    eta_s = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_s += alpha[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_s += alpha[j] * np.cos(k * xi) * np.sinh(k * eta)
-    x = _UTM_FE + _UTM_K0 * A * eta_s
-    y = (0.0 if north else _UTM_FN_S) + _UTM_K0 * A * xi_s
-    return x, y
+    """EPSG:4326 -> UTM zone (EPSG:326xx north / 327xx south): the
+    make_tmerc Krüger kernel at k0=0.9996, FE=500km, FN=10000km south."""
+    return _utm_kernel(zone, bool(north))[0](lng, lat)
 
 
 def from_utm(x, y, zone: int, north: bool = True):
     """Inverse UTM -> EPSG:4326 (Krüger series; conformal-to-geodetic
     latitude via the delta series)."""
-    A, _alpha, beta, delta, _e = _TM
-    x = np.asarray(x, np.float64)
-    y = np.asarray(y, np.float64)
-    xi = (y - (0.0 if north else _UTM_FN_S)) / (_UTM_K0 * A)
-    eta = (x - _UTM_FE) / (_UTM_K0 * A)
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_p -= beta[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p -= beta[j] * np.cos(k * xi) * np.sinh(k * eta)
-    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
-    phi = chi.copy()
-    for j in range(6):
-        phi += delta[j] * np.sin(2.0 * (j + 1) * chi)
-    return (np.rad2deg(lam) + utm_zone_lon0(zone)), np.rad2deg(phi)
+    return _utm_kernel(zone, bool(north))[1](x, y)
 
 
 # ---------------------------------------------------------------------------
@@ -501,7 +526,9 @@ def make_albers(lat0, lon0, sp1, sp2, fe, fn, a=GRS80_A, f=GRS80_F):
     s0, s1, s2 = (np.sin(np.deg2rad(v)) for v in (lat0, sp1, sp2))
     m1, m2 = _snyder_m(s1, e2), _snyder_m(s2, e2)
     q0, q1, q2 = (_auth_q(s, e, e2) for s in (s0, s1, s2))
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    # 1SP degenerate case (lat_1 == lat_2): the 0/0 limit of
+    # -(dm^2/dq) at the parallel is exactly sin(lat_1)
+    n = s1 if abs(sp1 - sp2) < 1e-9 else (m1 * m1 - m2 * m2) / (q2 - q1)
     C = m1 * m1 + n * q1
     rho0 = a * np.sqrt(C - n * q0) / n
 
@@ -536,7 +563,10 @@ def make_lcc2sp(lat0, lon0, sp1, sp2, fe, fn, a=GRS80_A, f=GRS80_F):
     p0, p1, p2 = (np.deg2rad(v) for v in (lat0, sp1, sp2))
     m1, m2 = _snyder_m(np.sin(p1), e2), _snyder_m(np.sin(p2), e2)
     t0, t1, t2 = _t(p0), _t(p1), _t(p2)
-    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    # 1SP degenerate case (lat_1 == lat_2): the limit of
+    # d(ln m)/d(ln t) at the parallel is sin(lat_1) (Snyder 15-8 note)
+    n = (np.sin(p1) if abs(sp1 - sp2) < 1e-9
+         else (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
     Fc = m1 / (n * t1 ** n)
     rho0 = a * Fc * t0 ** n
 
@@ -607,6 +637,238 @@ to_5070, from_5070 = make_albers(23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
 to_2154, from_2154 = make_lcc2sp(46.5, 3.0, 44.0, 49.0,
                                  700_000.0, 6_600_000.0)
 to_3035, from_3035 = make_laea(52.0, 10.0, 4_321_000.0, 3_210_000.0)
+
+
+def make_merc(lon0: float = 0.0, k0: float = 1.0, lat_ts=None,
+              fe: float = 0.0, fn: float = 0.0,
+              a: float = WGS84_A, f: float = WGS84_F):
+    """Mercator, ellipsoidal normal case (Snyder eqs 7-7..7-10); f=0
+    gives the spherical case (web mercator's +a=+b).  ``lat_ts``
+    (true-scale parallel) overrides ``k0`` like PROJ."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    if lat_ts is not None:
+        k0 = _snyder_m(np.sin(np.deg2rad(lat_ts)), e2)
+    lim = 89.9999        # |psi| -> inf at the poles
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64)
+        lat = np.clip(np.asarray(lat, np.float64), -lim, lim)
+        sphi = np.sin(np.deg2rad(lat))
+        psi = np.arctanh(sphi) - e * np.arctanh(e * sphi)
+        return fe + a * k0 * np.deg2rad(lng - lon0), fn + a * k0 * psi
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        lng = lon0 + np.rad2deg((x - fe) / (a * k0))
+        t = np.exp(-(y - fn) / (a * k0))
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):   # Snyder 7-9 fixed point, quad convergence
+            sphi = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - sphi) / (1.0 + sphi)) ** (e / 2.0))
+        return lng, np.rad2deg(phi)
+
+    return forward, inverse
+
+
+def make_cea(lat_ts: float = 0.0, lon0: float = 0.0,
+             fe: float = 0.0, fn: float = 0.0,
+             a: float = WGS84_A, f: float = WGS84_F):
+    """Cylindrical equal-area, ellipsoidal normal case (Snyder eqs
+    10-1..10-6 via the authalic q); f=0 gives the Lambert sphere."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    k0 = _snyder_m(np.sin(np.deg2rad(lat_ts)), e2)
+
+    if e == 0.0:
+        def forward(lng, lat):
+            lng = np.asarray(lng, np.float64)
+            lat = np.asarray(lat, np.float64)
+            return (fe + a * k0 * np.deg2rad(lng - lon0),
+                    fn + a * np.sin(np.deg2rad(lat)) / k0)
+
+        def inverse(x, y):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            lat = np.arcsin(np.clip((y - fn) * k0 / a, -1.0, 1.0))
+            return lon0 + np.rad2deg((x - fe) / (a * k0)), np.rad2deg(lat)
+
+        return forward, inverse
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64)
+        lat = np.asarray(lat, np.float64)
+        q = _auth_q(np.sin(np.deg2rad(lat)), e, e2)
+        return (fe + a * k0 * np.deg2rad(lng - lon0),
+                fn + a * q / (2.0 * k0))
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        q = 2.0 * k0 * (y - fn) / a
+        return (lon0 + np.rad2deg((x - fe) / (a * k0)),
+                np.rad2deg(_phi_from_q(q, e, e2)))
+
+    return forward, inverse
+
+
+def make_stere_polar(lat_ts: float, lon0: float,
+                     fe: float = 0.0, fn: float = 0.0,
+                     south: bool = False,
+                     a: float = WGS84_A, f: float = WGS84_F):
+    """Polar stereographic, ellipsoidal (Snyder eqs 21-33..21-41 /
+    3-1) with a true-scale parallel — the EPSG "variant B" used by
+    EPSG:3031/3413.  ``south=True`` is the south-polar aspect."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    sgn = -1.0 if south else 1.0
+
+    def _t(phi):      # Snyder 15-9 conformal-colatitude function
+        sphi = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+
+    pts = np.deg2rad(lat_ts)    # caller passes the ABSOLUTE parallel
+    # rho = a * m(lat_ts) * t(phi) / t(lat_ts); at lat_ts = +-90 the
+    # ratio's limit gives the "variant A" k0=1 scaling (Snyder 21-39)
+    if abs(lat_ts) >= 90.0 - 1e-12:
+        scale = a * 2.0 / np.sqrt((1.0 + e) ** (1.0 + e)
+                                  * (1.0 - e) ** (1.0 - e))
+    else:
+        scale = a * _snyder_m(np.sin(pts), e2) / _t(pts)
+
+    def forward(lng, lat):
+        lng = np.asarray(lng, np.float64)
+        lat = np.asarray(lat, np.float64)
+        rho = scale * _t(np.deg2rad(sgn * lat))
+        th = np.deg2rad(lng - lon0)
+        # both aspects keep easting along lon0+90E; northing flips
+        return fe + rho * np.sin(th), fn - sgn * rho * np.cos(th)
+
+    def inverse(x, y):
+        x = np.asarray(x, np.float64) - fe
+        yrel = sgn * (fn - np.asarray(y, np.float64))
+        rho = np.hypot(x, yrel)
+        t = rho / scale
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):   # Snyder 7-9 fixed point
+            sphi = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - sphi) / (1.0 + sphi)) ** (e / 2.0))
+        lam = np.arctan2(x, yrel)
+        return lon0 + np.rad2deg(lam), sgn * np.rad2deg(phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# proj4 -> kernel dispatch (the engine's "arbitrary CRS" surface: any
+# parameterization of the implemented families, not just EPSG presets —
+# `fiona/transform.py` reaches the same space through PROJ)
+# ---------------------------------------------------------------------------
+
+# named ellipsoids/datums the engine resolves without grid shifts
+# (PROJ's own gridless default treats these datum steps as null)
+_ELLIPSOIDS = {
+    "WGS84": (WGS84_A, WGS84_F),
+    "GRS80": (GRS80_A, GRS80_F),
+    "NAD83": (GRS80_A, GRS80_F),
+    "ETRS89": (GRS80_A, GRS80_F),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "clrk66": (6378206.4, 1.0 / 294.9786982),
+}
+
+
+def _proj4_ellipsoid(d: dict):
+    """(a, f) from proj4 params; explicit +a/+b/+rf win, then named
+    +ellps / +datum, then +R spheres; unknown names -> None."""
+    if "a" in d:
+        a = float(d["a"])
+        if "b" in d:
+            b = float(d["b"])
+            return a, (a - b) / a
+        if "rf" in d:
+            return a, 1.0 / float(d["rf"])
+        return a, 0.0
+    if "R" in d:
+        return float(d["R"]), 0.0
+    name = d.get("ellps") or d.get("datum") or "WGS84"
+    return _ELLIPSOIDS.get(name)
+
+
+def kernel_from_proj4(p4):
+    """proj4 string or dict -> (forward, inverse) vectorized kernels
+    w.r.t. EPSG:4326 lng/lat, or None when the projection family is
+    outside the engine's closed forms.  Families: longlat (identity),
+    utm / tmerc / etmerc, merc / webmerc, cea, aea, lcc (1SP + 2SP),
+    laea, stere (polar aspects)."""
+    if isinstance(p4, str):
+        d = {}
+        for tok in p4.split():
+            tok = tok.lstrip("+")
+            if "=" in tok:
+                k, v = tok.split("=", 1)
+                d[k] = v
+            elif tok:
+                d[tok] = True
+    else:
+        d = dict(p4)
+    proj = d.get("proj")
+    if proj == "longlat":
+        ident = lambda x, y: (np.asarray(x, np.float64),  # noqa: E731
+                              np.asarray(y, np.float64))
+        return ident, ident
+    ell = _proj4_ellipsoid(d)
+    if ell is None:
+        return None
+    a, f = ell
+
+    def g(key, default=0.0):
+        return float(d.get(key, default))
+
+    k0 = float(d.get("k", d.get("k_0", 1.0)))
+    if proj == "utm" and "zone" in d:
+        return make_tmerc(0.0, utm_zone_lon0(int(d["zone"])), _UTM_K0,
+                          _UTM_FE, _UTM_FN_S if "south" in d else 0.0,
+                          a, f)
+    if proj in ("tmerc", "etmerc"):
+        return make_tmerc(g("lat_0"), g("lon_0"), k0,
+                          g("x_0"), g("y_0"), a, f)
+    if proj == "webmerc":
+        return make_merc(g("lon_0"), 1.0, None, g("x_0"), g("y_0"),
+                         a, 0.0)
+    if proj == "merc":
+        lat_ts = float(d["lat_ts"]) if "lat_ts" in d else None
+        return make_merc(g("lon_0"), k0, lat_ts, g("x_0"), g("y_0"),
+                         a, f)
+    if proj == "cea":
+        return make_cea(g("lat_ts"), g("lon_0"), g("x_0"), g("y_0"),
+                        a, f)
+    if proj == "aea":
+        lat1 = g("lat_1", g("lat_0"))
+        return make_albers(g("lat_0"), g("lon_0"), lat1,
+                           float(d.get("lat_2", lat1)),
+                           g("x_0"), g("y_0"), a, f)
+    if proj == "lcc":
+        if k0 != 1.0:
+            return None      # LCC-1SP with k_0 != 1 not implemented
+        lat1 = g("lat_1", g("lat_0"))
+        return make_lcc2sp(g("lat_0"), g("lon_0"), lat1,
+                           float(d.get("lat_2", lat1)),
+                           g("x_0"), g("y_0"), a, f)
+    if proj == "laea":
+        return make_laea(g("lat_0"), g("lon_0"), g("x_0"), g("y_0"),
+                         a, f)
+    if proj == "stere" and abs(g("lat_0")) >= 90.0 - 1e-9:
+        if k0 != 1.0 and "lat_ts" not in d:
+            return None      # polar variant A with k0 != 1: unhandled
+        south = g("lat_0") < 0
+        lat_ts = float(d.get("lat_ts", 90.0 if not south else -90.0))
+        return make_stere_polar(abs(lat_ts), g("lon_0"),
+                                g("x_0"), g("y_0"), south, a, f)
+    return None
 
 
 def cut_antimeridian_bbox(xmin, ymin, xmax, ymax):

@@ -25,7 +25,11 @@ from .crs import CRS
 def _resolve(crs_like) -> str:
     if isinstance(crs_like, str) and crs_like.upper().startswith("EPSG:"):
         return f"EPSG:{int(crs_like.split(':', 1)[1])}"
-    return f"EPSG:{CRS.from_user_input(crs_like).to_epsg()}"
+    c = CRS.from_user_input(crs_like)
+    code = c.to_epsg()
+    # codeless (parameter-built) CRSs resolve by their proj4 string —
+    # pair_fn builds the kernel directly from the parameters
+    return f"EPSG:{code}" if code is not None else c.to_proj4()
 
 
 def transform(src_crs, dst_crs, xs, ys):
