@@ -231,9 +231,9 @@ def _no_write(df, path, **opts):
     raise DriverError("this driver is read-only")
 
 
-def _read_gpkg(spark, path, layer=None, **opts):
+def _read_gpkg(spark, path, layer=None, bbox=None, **opts):
     from . import geopackage
-    return geopackage.read_geopackage(spark, path, layer)
+    return geopackage.read_geopackage(spark, path, layer, bbox=bbox)
 
 
 def _read_shp(spark, path, encoding=None, **opts):
@@ -274,9 +274,9 @@ def _read_gdb(spark, path, layer=None, **opts):
     return openfilegdb.read_openfilegdb(spark, path, layer)
 
 
-def _read_fgb(spark, path, **opts):
+def _read_fgb(spark, path, bbox=None, **opts):
     from . import flatgeobuf
-    return flatgeobuf.read_flatgeobuf(spark, path)
+    return flatgeobuf.read_flatgeobuf(spark, path, bbox=bbox)
 
 
 def _write_fgb(df, path, **opts):

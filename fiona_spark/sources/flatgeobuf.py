@@ -240,6 +240,134 @@ class _Builder:
 
 
 # ---------------------------------------------------------------------------
+# packed Hilbert R-tree (spec packedrtree: 40-byte nodes
+# (minx,miny,maxx,maxy:f8, offset:u8), levels laid out ROOT-FIRST,
+# leaves last; leaf offset = feature byte offset into the features
+# section, internal offset = node index of the first child)
+# ---------------------------------------------------------------------------
+
+_NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                     ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
+
+
+def _hilbert_xy2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert distance on the 2^16 grid (classic xy2d
+    square-rotation recurrence).  Any valid Hilbert order satisfies the
+    spec — readers rely only on parent-covers-children bboxes; the
+    order just gives the tree its locality."""
+    x = x.astype(np.uint32).copy()
+    y = y.astype(np.uint32).copy()
+    d = np.zeros(x.shape, np.uint64)
+    s = 1 << 15
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint32)
+        ry = ((y & s) > 0).astype(np.uint32)
+        d += np.uint64(s) * np.uint64(s) * ((3 * rx) ^ ry)
+        # rotate quadrant: ry==0 -> (reflect if rx==1, then swap axes)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, s - 1 - x, x)
+        yr = np.where(refl, s - 1 - y, y)
+        x = np.where(swap, yr, xr)
+        y = np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def _hilbert_order(boxes: np.ndarray) -> np.ndarray:
+    """Sort permutation of feature bboxes (n,4) by the Hilbert code of
+    their centers over the collection extent."""
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    ext_w = max(float(boxes[:, 2].max() - boxes[:, 0].min()), 1e-300)
+    ext_h = max(float(boxes[:, 3].max() - boxes[:, 1].min()), 1e-300)
+    gx = np.clip((cx - boxes[:, 0].min()) / ext_w * 65535.0,
+                 0, 65535).astype(np.uint32)
+    gy = np.clip((cy - boxes[:, 1].min()) / ext_h * 65535.0,
+                 0, 65535).astype(np.uint32)
+    return np.argsort(_hilbert_xy2d(gx, gy), kind="stable")
+
+
+def _level_num_nodes(n_items: int, node_size: int) -> list[int]:
+    """Node counts per level, BOTTOM-UP (leaves first), ending at the
+    single root — the spec's generateLevelBounds recurrence."""
+    lvls = [n_items]
+    while True:                  # do-while like _index_size: a 1-item
+        nxt = (lvls[-1] + node_size - 1) // node_size
+        lvls.append(nxt)         # tree still gets its own root level
+        if nxt == 1:
+            break
+    return lvls
+
+
+def _level_bounds(n_items: int, node_size: int) -> list[tuple[int, int]]:
+    """[(start, end)) node-index range per level, bottom-up, in the
+    root-first node layout."""
+    lvls = _level_num_nodes(n_items, node_size)
+    total = sum(lvls)
+    out = []
+    pos = total
+    for n in lvls:
+        out.append((pos - n, pos))
+        pos -= n
+    return out
+
+
+def _build_index(boxes: np.ndarray, feat_offsets: np.ndarray,
+                 node_size: int) -> np.ndarray:
+    """Packed Hilbert R-tree nodes from HILBERT-SORTED feature bboxes
+    (n,4) and their byte offsets into the features section."""
+    n = len(boxes)
+    bounds = _level_bounds(n, node_size)
+    nodes = np.zeros(bounds[0][1], _NODE_DT)
+    ls, le = bounds[0]
+    nodes["minx"][ls:le] = boxes[:, 0]
+    nodes["miny"][ls:le] = boxes[:, 1]
+    nodes["maxx"][ls:le] = boxes[:, 2]
+    nodes["maxy"][ls:le] = boxes[:, 3]
+    nodes["off"][ls:le] = feat_offsets
+    for lvl in range(len(bounds) - 1):
+        cs, ce = bounds[lvl]
+        ps, _pe = bounds[lvl + 1]
+        for j in range(ps, bounds[lvl + 1][1]):
+            c0 = cs + (j - ps) * node_size
+            c1 = min(c0 + node_size, ce)
+            nodes["minx"][j] = nodes["minx"][c0:c1].min()
+            nodes["miny"][j] = nodes["miny"][c0:c1].min()
+            nodes["maxx"][j] = nodes["maxx"][c0:c1].max()
+            nodes["maxy"][j] = nodes["maxy"][c0:c1].max()
+            nodes["off"][j] = c0
+    return nodes
+
+
+def _search_index(nodes: np.ndarray, n_items: int, node_size: int,
+                  bbox) -> list[tuple[int, int]]:
+    """(feature byte offset, file-order feature index) for every leaf
+    bbox intersecting ``bbox`` — the spec's streamSearch over the
+    in-memory node array.  Leaf bboxes are exact feature envelopes, so
+    no post-filter is needed."""
+    xmin, ymin, xmax, ymax = bbox
+    bounds = _level_bounds(n_items, node_size)
+    leaf_start = bounds[0][0]
+    out = []
+    queue = [(0, len(bounds) - 1)]
+    while queue:
+        idx, lvl = queue.pop()
+        end = min(idx + node_size, bounds[lvl][1])
+        hit = np.flatnonzero(
+            (nodes["minx"][idx:end] <= xmax)
+            & (nodes["maxx"][idx:end] >= xmin)
+            & (nodes["miny"][idx:end] <= ymax)
+            & (nodes["maxy"][idx:end] >= ymin)) + idx
+        for pos in hit:
+            if idx >= leaf_start:
+                out.append((int(nodes["off"][pos]), int(pos - leaf_start)))
+            else:
+                queue.append((int(nodes["off"][pos]), lvl - 1))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
 # header / feature codecs
 # ---------------------------------------------------------------------------
 
@@ -333,30 +461,51 @@ def _decode_properties(blob: bytes, cols: list) -> dict:
 # reader
 # ---------------------------------------------------------------------------
 
-def read_flatgeobuf(spark, path: str) -> DataFrame:
+def read_flatgeobuf(spark, path: str, bbox=None) -> DataFrame:
     """Open a .fgb as a ring-model DataFrame: (fid, properties...,
     geom_type, rings_xs, rings_ys, xs, ys, envelope).
 
     The driver pass reads only size prefixes (no feature decode); the
     per-feature flatbuffers GEOMETRY + PROPERTY decode runs distributed
-    in one ``mapInPandas`` over the blob column.  The packed Hilbert
-    R-tree index, when present, is skipped — a Spark scan is
-    full-table, and spatial pruning belongs to the engine's cell
-    filters after load.
+    in one ``mapInPandas`` over the blob column.
+
+    ``bbox=(xmin, ymin, xmax, ymax)`` prunes BEFORE Spark sees the
+    data: with a packed Hilbert R-tree present (write with
+    ``index_node_size > 0``) only intersecting features are sliced
+    from the file — the format's cloud-native selective-read path —
+    and leaf bboxes are exact feature envelopes, so no post-filter
+    runs.  Without an index the bbox falls back to a post-decode
+    envelope filter (same result, full scan).  ``fid`` is the file
+    position either way.
     """
     with open(path, "rb") as fh:
         data = fh.read()
     name, gt_default, cols, n_features, node_size, off = _parse_header(data)
-    blobs = []
-    while off + 4 <= len(data):
-        fsize = _u32(data, off)
-        blobs.append(data[off:off + 4 + fsize])
-        off += 4 + fsize
-    if n_features and len(blobs) != n_features:
-        raise DriverError(
-            f"{path!r}: header claims {n_features} features, "
-            f"found {len(blobs)}")
-    pdf = pd.DataFrame({"fid": np.arange(len(blobs), dtype=np.int64),
+    fids = None
+    if bbox is not None and node_size > 0 and n_features > 0:
+        hsize = _u32(data, 8)
+        idx_bytes = _index_size(n_features, node_size)
+        nodes = np.frombuffer(data, _NODE_DT, idx_bytes // 40, 12 + hsize)
+        hits = _search_index(nodes, n_features, node_size, bbox)
+        blobs, fids = [], []
+        for foff, fidx in hits:
+            p = off + foff
+            blobs.append(data[p:p + 4 + _u32(data, p)])
+            fids.append(fidx)
+    else:
+        blobs = []
+        while off + 4 <= len(data):
+            fsize = _u32(data, off)
+            blobs.append(data[off:off + 4 + fsize])
+            off += 4 + fsize
+        if n_features and len(blobs) != n_features:
+            raise DriverError(
+                f"{path!r}: header claims {n_features} features, "
+                f"found {len(blobs)}")
+    pdf = pd.DataFrame({"fid": (np.asarray(fids, dtype=np.int64)
+                                if fids is not None
+                                else np.arange(len(blobs),
+                                               dtype=np.int64)),
                         "fgb0body": blobs})
     # explicit schema: inference fails on an empty (0-feature) file
     src = spark.createDataFrame(pdf, schema="fid long, fgb0body binary")
@@ -389,17 +538,25 @@ def read_flatgeobuf(spark, path: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     out = src.mapInPandas(run, out_schema)
-    return (out
-            .withColumn("xs", F.expr("rings_xs[0]"))
-            .withColumn("ys", F.expr("rings_ys[0]"))
-            .withColumn("xmin", F.array_min(F.expr(
-                "transform(rings_xs, r -> array_min(r))")))
-            .withColumn("ymin", F.array_min(F.expr(
-                "transform(rings_ys, r -> array_min(r))")))
-            .withColumn("xmax", F.array_max(F.expr(
-                "transform(rings_xs, r -> array_max(r))")))
-            .withColumn("ymax", F.array_max(F.expr(
-                "transform(rings_ys, r -> array_max(r))"))))
+    out = (out
+           .withColumn("xs", F.expr("rings_xs[0]"))
+           .withColumn("ys", F.expr("rings_ys[0]"))
+           .withColumn("xmin", F.array_min(F.expr(
+               "transform(rings_xs, r -> array_min(r))")))
+           .withColumn("ymin", F.array_min(F.expr(
+               "transform(rings_ys, r -> array_min(r))")))
+           .withColumn("xmax", F.array_max(F.expr(
+               "transform(rings_xs, r -> array_max(r))")))
+           .withColumn("ymax", F.array_max(F.expr(
+               "transform(rings_ys, r -> array_max(r))"))))
+    if bbox is not None and fids is None:
+        # no index in the file: same bbox semantics via a post-decode
+        # envelope-intersects filter
+        out = out.filter((F.col("xmin") <= bbox[2])
+                         & (F.col("xmax") >= bbox[0])
+                         & (F.col("ymin") <= bbox[3])
+                         & (F.col("ymax") >= bbox[1]))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -437,17 +594,80 @@ def _encode_geometry(bld: _Builder, gt: str, rxs, rys) -> int:
     return bld.table(fields)
 
 
+def _encode_feature(d: dict, cols: list, cols_set: set):
+    """One row dict -> (size-prefixed Feature blob, bbox | None)."""
+    if d.get("rings_xs") is not None:
+        gt, rxs, rys = (d.get("geom_type"), d["rings_xs"], d["rings_ys"])
+    elif "xs" in cols_set and d.get("xs") is not None:
+        gt, rxs, rys = (d.get("geom_type") or "Polygon",
+                        [d["xs"]], [d["ys"]])
+    else:
+        gt, rxs, rys = None, None, None
+    fb = _Builder()
+    prop_blob = bytearray()
+    for ci, (cname, ct) in enumerate(cols):
+        v = d.get(cname)
+        if v is None:
+            continue
+        prop_blob += struct.pack("<H", ci)
+        if ct in _CT_STRUCT:
+            prop_blob += struct.pack(_CT_STRUCT[ct], v)
+        else:
+            raw = v if isinstance(v, (bytes, bytearray)) \
+                else str(v).encode("utf-8")
+            prop_blob += struct.pack("<I", len(raw)) + bytes(raw)
+    ffields = []
+    bbox = None
+    if gt is not None and rxs:
+        ffields.append((0, "uoffset", _encode_geometry(fb, gt, rxs, rys)))
+        bbox = (min(min(r) for r in rxs), min(min(r) for r in rys),
+                max(max(r) for r in rxs), max(max(r) for r in rys))
+    if prop_blob:
+        ffields.append((1, "uoffset", fb.vector_bytes(bytes(prop_blob))))
+    return fb.finish_size_prefixed(fb.table(ffields)), bbox
+
+
+def _encode_header(name: str, gt_code: int, cols: list,
+                   features_count: int, index_node_size: int,
+                   envelope=None) -> bytes:
+    hb = _Builder()
+    col_offs = []
+    for cname, ct in cols:
+        s = hb.string(cname)
+        col_offs.append(hb.table([(0, "uoffset", s), (1, "<B", ct)]))
+    cvec = hb.vector_offsets(col_offs) if col_offs else None
+    env = (hb.vector_numeric(np.asarray(envelope, "<f8"))
+           if envelope is not None else None)
+    nm = hb.string(name)
+    hfields = [(0, "uoffset", nm), (2, "<B", gt_code),
+               (8, "<Q", features_count), (9, "<H", index_node_size)]
+    if cvec is not None:
+        hfields.append((7, "uoffset", cvec))
+    if env is not None:
+        hfields.append((1, "uoffset", env))
+    return hb.finish_size_prefixed(hb.table(hfields))
+
+
 def write_flatgeobuf(df: DataFrame, path: str, name: str = "layer",
-                     geometry_type: str | None = None) -> None:
+                     geometry_type: str | None = None,
+                     index_node_size: int = 0) -> None:
     """Single-file FlatGeobuf sink (reference capability "raw"; the
     engine supports r/w — append would require index rebuild).
 
-    Writes an UNINDEXED .fgb (``index_node_size=0``, allowed by the
-    spec and what streaming writers emit): Spark consumers scan
-    full-table, so the Hilbert index would be dead weight.  Rows
-    stream through ``toLocalIterator`` — driver-serial single-file
-    encode; bulk exports belong in parquet.  Coordinates are raw
-    ``<f8`` copies (bit-exact round-trip).
+    ``index_node_size=0`` (default) writes an UNINDEXED .fgb in input
+    row order (allowed by the spec and what streaming writers emit) —
+    bit-exact, order-preserving.  ``index_node_size>0`` builds the
+    spec's packed Hilbert R-tree: features are HILBERT-SORTED by bbox
+    center (read order changes), the header carries the envelope +
+    feature count, and ``read_flatgeobuf(..., bbox=...)`` then slices
+    only intersecting features without scanning (null-geometry
+    features index at the envelope's min corner and never match bbox
+    queries narrower than it).
+
+    Rows stream through ``toLocalIterator`` (features spool to a side
+    file before assembly in the indexed mode) — driver-serial
+    single-file encode; bulk exports belong in parquet.  Coordinates
+    are raw ``<f8`` copies (bit-exact round-trip).
     """
     props = [f for f in df.schema.fields if f.name not in _DERIVED_COLS]
     cols = []
@@ -459,54 +679,61 @@ def write_flatgeobuf(df: DataFrame, path: str, name: str = "layer",
         cols.append((f_.name, _SPARK_CT[t]))
     gt_code = _GT_CODE.get(geometry_type, GT_UNKNOWN)
     cols_set = set(df.columns)
-
-    hb = _Builder()
-    col_offs = []
-    for cname, ct in cols:
-        s = hb.string(cname)
-        col_offs.append(hb.table([(0, "uoffset", s), (1, "<B", ct)]))
-    cvec = hb.vector_offsets(col_offs) if col_offs else None
-    nm = hb.string(name)
-    hfields = [(0, "uoffset", nm), (2, "<B", gt_code),
-               (8, "<Q", 0),                       # features_count: unknown
-               (9, "<H", 0)]                       # index_node_size: none
-    if cvec is not None:
-        hfields.append((7, "uoffset", cvec))
-    header = hb.finish_size_prefixed(hb.table(hfields))
-
     tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
+
+    if index_node_size == 0:
+        header = _encode_header(name, gt_code, cols, 0, 0)
+        with open(tmp, "wb") as fh:
+            fh.write(MAGIC)
+            fh.write(header)
+            for row in df.toLocalIterator():
+                blob, _bbox = _encode_feature(
+                    row.asDict(recursive=True), cols, cols_set)
+                fh.write(blob)
+        os.replace(tmp, path)
+        return
+
+    # indexed mode: spool feature blobs, then assemble hilbert-sorted
+    spool = path + ".feat.tmp"
+    sizes, boxes = [], []
+    with open(spool, "wb") as sf:
+        for row in df.toLocalIterator():
+            blob, bbox = _encode_feature(
+                row.asDict(recursive=True), cols, cols_set)
+            sf.write(blob)
+            sizes.append(len(blob))
+            boxes.append(bbox if bbox is not None
+                         else (np.nan,) * 4)
+    n = len(sizes)
+    sizes = np.asarray(sizes, np.int64)
+    boxes = np.asarray(boxes, np.float64).reshape(n, 4)
+    has_geom = ~np.isnan(boxes[:, 0])
+    if has_geom.any():
+        envelope = (float(np.nanmin(boxes[:, 0])),
+                    float(np.nanmin(boxes[:, 1])),
+                    float(np.nanmax(boxes[:, 2])),
+                    float(np.nanmax(boxes[:, 3])))
+    else:
+        envelope = (0.0, 0.0, 0.0, 0.0)
+    # null-geometry features: degenerate bbox at the envelope min
+    # corner (valid tree; excluded from narrower bbox queries)
+    boxes[~has_geom] = [envelope[0], envelope[1],
+                        envelope[0], envelope[1]]
+    order = _hilbert_order(boxes)
+    sboxes = boxes[order]
+    ssizes = sizes[order]
+    feat_offsets = np.concatenate([[0], np.cumsum(ssizes)[:-1]])
+    nodes = _build_index(sboxes, feat_offsets.astype(np.uint64),
+                         max(int(index_node_size), 2))
+    src_offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    header = _encode_header(name, gt_code, cols, n,
+                            max(int(index_node_size), 2), envelope)
+    with open(tmp, "wb") as fh, open(spool, "rb") as sf:
         fh.write(MAGIC)
         fh.write(header)
-        for row in df.toLocalIterator():
-            d = row.asDict(recursive=True)
-            if d.get("rings_xs") is not None:
-                gt, rxs, rys = (d.get("geom_type"), d["rings_xs"],
-                                d["rings_ys"])
-            elif "xs" in cols_set and d.get("xs") is not None:
-                gt, rxs, rys = (d.get("geom_type") or "Polygon",
-                                [d["xs"]], [d["ys"]])
-            else:
-                gt, rxs, rys = None, None, None
-            fb = _Builder()
-            prop_blob = bytearray()
-            for ci, (cname, ct) in enumerate(cols):
-                v = d.get(cname)
-                if v is None:
-                    continue
-                prop_blob += struct.pack("<H", ci)
-                if ct in _CT_STRUCT:
-                    prop_blob += struct.pack(_CT_STRUCT[ct], v)
-                else:
-                    raw = v if isinstance(v, (bytes, bytearray)) \
-                        else str(v).encode("utf-8")
-                    prop_blob += struct.pack("<I", len(raw)) + bytes(raw)
-            ffields = []
-            if gt is not None and rxs:
-                ffields.append(
-                    (0, "uoffset", _encode_geometry(fb, gt, rxs, rys)))
-            if prop_blob:
-                ffields.append(
-                    (1, "uoffset", fb.vector_bytes(bytes(prop_blob))))
-            fh.write(fb.finish_size_prefixed(fb.table(ffields)))
+        fh.write(nodes.tobytes())
+        for i in order:
+            sf.seek(src_offsets[i])
+            fh.write(sf.read(sizes[i]))
+    os.remove(spool)
     os.replace(tmp, path)

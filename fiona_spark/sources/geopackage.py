@@ -70,9 +70,18 @@ def listlayers_gpkg(path: str) -> list[str]:
     return [r[0] for r in rows]
 
 
-def read_geopackage(spark, path: str, layer: str | None = None) -> DataFrame:
+def read_geopackage(spark, path: str, layer: str | None = None,
+                    bbox=None) -> DataFrame:
     """Open one feature layer as a DataFrame in the engine ring model
-    (fid, geom_type, rings_xs, rings_ys, properties..., envelope)."""
+    (fid, geom_type, rings_xs, rings_ys, properties..., envelope).
+
+    ``bbox=(xmin, ymin, xmax, ymax)`` prunes rows BEFORE decode: when
+    the layer has the spec's ``gpkg_rtree_index`` extension (the
+    ``rtree_<table>_<column>`` virtual table GDAL and this engine's
+    ``write_geopackage(..., spatial_index=True)`` maintain), the rtree
+    join selects candidates inside SQLite; either way an exact
+    envelope filter runs after decode (the rtree stores outward-rounded
+    float32 boxes, so its hits are a slight superset by design)."""
     layers = listlayers_gpkg(path)
     if not layers:
         raise DriverError(f"no feature layers in {path!r}")
@@ -87,7 +96,18 @@ def read_geopackage(spark, path: str, layer: str | None = None) -> DataFrame:
         if gc is None:
             raise DriverError(f"{layer!r} has no geometry column entry")
         geom_col = gc[0]
-        cur = con.execute(f'SELECT * FROM "{layer}"')
+        rtree = f"rtree_{layer}_{geom_col}"
+        use_idx = bbox is not None and con.execute(
+            "SELECT name FROM sqlite_master WHERE name = ?",
+            (rtree,)).fetchone() is not None
+        if use_idx:
+            cur = con.execute(
+                f'SELECT t.* FROM "{layer}" t JOIN "{rtree}" r '
+                f'ON t.fid = r.id WHERE r.minx <= ? AND r.maxx >= ? '
+                f'AND r.miny <= ? AND r.maxy >= ?',
+                (bbox[2], bbox[0], bbox[3], bbox[1]))
+        else:
+            cur = con.execute(f'SELECT * FROM "{layer}"')
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
     pdf = pd.DataFrame(rows, columns=cols)
@@ -123,21 +143,28 @@ def read_geopackage(spark, path: str, layer: str | None = None) -> DataFrame:
             yield pd.DataFrame(recs)
 
     out = src.mapInPandas(run, out_schema)
-    return (out
-            .withColumn("xs", F.expr("rings_xs[0]"))
-            .withColumn("ys", F.expr("rings_ys[0]"))
-            .withColumn("xmin", F.array_min(F.expr(
-                "transform(rings_xs, r -> array_min(r))")))
-            .withColumn("ymin", F.array_min(F.expr(
-                "transform(rings_ys, r -> array_min(r))")))
-            .withColumn("xmax", F.array_max(F.expr(
-                "transform(rings_xs, r -> array_max(r))")))
-            .withColumn("ymax", F.array_max(F.expr(
-                "transform(rings_ys, r -> array_max(r))"))))
+    out = (out
+           .withColumn("xs", F.expr("rings_xs[0]"))
+           .withColumn("ys", F.expr("rings_ys[0]"))
+           .withColumn("xmin", F.array_min(F.expr(
+               "transform(rings_xs, r -> array_min(r))")))
+           .withColumn("ymin", F.array_min(F.expr(
+               "transform(rings_ys, r -> array_min(r))")))
+           .withColumn("xmax", F.array_max(F.expr(
+               "transform(rings_xs, r -> array_max(r))")))
+           .withColumn("ymax", F.array_max(F.expr(
+               "transform(rings_ys, r -> array_max(r))"))))
+    if bbox is not None:
+        out = out.filter((F.col("xmin") <= bbox[2])
+                         & (F.col("xmax") >= bbox[0])
+                         & (F.col("ymin") <= bbox[3])
+                         & (F.col("ymax") >= bbox[1]))
+    return out
 
 
-_SQLITE_T = {"string": "TEXT", "long": "INTEGER", "int": "INTEGER",
-             "smallint": "INTEGER", "boolean": "INTEGER",
+_SQLITE_T = {"string": "TEXT", "bigint": "INTEGER", "int": "INTEGER",
+             "smallint": "INTEGER", "tinyint": "INTEGER",
+             "boolean": "INTEGER",
              "double": "REAL", "float": "REAL", "binary": "BLOB",
              "date": "TEXT", "timestamp": "TEXT"}
 
@@ -146,7 +173,8 @@ _GEOM_COLS = ("geom_type", "rings_xs", "rings_ys", "xs", "ys",
 
 
 def write_geopackage(df: DataFrame, path: str, layer: str = "features",
-                     mode: str = "w", srs_id: int = 4326) -> None:
+                     mode: str = "w", srs_id: int = 4326,
+                     spatial_index: bool = False) -> None:
     """Single-file GeoPackage sink (the reference's GPKG 'raw' modes).
 
     A .gpkg is one SQLite file, so this is a driver-side writer by
@@ -161,6 +189,12 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "features",
     (~single-core, same as the reference's one-GDAL-handle writes).
     Streaming bounds driver MEMORY only — route bulk exports through
     partitioned parquet / ``sources.iceberg_like`` instead.
+
+    ``spatial_index=True`` maintains the spec's ``gpkg_rtree_index``
+    extension (``rtree_<layer>_geom`` virtual table + a
+    ``gpkg_extensions`` row), enabling ``read_geopackage(bbox=...)``
+    pruning inside SQLite; appends to a layer that already has the
+    rtree keep it up to date regardless of the flag.
     """
     from .. import model, wkb
 
@@ -200,6 +234,22 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "features",
                         (layer, srs_id))
         elif mode != "a":
             raise DriverError(f"unsupported mode {mode!r}")
+        rtree = f"rtree_{layer}_geom"
+        has_rtree = con.execute(
+            "SELECT name FROM sqlite_master WHERE name = ?",
+            (rtree,)).fetchone() is not None
+        if spatial_index and not has_rtree:
+            con.execute(f'CREATE VIRTUAL TABLE "{rtree}" USING '
+                        'rtree(id, minx, maxx, miny, maxy)')
+            con.execute("""CREATE TABLE IF NOT EXISTS gpkg_extensions (
+                table_name TEXT, column_name TEXT, extension_name TEXT,
+                definition TEXT, scope TEXT)""")
+            con.execute(
+                "INSERT INTO gpkg_extensions VALUES "
+                "(?, 'geom', 'gpkg_rtree_index', "
+                "'http://www.geopackage.org/spec/#extension_rtree', "
+                "'write-only')", (layer,))
+            has_rtree = True
         names = [f.name for f in props]
         ph = ", ".join(["?"] * (len(names) + 1))
         collist = ", ".join(["geom"] + [f'"{n}"' for n in names])
@@ -208,19 +258,26 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "features",
         for row in df.toLocalIterator():
             d = row.asDict(recursive=True)
             if d.get("rings_xs") is not None:
+                rxs, rys = d["rings_xs"], d["rings_ys"]
                 g = model.geometry_from_rings(
-                    d.get("geom_type") or "Polygon",
-                    d["rings_xs"], d["rings_ys"])
+                    d.get("geom_type") or "Polygon", rxs, rys)
             elif "xs" in cols_set and d.get("xs") is not None:
+                rxs, rys = [d["xs"]], [d["ys"]]
                 g = model.geometry_from_rings(
-                    d.get("geom_type") or "Polygon", [d["xs"]], [d["ys"]])
+                    d.get("geom_type") or "Polygon", rxs, rys)
             else:
-                g = None
+                rxs = rys = g = None
             if g is None:
                 blob = build_gpkg_blob(None, srs_id)
             else:
                 blob = build_gpkg_blob(wkb.encode(dict(g)), srs_id)
-            con.execute(insert, [blob] + [d.get(n) for n in names])
+            cur = con.execute(insert, [blob] + [d.get(n) for n in names])
+            if has_rtree and rxs:
+                con.execute(
+                    f'INSERT INTO "{rtree}" VALUES (?, ?, ?, ?, ?)',
+                    (cur.lastrowid,
+                     min(min(r) for r in rxs), max(max(r) for r in rxs),
+                     min(min(r) for r in rys), max(max(r) for r in rys)))
         con.commit()
     finally:
         con.close()

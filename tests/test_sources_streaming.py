@@ -1284,3 +1284,152 @@ def test_gdb_unknown_layer_raises(spark, gdb_dir):
     from fiona_spark.sources.openfilegdb import read_openfilegdb
     with pytest.raises(DriverError, match="no layer"):
         read_openfilegdb(spark, gdb_dir, "nope")
+
+
+def test_flatgeobuf_hilbert_matches_scalar_reference():
+    """Vectorized Hilbert code vs an independent scalar xy2d
+    (Wikipedia square-rotation form) on the 2^16 grid."""
+    import numpy as np
+    from fiona_spark.sources.flatgeobuf import _hilbert_xy2d
+
+    def xy2d(order_n, x, y):
+        d = 0
+        s = order_n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:                  # rotate
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 65536, 300).astype(np.uint32)
+    ys = rng.integers(0, 65536, 300).astype(np.uint32)
+    got = _hilbert_xy2d(xs, ys)
+    want = [xy2d(1 << 16, int(a), int(b)) for a, b in zip(xs, ys)]
+    assert got.tolist() == want
+
+
+def test_flatgeobuf_indexed_write_and_bbox_pushdown(spark, tmp_path):
+    """Packed Hilbert R-tree: indexed file reads back complete, the
+    byte layout matches the spec sizing, and bbox reads slice exactly
+    the intersecting features (oracle: envelope post-filter of the
+    full scan)."""
+    import numpy as np
+    from fiona_spark.sources import flatgeobuf as fgb
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(57):                  # > node_size^2 -> 3 levels
+        x0, y0 = float(rng.uniform(-170, 160)), float(rng.uniform(-80, 70))
+        w, h = (float(v) for v in rng.uniform(0.5, 8, 2))
+        rows.append((i, "Polygon",
+                     [[x0, x0 + w, x0 + w, x0, x0]],
+                     [[y0, y0, y0 + h, y0 + h, y0]]))
+    df = spark.createDataFrame(
+        rows, "k long, geom_type string, rings_xs array<array<double>>,"
+              " rings_ys array<array<double>>")
+    p = str(tmp_path / "idx.fgb")
+    fgb.write_flatgeobuf(df, p, geometry_type="Polygon",
+                         index_node_size=4)
+    # spec sizing: magic + header + index + features == file length
+    data = open(p, "rb").read()
+    hsize = int.from_bytes(data[8:12], "little")
+    _n, _gt, _cols, n_feat, node_size, body = fgb._parse_header(data)
+    assert n_feat == 57 and node_size == 4
+    assert body == 12 + hsize + fgb._index_size(57, 4)
+    full = fgb.read_flatgeobuf(spark, p).collect()
+    assert sorted(r["k"] for r in full) == list(range(57))
+    # fid == file position (hilbert order), not input order
+    assert [r["fid"] for r in sorted(full, key=lambda r: r["fid"])] \
+        == list(range(57))
+    for _case in range(12):
+        qx = sorted(rng.uniform(-180, 180, 2))
+        qy = sorted(rng.uniform(-90, 90, 2))
+        bbox = (qx[0], qy[0], qx[1], qy[1])
+        got = sorted(r["k"] for r in
+                     fgb.read_flatgeobuf(spark, p, bbox=bbox).collect())
+        want = sorted(r["k"] for r in full
+                      if r["xmin"] <= bbox[2] and r["xmax"] >= bbox[0]
+                      and r["ymin"] <= bbox[3] and r["ymax"] >= bbox[1])
+        assert got == want
+    # unindexed file: same bbox semantics via the post-decode filter
+    p2 = str(tmp_path / "noidx.fgb")
+    fgb.write_flatgeobuf(df, p2, geometry_type="Polygon")
+    bbox = (-50.0, -30.0, 40.0, 45.0)
+    a = sorted(r["k"] for r in
+               fgb.read_flatgeobuf(spark, p2, bbox=bbox).collect())
+    b = sorted(r["k"] for r in
+               fgb.read_flatgeobuf(spark, p, bbox=bbox).collect())
+    assert a == b and len(a) > 0
+
+
+def test_flatgeobuf_indexed_null_geometry(spark, tmp_path):
+    from fiona_spark.sources import flatgeobuf as fgb
+    rows = [(0, "Polygon", [[10.0, 11.0, 11.0, 10.0]],
+             [[10.0, 10.0, 11.0, 11.0]]),
+            (1, None, None, None),
+            (2, "Polygon", [[40.0, 41.0, 41.0, 40.0]],
+             [[40.0, 40.0, 41.0, 41.0]])]
+    df = spark.createDataFrame(
+        rows, "k long, geom_type string, rings_xs array<array<double>>,"
+              " rings_ys array<array<double>>")
+    p = str(tmp_path / "nullg.fgb")
+    fgb.write_flatgeobuf(df, p, geometry_type="Polygon",
+                         index_node_size=16)
+    assert sorted(r["k"] for r in
+                  fgb.read_flatgeobuf(spark, p).collect()) == [0, 1, 2]
+    got = [r["k"] for r in
+           fgb.read_flatgeobuf(spark, p, bbox=(39, 39, 42, 42)).collect()]
+    assert got == [2]
+
+
+def test_geopackage_rtree_index_and_bbox_read(spark, tmp_path):
+    """gpkg_rtree_index extension: write with spatial_index=True, read
+    with bbox pruned through the rtree join (oracle: envelope filter of
+    the full read); append keeps the index consistent."""
+    import sqlite3
+    from fiona_spark.sources import geopackage as gp
+    rows = [(i, "Polygon",
+             [[float(i), float(i) + 2, float(i) + 2, float(i), float(i)]],
+             [[0.0, 0.0, 2.0, 2.0, 0.0]]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "k long, geom_type string, rings_xs array<array<double>>,"
+              " rings_ys array<array<double>>")
+    p = str(tmp_path / "idx.gpkg")
+    gp.write_geopackage(df, p, layer="zones", spatial_index=True)
+    with sqlite3.connect(p) as con:
+        assert con.execute("SELECT count(*) FROM rtree_zones_geom"
+                           ).fetchone()[0] == 20
+        assert con.execute(
+            "SELECT extension_name FROM gpkg_extensions "
+            "WHERE table_name = 'zones'").fetchone()[0] \
+            == "gpkg_rtree_index"
+    bbox = (4.5, -1.0, 7.5, 3.0)
+    got = sorted(r["k"] for r in
+                 gp.read_geopackage(spark, p, "zones", bbox=bbox).collect())
+    full = gp.read_geopackage(spark, p, "zones").collect()
+    want = sorted(r["k"] for r in full
+                  if r["xmin"] <= bbox[2] and r["xmax"] >= bbox[0]
+                  and r["ymin"] <= bbox[3] and r["ymax"] >= bbox[1])
+    assert got == want and 0 < len(got) < 20
+    # append keeps the rtree in sync even without the flag
+    more = spark.createDataFrame(
+        [(99, "Polygon", [[50.0, 51.0, 51.0, 50.0, 50.0]],
+          [[0.0, 0.0, 1.0, 1.0, 0.0]])],
+        "k long, geom_type string, rings_xs array<array<double>>,"
+        " rings_ys array<array<double>>")
+    gp.write_geopackage(more, p, layer="zones", mode="a")
+    got = [r["k"] for r in gp.read_geopackage(
+        spark, p, "zones", bbox=(49.0, -1.0, 52.0, 2.0)).collect()]
+    assert got == [99]
+    # bbox on an UNINDEXED file: same semantics via the post filter
+    p2 = str(tmp_path / "noidx.gpkg")
+    gp.write_geopackage(df, p2, layer="zones")
+    a = sorted(r["k"] for r in
+               gp.read_geopackage(spark, p2, "zones", bbox=bbox).collect())
+    assert a == want
