@@ -39,6 +39,9 @@ def listlayers(path: str) -> list[str]:
     if low.rstrip("/").endswith(".gdb"):
         from .openfilegdb import listlayers_gdb
         return listlayers_gdb(path)
+    if low.endswith((".sqlite", ".db")):
+        from .sqlite_db import listlayers_sqlite
+        return listlayers_sqlite(path)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

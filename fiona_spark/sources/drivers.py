@@ -67,6 +67,12 @@ _EXT_TO_DRIVER = {
     ".json": "json", ".ndjson": "json", ".jsonl": "json",
     ".geojson": "geojson", ".geojsons": "geojson_seq",
     ".txt": "text", ".text": "text",
+    ".bna": "bna",
+    ".gmt": "gmt",
+    ".gen": "arcgen",
+    ".mif": "mapinfo",
+    ".sqlite": "sqlite", ".db": "sqlite",
+    ".dxf": "dxf",
 }
 
 
@@ -320,6 +326,68 @@ def _write_geojson_seq(df: DataFrame, path, **opts):
     geojson.write_feature_seq(df, path, **opts)
 
 
+def _read_esrijson(spark, path, **opts):
+    from . import esrijson
+    return esrijson.read_esrijson(spark, path)
+
+
+def _read_bna(spark, path, **opts):
+    from . import bna
+    return bna.read_bna(spark, path)
+
+
+def _write_bna(df, path, **opts):
+    from . import bna
+    bna.write_bna(df, path)
+
+
+def _read_gmt(spark, path, **opts):
+    from . import ogr_gmt
+    return ogr_gmt.read_gmt(spark, path)
+
+
+def _write_gmt(df, path, **opts):
+    from . import ogr_gmt
+    ogr_gmt.write_gmt(df, path)
+
+
+def _read_arcgen(spark, path, **opts):
+    from . import arcgen
+    return arcgen.read_arcgen(spark, path)
+
+
+def _read_mif(spark, path, **opts):
+    from . import mapinfo
+    return mapinfo.read_mapinfo(spark, path)
+
+
+def _write_mif(df, path, mode="overwrite", **opts):
+    from . import mapinfo
+    mapinfo.write_mapinfo(df, path,
+                          mode="a" if mode == "append" else "w", **opts)
+
+
+def _read_sqlite(spark, path, layer=None, **opts):
+    from . import sqlite_db
+    return sqlite_db.read_sqlite(spark, path, layer)
+
+
+def _write_sqlite(df, path, mode="overwrite", layer="features", **opts):
+    from . import sqlite_db
+    sqlite_db.write_sqlite(df, path, layer,
+                           mode="a" if mode == "append" else "w", **opts)
+
+
+def _read_dxf(spark, path, **opts):
+    from . import dxf
+    return dxf.read_dxf(spark, path)
+
+
+def _write_dxf(df, path, **opts):
+    from . import dxf
+    dxf.write_dxf(df, path)
+
+
 register_driver("parquet", _read_parquet, _write_parquet, "raw")
 register_driver("orc", _read_orc, _write_orc, "raw")
 register_driver("csv", _read_csv, _write_csv, "raw")
@@ -335,6 +403,13 @@ register_driver("kml", _read_kml, _write_kml, "rw")
 register_driver("flatgeobuf", _read_fgb, _write_fgb, "rw")
 register_driver("openfilegdb", _read_gdb, _no_write, "r")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
+register_driver("esrijson", _read_esrijson, _no_write, "r")
+register_driver("bna", _read_bna, _write_bna, "rw")
+register_driver("gmt", _read_gmt, _write_gmt, "rw")
+register_driver("arcgen", _read_arcgen, _no_write, "r")
+register_driver("mapinfo", _read_mif, _write_mif, "raw")
+register_driver("sqlite", _read_sqlite, _write_sqlite, "raw")
+register_driver("dxf", _read_dxf, _write_dxf, "rw")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:

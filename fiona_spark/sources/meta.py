@@ -153,13 +153,23 @@ _META: dict[str, dict] = {
         "field_types": ["bool", "date", "float", "int", "str"],
     },
     "flatgeobuf": {
-        "open": {},
+        "open": {
+            "bbox": {"type": "string", "default": "None",
+                     "description": "(xmin, ymin, xmax, ymax) pushdown; "
+                                    "uses the packed Hilbert R-tree "
+                                    "when the file carries one"},
+        },
         "creation": {
             "name": {"type": "string", "default": "layer",
                      "description": "header layer name"},
             "geometry_type": {"type": "string", "default": "Unknown",
                               "description": "header geometry type "
                                              "(per-feature when Unknown)"},
+            "index_node_size": {"type": "int", "default": "0",
+                                "description": "packed Hilbert R-tree "
+                                               "node size; 0 = no index "
+                                               "(indexed writes Hilbert-"
+                                               "reorder features)"},
         },
         "field_types": ["bool", "bytes", "float", "int", "str"],
     },
@@ -175,9 +185,62 @@ _META: dict[str, dict] = {
         "open": {
             "layer": {"type": "string", "default": "first",
                       "description": "feature table to open"},
+            "bbox": {"type": "string", "default": "None",
+                     "description": "(xmin, ymin, xmax, ymax) pushdown; "
+                                    "pruned inside SQLite via the "
+                                    "gpkg_rtree_index extension when "
+                                    "present"},
         },
-        "creation": {},
+        "creation": {
+            "spatial_index": {"type": "boolean", "default": "false",
+                              "description": "maintain the spec's "
+                                             "gpkg_rtree_index extension"},
+        },
         "field_types": _ATOMIC + ["bytes"],
+    },
+    "esrijson": {
+        "open": {},
+        "creation": {},
+        "field_types": _ATOMIC,
+    },
+    "bna": {
+        "open": {},
+        "creation": {},
+        "field_types": ["str"],
+    },
+    "gmt": {
+        "open": {},
+        "creation": {},
+        "field_types": ["str", "float", "int"],
+    },
+    "arcgen": {
+        "open": {},
+        "creation": {},
+        "field_types": [],
+    },
+    "mapinfo": {
+        "open": {},
+        "creation": {
+            "delimiter": {"type": "string", "default": ",",
+                          "description": "MID field delimiter"},
+        },
+        "field_types": ["bool", "date", "float", "int", "str"],
+    },
+    "sqlite": {
+        "open": {
+            "layer": {"type": "string", "default": "first",
+                      "description": "feature table to open"},
+        },
+        "creation": {
+            "srid": {"type": "int", "default": "4326",
+                     "description": "geometry_columns srid"},
+        },
+        "field_types": _ATOMIC + ["bytes"],
+    },
+    "dxf": {
+        "open": {},
+        "creation": {},
+        "field_types": ["str"],
     },
     "topojson": {
         "open": {},
