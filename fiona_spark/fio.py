@@ -1,0 +1,350 @@
+"""``fio`` CLI parity: ``python -m fiona_spark.fio COMMAND ...``.
+
+The reference ships its user surface as a click-based ``fio`` command
+group (`fiona/fio/main.py:56-100`, one module per subcommand under
+`fiona/fio/`).  This module reproduces that surface as stdlib-argparse
+glue over the engine's library operators — every subcommand is a thin
+wrapper around a function that already has its own tests/oracles:
+
+=============  =====================================================
+subcommand     engine operator (reference behavior source)
+=============  =====================================================
+``ls``         sources.catalog.listlayers     (`fio/ls.py:13-27`)
+``env``        env.env_info / format_listing  (`fio/env.py:22-39`)
+``info``       sources.catalog.info           (`fio/info.py:42-78`)
+``insp``       env.insp, non-interactive      (`fio/insp.py`)
+``rm``         sources.catalog.remove         (`fio/rm.py:9-31`)
+``cat``        driver registry read + filters (`fio/cat.py:63-139`)
+``dump``       same read -> one collection    (`fio/dump.py:39-198`)
+``collect``    stream -> FeatureCollection    (`fio/collect.py:48-245`)
+``distrib``    collection -> feature stream   (`fio/distrib.py:16-35`)
+``load``       stream -> any writable driver  (`fio/load.py:36-114`)
+``bounds``     per-feature bbox               (`fio/bounds.py:16-42`)
+``filter``     snuggs.filter_features         (`fio/features.py:106-191`)
+``calc``       snuggs.calc_feature            (`fio/calc.py:19-63`)
+=============  =====================================================
+
+Stream piping matches the reference's RFC 8142 conventions: newline- or
+RS-delimited GeoJSON features on stdin/stdout (RS required for
+pretty-printed members), ``--use-rs`` to emit RS markers.  The pure
+stream-reshaping commands (``collect``/``distrib``/``bounds``) run
+driver-side exactly like the reference's single-process pipes; every
+dataset-touching command goes through the Spark driver registry, so
+``fio cat big.gpkg`` plans the same distributed read as the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+RS = "\x1e"
+
+
+# --------------------------------------------------------------------------
+# stream helpers (RFC 8142 / reference fio/helpers.py:obj_gen semantics)
+
+def _parse_feature_stream(text: str) -> list[dict]:
+    """stdin text -> feature dicts.
+
+    Accepts RS-delimited sequences (pretty-printed members allowed, as
+    in the reference's sequence-pp.txt), newline-delimited sequences,
+    a single FeatureCollection document, or one bare feature/geometry.
+    """
+    text = text.strip()
+    if not text:
+        return []
+    if RS in text:
+        chunks = [c.strip() for c in text.split(RS)]
+        objs = [json.loads(c) for c in chunks if c]
+    else:
+        objs = []
+        try:
+            for line in text.splitlines():
+                line = line.strip()
+                if line:
+                    objs.append(json.loads(line))
+        except json.JSONDecodeError:
+            # one pretty-printed document spanning many lines
+            objs = [json.loads(text)]
+    feats: list[dict] = []
+    for ob in objs:
+        if ob.get("type") == "FeatureCollection":
+            feats.extend(ob.get("features") or [])
+        elif ob.get("type") == "Feature":
+            feats.append(ob)
+        else:   # bare geometry, as `fio collect` accepts
+            feats.append({"type": "Feature", "id": None,
+                          "geometry": ob, "properties": {}})
+    return feats
+
+
+def _dump(ob, indent=None) -> str:
+    from .model import ObjectEncoder
+    return json.dumps(ob, cls=ObjectEncoder, indent=indent,
+                      separators=(", ", ": ") if indent is None
+                      else None)
+
+
+def _emit_seq(features, use_rs: bool, indent, out) -> None:
+    for f in features:
+        if use_rs:
+            out.write(RS)
+        out.write(_dump(f, indent))
+        out.write("\n")
+
+
+def _rows_to_features(df, id_col: str = "id"):
+    """Stream DataFrame rows -> Feature dicts (driver-side emit, same
+    bounded-memory toLocalIterator convention as the single-file
+    sinks)."""
+    from .model import row_to_feature
+    id_col = id_col if id_col in df.columns else (
+        "fid" if "fid" in df.columns else "id")
+    for row in df.toLocalIterator():
+        # __geo_interface__ carries the full GeoJSON shape (incl.
+        # "type": "Feature"); dict(Feature) iterates members only
+        yield row_to_feature(row, id_col=id_col).__geo_interface__
+
+
+def _spark(args):
+    from .session import get_spark
+    return get_spark(cores=args.cores)
+
+
+def _open_inputs(spark, paths, layer=None, bbox=None, where=None):
+    """Resolve each input through the driver registry and apply the
+    reference cat/dump option set (`fio/cat.py:58-120`)."""
+    from .operators import filters
+    from .sources import drivers
+    for path in paths:
+        opts = {"layer": layer} if layer else {}
+        df = drivers.open_dataset(spark, path, **opts)
+        if bbox is not None:
+            if not {"xmin", "ymin", "xmax", "ymax"} <= set(df.columns):
+                raise SystemExit(
+                    f"--bbox needs envelope columns; {path} has none")
+            df = filters.filter_bbox(df, bbox)
+        if where:
+            df = filters.filter_where(df, where)
+        yield df
+
+
+def _read_stdin_df(spark):
+    """stdin feature stream -> engine DataFrame via the tested
+    read_feature_seq path (schema inferred from the first feature,
+    `fio/load.py:84-97`)."""
+    from .sources import geojson
+    text = sys.stdin.read()
+    tmp = tempfile.mkdtemp(prefix="fiona_spark_fio_")
+    seq = os.path.join(tmp, "stdin.geojsons")
+    with open(seq, "w") as fh:
+        fh.write(text if text.endswith("\n") else text + "\n")
+    return geojson.read_feature_seq(spark, seq)
+
+
+def _parse_bbox(txt):
+    parts = [float(p) for p in txt.replace(",", " ").split()]
+    if len(parts) != 4:
+        raise argparse.ArgumentTypeError("bbox needs 4 numbers")
+    return tuple(parts)
+
+
+# --------------------------------------------------------------------------
+# subcommands
+
+def cmd_ls(args):
+    from .sources import catalog
+    print(json.dumps(catalog.listlayers(args.path), indent=args.indent))
+
+
+def cmd_env(args):
+    from . import env
+    if args.formats:
+        sys.stdout.write(env.format_listing())
+    else:
+        print(json.dumps(env.env_info(), indent=2, default=str))
+
+
+def cmd_info(args):
+    from .sources import catalog
+    rec = catalog.info(_spark(args), args.path)
+    for flag in ("count", "bounds", "crs"):
+        if getattr(args, flag, False):
+            print(rec.get(flag))
+            return
+    print(json.dumps(rec, indent=args.indent, default=str))
+
+
+def cmd_insp(args):
+    from . import env
+    rec = env.insp(_spark(args), args.path, n=args.n)
+    print(json.dumps(rec, indent=2, default=str))
+
+
+def cmd_rm(args):
+    from .sources import catalog
+    if not args.yes:
+        raise SystemExit("refusing to remove without --yes "
+                         "(no interactive confirm in CLI mode)")
+    catalog.remove(args.path, args.layer)
+
+
+def cmd_cat(args):
+    for df in _open_inputs(_spark(args), args.inputs, layer=args.layer,
+                           bbox=args.bbox, where=args.where):
+        _emit_seq(_rows_to_features(df), args.use_rs, args.indent,
+                  sys.stdout)
+
+
+def cmd_dump(args):
+    [df] = list(_open_inputs(_spark(args), [args.input],
+                             layer=args.layer))
+    feats = list(_rows_to_features(df))
+    print(_dump({"type": "FeatureCollection", "features": feats},
+                args.indent))
+
+
+def cmd_collect(args):
+    feats = _parse_feature_stream(sys.stdin.read())
+    print(_dump({"type": "FeatureCollection", "features": feats},
+                args.indent))
+
+
+def cmd_distrib(args):
+    feats = _parse_feature_stream(sys.stdin.read())
+    _emit_seq(feats, args.use_rs, None, sys.stdout)
+
+
+def cmd_load(args):
+    import fiona_spark
+    df = _read_stdin_df(_spark(args))
+    fiona_spark.open(_spark(args), args.output,
+                     mode="a" if args.append else "w",
+                     driver=args.driver, df=df)
+
+
+def cmd_bounds(args):
+    for f in _parse_feature_stream(sys.stdin.read()):
+        import fiona_spark
+        b = fiona_spark.bounds(f)
+        if args.precision is not None:
+            b = tuple(round(v, args.precision) for v in b)
+        ob = {"id": f.get("id"), "bbox": list(b)} if args.with_id \
+            else list(b)
+        print(json.dumps(ob))
+
+
+def cmd_filter(args):
+    from . import snuggs
+    df = _read_stdin_df(_spark(args))
+    out = snuggs.filter_features(df, args.expression)
+    _emit_seq(_rows_to_features(out), args.use_rs, None, sys.stdout)
+
+
+def cmd_calc(args):
+    from . import snuggs
+    df = _read_stdin_df(_spark(args))
+    out = snuggs.calc_feature(df, args.name, args.expression,
+                              overwrite=args.overwrite)
+    _emit_seq(_rows_to_features(out), args.use_rs, None, sys.stdout)
+
+
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fio", description=__doc__.splitlines()[0])
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] cores for commands that start Spark "
+                        "(default: $SPARK_GRAFT_CPUS or all)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    sp = add("ls", cmd_ls, help="list layers")
+    sp.add_argument("path")
+    sp.add_argument("--indent", type=int, default=None)
+
+    sp = add("env", cmd_env, help="environment / formats")
+    sp.add_argument("--formats", action="store_true")
+
+    sp = add("info", cmd_info, help="dataset info record")
+    sp.add_argument("path")
+    sp.add_argument("--layer", default=None)
+    sp.add_argument("--indent", type=int, default=2)
+    sp.add_argument("--count", action="store_true",
+                    help="print only the feature count")
+    sp.add_argument("--bounds", action="store_true",
+                    help="print only the extent")
+    sp.add_argument("--crs", action="store_true",
+                    help="print only the CRS")
+
+    sp = add("insp", cmd_insp, help="info + head rows (non-interactive)")
+    sp.add_argument("path")
+    sp.add_argument("-n", type=int, default=5)
+
+    sp = add("rm", cmd_rm, help="remove a dataset/layer")
+    sp.add_argument("path")
+    sp.add_argument("--layer", default=None)
+    sp.add_argument("--yes", action="store_true")
+
+    sp = add("cat", cmd_cat, help="datasets -> feature stream")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--layer", default=None)
+    sp.add_argument("--bbox", type=_parse_bbox, default=None)
+    sp.add_argument("--where", default=None)
+    sp.add_argument("--use-rs", action="store_true")
+    sp.add_argument("--indent", type=int, default=None)
+
+    sp = add("dump", cmd_dump, help="dataset -> FeatureCollection")
+    sp.add_argument("input")
+    sp.add_argument("--layer", default=None)
+    sp.add_argument("--indent", type=int, default=None)
+
+    sp = add("collect", cmd_collect,
+             help="stdin stream -> FeatureCollection")
+    sp.add_argument("--indent", type=int, default=None)
+
+    sp = add("distrib", cmd_distrib,
+             help="stdin collection -> feature stream")
+    sp.add_argument("--use-rs", action="store_true")
+
+    sp = add("load", cmd_load, help="stdin stream -> dataset")
+    sp.add_argument("output")
+    sp.add_argument("--driver", "-f", default=None)
+    sp.add_argument("--append", action="store_true")
+
+    sp = add("bounds", cmd_bounds, help="stdin stream -> bboxes")
+    sp.add_argument("--with-id", action="store_true")
+    sp.add_argument("--precision", type=int, default=None)
+
+    sp = add("filter", cmd_filter,
+             help="keep stdin features matching a snuggs expression")
+    sp.add_argument("expression")
+    sp.add_argument("--use-rs", action="store_true")
+
+    sp = add("calc", cmd_calc,
+             help="add a computed property to stdin features")
+    sp.add_argument("name")
+    sp.add_argument("expression")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--use-rs", action="store_true")
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

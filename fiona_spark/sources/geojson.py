@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame, functions as F
 RS = "\x1e"   # ASCII record separator, as in fio --rs output
 
 
+#: engine geometry/envelope columns — never serialized as properties
+_GEOM_COLS = ("geom_type", "rings_xs", "rings_ys", "xs", "ys",
+              "xmin", "ymin", "xmax", "ymax")
+
+
 def feature_struct(df: DataFrame, id_col: str = "id",
                    geom_type: str = "Polygon",
                    prop_cols: list[str] | None = None) -> DataFrame:
@@ -35,7 +40,7 @@ def feature_struct(df: DataFrame, id_col: str = "id",
     ``prop_cols`` (default: everything else).  Output column:
     ``feature`` struct mirroring `fiona/model.py:296-391` Feature.
     """
-    skip = {id_col, "xs", "ys", "xmin", "ymin", "xmax", "ymax"}
+    skip = {id_col, *_GEOM_COLS}
     props = prop_cols or [c for c in df.columns if c not in skip]
     coords = F.expr("transform(xs, (x, i) -> array(x, ys[i]))")
     if geom_type == "Polygon":
@@ -48,6 +53,48 @@ def feature_struct(df: DataFrame, id_col: str = "id",
         F.struct(*[F.col(c).alias(c) for c in props]).alias("properties")))
 
 
+def _feature_lines(df: DataFrame, id_col: str, geom_type: str) -> DataFrame:
+    """One GeoJSON feature JSON string per row, column ``value``.
+
+    Frames carrying the full ring model (``geom_type``/``rings_xs``/
+    ``rings_ys``) serialize EXACTLY — per-row geometry type, holes,
+    MultiPolygon part nesting rebuilt by ``model.geometry_from_rings``
+    — via one distributed mapInPandas (Arrow-batched; GeoJSON text
+    export is a slow-path format anyway).  Legacy (xs, ys)-only frames
+    keep the all-JVM to_json path.
+    """
+    if "rings_xs" not in df.columns:
+        feats = feature_struct(df, id_col, geom_type)
+        return feats.select(F.to_json(F.col("feature")).alias("value"))
+
+    cols = list(df.columns)
+    idc = id_col if id_col in cols else ("fid" if "fid" in cols else None)
+
+    def encode(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..model import ObjectEncoder, geometry_from_rings
+        for pdf in batches:
+            lines = []
+            # to_dict("records"), never itertuples: namedtuples mangle
+            # non-identifier property names positionally
+            for rec in pdf.to_dict("records"):
+                geometry = geometry_from_rings(
+                    rec.get("geom_type") or geom_type,
+                    rec["rings_xs"], rec["rings_ys"])
+                props = {k: v for k, v in rec.items()
+                         if k not in _GEOM_COLS and k != idc}
+                feat = {"type": "Feature",
+                        "id": rec.get(idc) if idc else None,
+                        "geometry": geometry, "properties": props}
+                lines.append(_json.dumps(feat, cls=ObjectEncoder))
+            yield pd.DataFrame({"value": lines})
+
+    return df.mapInPandas(encode, "value string")
+
+
 def write_feature_seq(df: DataFrame, path: str, id_col: str = "id",
                       geom_type: str = "Polygon",
                       use_rs: bool = False, mode: str = "overwrite") -> None:
@@ -56,11 +103,11 @@ def write_feature_seq(df: DataFrame, path: str, id_col: str = "id",
     Distributed text write — one part file per partition, exactly like
     the reference's stream output but parallel.
     """
-    feats = feature_struct(df, id_col, geom_type)
-    line = F.to_json(F.col("feature"))
+    line = F.col("value")
     if use_rs:
         line = F.concat(F.lit(RS), line)
-    feats.select(line.alias("value")).write.mode(mode).text(path)
+    (_feature_lines(df, id_col, geom_type)
+     .select(line.alias("value")).write.mode(mode).text(path))
 
 
 def write_collection(df: DataFrame, path: str, id_col: str = "id",
@@ -72,8 +119,8 @@ def write_collection(df: DataFrame, path: str, id_col: str = "id",
     an explicitly driver-ish operation, only sane for result sets that
     fit one file (as in the reference).
     """
-    feats = feature_struct(df, id_col, geom_type).select(
-        F.to_json("feature").alias("j"))
+    feats = _feature_lines(df, id_col, geom_type).select(
+        F.col("value").alias("j"))
     (feats.coalesce(1)
      .agg(F.concat(F.lit('{"type": "FeatureCollection", "features": ['),
                    F.concat_ws(", ", F.collect_list("j")),

@@ -1,0 +1,180 @@
+"""``fio`` CLI parity tests (`fiona/fio/*` behavior, argparse glue).
+
+Most tests drive :func:`fiona_spark.fio.main` in-process so Spark-backed
+subcommands reuse the shared test session; one subprocess test proves
+the real ``python -m fiona_spark.fio`` pipe contract end-to-end.
+"""
+
+import io
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from fiona_spark import fio
+from fiona_spark.fixtures import ensure_canon_gpkg
+
+RS = "\x1e"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, stdin_text=None, capsys=None, monkeypatch=None):
+    if stdin_text is not None:
+        monkeypatch.setattr(sys, "stdin", io.StringIO(stdin_text))
+    rc = fio.main(args)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+@pytest.fixture(scope="module")
+def gpkg(spark):
+    return ensure_canon_gpkg(spark)
+
+
+def test_env_formats(capsys):
+    rc, out = run_cli(["env", "--formats"], capsys=capsys)
+    assert rc == 0
+    assert "shapefile (modes 'r', 'a', 'w')" in out
+    assert "esrijson (modes 'r')" in out
+
+
+def test_ls(gpkg, capsys):
+    rc, out = run_cli(["ls", gpkg], capsys=capsys)
+    assert json.loads(out) == ["zones"]
+
+
+def test_cat_stream_shape(spark, gpkg, capsys):
+    rc, out = run_cli(["cat", gpkg], capsys=capsys)
+    feats = [json.loads(l) for l in out.splitlines() if l]
+    assert len(feats) > 10
+    f = feats[0]
+    assert f["type"] == "Feature"
+    assert f["geometry"]["type"] == "Polygon"
+    assert {"zone_id", "NAME", "AGBUR"} <= set(f["properties"])
+
+
+def test_cat_use_rs_and_bbox(spark, gpkg, capsys):
+    _, all_out = run_cli(["cat", gpkg], capsys=capsys)
+    n_all = len(all_out.splitlines())
+    _, out = run_cli(["cat", gpkg, "--use-rs",
+                      "--bbox", "0,40,20,50"], capsys=capsys)
+    # NB: str.splitlines() treats \x1e itself as a line break —
+    # split on newlines only so the RS prefix stays on each record
+    lines = [l for l in out.split("\n") if l]
+    assert 0 < len(lines) < n_all
+    assert all(l.startswith(RS) for l in lines)
+    for l in lines:
+        f = json.loads(l.lstrip(RS))
+        xs = [p[0] for ring in f["geometry"]["coordinates"] for p in ring]
+        # bbox filter is envelope-overlap: every kept feature's
+        # envelope intersects the window
+        assert max(xs) >= 0 and min(xs) <= 20
+
+
+def test_cat_where(spark, gpkg, capsys):
+    _, out = run_cli(["cat", gpkg, "--where", "AGBUR = 'FS'"],
+                     capsys=capsys)
+    feats = [json.loads(l) for l in out.splitlines() if l]
+    assert feats and all(f["properties"]["AGBUR"] == "FS" for f in feats)
+
+
+def test_dump_collect_distrib_roundtrip(spark, gpkg, capsys, monkeypatch):
+    _, dumped = run_cli(["dump", gpkg], capsys=capsys)
+    doc = json.loads(dumped)
+    assert doc["type"] == "FeatureCollection"
+    n = len(doc["features"])
+
+    # distrib: collection doc -> feature stream
+    _, seq = run_cli(["distrib"], stdin_text=dumped, capsys=capsys,
+                     monkeypatch=monkeypatch)
+    lines = [l for l in seq.splitlines() if l]
+    assert len(lines) == n
+
+    # collect: stream (RS-flavored too) -> collection doc
+    _, collected = run_cli(["collect"], stdin_text=RS + (RS.join(lines)),
+                           capsys=capsys, monkeypatch=monkeypatch)
+    doc2 = json.loads(collected)
+    assert [f["id"] for f in doc2["features"]] == \
+        [f["id"] for f in doc["features"]]
+
+
+def test_bounds(spark, gpkg, capsys, monkeypatch):
+    import fiona_spark
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    first = json.loads(seq.splitlines()[0])
+    _, out = run_cli(["bounds", "--with-id", "--precision", "6"],
+                     stdin_text=seq, capsys=capsys, monkeypatch=monkeypatch)
+    recs = [json.loads(l) for l in out.splitlines() if l]
+    assert len(recs) == len([l for l in seq.splitlines() if l])
+    want = tuple(round(v, 6) for v in fiona_spark.bounds(first))
+    assert tuple(recs[0]["bbox"]) == want
+
+
+def test_filter_and_calc(spark, gpkg, capsys, monkeypatch):
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    _, out = run_cli(["filter", "(== AGBUR 'FS')"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    feats = [json.loads(l) for l in out.splitlines() if l]
+    n_fs = sum(1 for l in seq.splitlines() if l
+               and json.loads(l)["properties"]["AGBUR"] == "FS")
+    assert len(feats) == n_fs > 0
+    assert all(f["properties"]["AGBUR"] == "FS" for f in feats)
+
+    _, out = run_cli(["calc", "half", "(/ WILDRNP020 2.0)"],
+                     stdin_text=seq, capsys=capsys, monkeypatch=monkeypatch)
+    feats = [json.loads(l) for l in out.splitlines() if l]
+    assert all(f["properties"]["half"] ==
+               f["properties"]["WILDRNP020"] / 2.0 for f in feats)
+
+
+def test_load_roundtrip(spark, gpkg, tmp_path, capsys, monkeypatch):
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    out_path = str(tmp_path / "loaded.geojsons")
+    run_cli(["load", out_path, "--driver", "geojson_seq"],
+            stdin_text=seq, capsys=capsys, monkeypatch=monkeypatch)
+    _, seq2 = run_cli(["cat", out_path], capsys=capsys)
+    ids = sorted(json.loads(l)["id"] for l in seq.splitlines() if l)
+    ids2 = sorted(int(json.loads(l)["id"])
+                  for l in seq2.splitlines() if l)
+    assert ids == ids2
+
+
+def test_info_count_and_insp(spark, gpkg, capsys):
+    _, out = run_cli(["info", gpkg, "--count"], capsys=capsys)
+    n = int(out.strip())
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    assert n == len([l for l in seq.splitlines() if l])
+    _, out = run_cli(["insp", gpkg], capsys=capsys)
+    rec = json.loads(out)
+    assert rec["count"] == n and len(rec["head"]) == 5
+
+
+def test_rm_requires_yes(tmp_path, capsys):
+    victim = tmp_path / "t.csv"
+    victim.write_text("a,b\n1,2\n")
+    with pytest.raises(SystemExit):
+        fio.main(["rm", str(victim)])
+    assert victim.exists()
+    fio.main(["rm", str(victim), "--yes"])
+    assert not victim.exists()
+
+
+@pytest.mark.slow
+def test_subprocess_pipe(gpkg, tmp_path):
+    """The real module-level contract: fio cat | fio collect."""
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="2")
+    cat = subprocess.run(
+        [sys.executable, "-m", "fiona_spark.fio", "cat", gpkg,
+         "--use-rs"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert cat.returncode == 0, cat.stderr[-2000:]
+    collect = subprocess.run(
+        [sys.executable, "-m", "fiona_spark.fio", "collect"],
+        input=cat.stdout, capture_output=True, text=True, env=env,
+        timeout=60)
+    assert collect.returncode == 0, collect.stderr[-2000:]
+    doc = json.loads(collect.stdout)
+    assert doc["type"] == "FeatureCollection" and doc["features"]
