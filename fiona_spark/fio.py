@@ -245,6 +245,74 @@ def cmd_filter(args):
     _emit_seq(_rows_to_features(out), args.use_rs, None, sys.stdout)
 
 
+def cmd_map(args):
+    """``fio map``: transform each feature's geometry with a snuggs
+    pipeline (`fio/features.py:46-107`; ``g`` binds the geometry)."""
+    from pyspark.sql import functions as F
+
+    from . import snuggs
+    df = _read_stdin_df(_spark(args))
+    if args.dump_parts:
+        # explode multi-part geometries to one single-ring feature per
+        # part (`fio map --dump-parts`, fiona/features.py:61-82)
+        df = (df.select("*", F.posexplode("rings_xs").alias("_i", "_rx"))
+              .withColumn("_ry", F.expr("rings_ys[_i]"))
+              .drop("rings_xs", "rings_ys", "xs", "ys", "_i")
+              .withColumnRenamed("_rx", "xs").withColumnRenamed("_ry", "ys")
+              .withColumn("geom_type", F.lit("Polygon")))
+    col = snuggs.compile_expr(args.pipeline)
+    out = (df.withColumn("_g", col)
+           .drop("xs", "ys", "rings_xs", "rings_ys")
+           .withColumn("xs", F.col("_g.xs"))
+           .withColumn("ys", F.col("_g.ys")).drop("_g")
+           .withColumn("geom_type", F.lit("Polygon")))
+    feats = _rows_to_features(out)
+    if args.raw:
+        for f in feats:
+            if args.use_rs:
+                sys.stdout.write(RS)
+            sys.stdout.write(_dump(f["geometry"]) + "\n")
+    else:
+        _emit_seq(feats, args.use_rs, None, sys.stdout)
+
+
+def cmd_reduce(args):
+    """``fio reduce``: fold the stdin stream to ONE value
+    (`fio/features.py:210-267`; ``c`` binds the collection).  Supported
+    pipelines: ``(unary_union c)`` — the exact distributed dissolve —
+    and ``(collect c)`` — a GeometryCollection of the inputs."""
+    from . import model
+    from .operators import aggregates
+    spark = _spark(args)
+    df = _read_stdin_df(spark)
+    if "unary_union" in args.pipeline:
+        rxs, rys, exact = aggregates.dissolve_union(df)
+        geometry = model.geometry_from_rings(
+            "MultiPolygon" if len(rxs) > 1 else "Polygon", rxs, rys)
+        if geometry["type"] == "MultiPolygon" \
+                and len(geometry["coordinates"]) == 1:
+            geometry = model.Geometry(
+                type="Polygon", coordinates=geometry["coordinates"][0])
+    elif "collect" in args.pipeline:
+        geometry = {"type": "GeometryCollection",
+                    "geometries": [f["geometry"]
+                                   for f in _rows_to_features(df)]}
+    else:
+        raise SystemExit(
+            "supported reduce pipelines: (unary_union c), (collect c)")
+    props = {}
+    if args.zip_properties:
+        feats = list(_rows_to_features(df))
+        keys = feats[0]["properties"].keys() if feats else []
+        props = {k: [f["properties"].get(k) for f in feats] for k in keys}
+    ob = geometry if args.raw else {
+        "type": "Feature", "id": "0", "geometry": geometry,
+        "properties": props}
+    if args.use_rs:
+        sys.stdout.write(RS)
+    sys.stdout.write(_dump(ob) + "\n")
+
+
 def cmd_calc(args):
     from . import snuggs
     df = _read_stdin_df(_spark(args))
@@ -328,6 +396,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("filter", cmd_filter,
              help="keep stdin features matching a snuggs expression")
     sp.add_argument("expression")
+    sp.add_argument("--use-rs", action="store_true")
+
+    sp = add("map", cmd_map,
+             help="transform stdin feature geometries with a pipeline")
+    sp.add_argument("pipeline")
+    sp.add_argument("--raw", action="store_true",
+                    help="print bare geometries, not Feature wrappers")
+    sp.add_argument("--dump-parts", action="store_true")
+    sp.add_argument("--use-rs", action="store_true")
+
+    sp = add("reduce", cmd_reduce,
+             help="fold stdin features to one value")
+    sp.add_argument("pipeline")
+    sp.add_argument("--raw", action="store_true")
+    sp.add_argument("--zip-properties", action="store_true")
     sp.add_argument("--use-rs", action="store_true")
 
     sp = add("calc", cmd_calc,

@@ -130,6 +130,44 @@ def test_filter_and_calc(spark, gpkg, capsys, monkeypatch):
                f["properties"]["WILDRNP020"] / 2.0 for f in feats)
 
 
+def test_map_buffer(spark, gpkg, capsys, monkeypatch):
+    import fiona_spark
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    _, out = run_cli(["map", "(buffer g 1.0)"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    feats = [json.loads(l) for l in out.splitlines() if l]
+    ins = [json.loads(l) for l in seq.splitlines() if l]
+    assert len(feats) == len(ins)
+    # a positive buffer strictly grows every envelope
+    for fin, fout in zip(ins, feats):
+        bi, bo = fiona_spark.bounds(fin), fiona_spark.bounds(fout)
+        assert bo[0] < bi[0] and bo[1] < bi[1]
+        assert bo[2] > bi[2] and bo[3] > bi[3]
+        assert fout["properties"] == fin["properties"]
+
+
+def test_reduce_union_and_collect(spark, gpkg, capsys, monkeypatch):
+    import fiona_spark
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    n_in = len([l for l in seq.splitlines() if l])
+    _, out = run_cli(["reduce", "(unary_union c)"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    feat = json.loads(out)
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["type"] in ("Polygon", "MultiPolygon")
+    # the dissolve of disjoint zones covers every input's envelope
+    ub = fiona_spark.bounds(feat)
+    first = json.loads(seq.splitlines()[0])
+    fb = fiona_spark.bounds(first)
+    assert ub[0] <= fb[0] and ub[2] >= fb[2]
+
+    _, out = run_cli(["reduce", "(collect c)", "--raw"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    g = json.loads(out)
+    assert g["type"] == "GeometryCollection"
+    assert len(g["geometries"]) == n_in
+
+
 def test_load_roundtrip(spark, gpkg, tmp_path, capsys, monkeypatch):
     _, seq = run_cli(["cat", gpkg], capsys=capsys)
     out_path = str(tmp_path / "loaded.geojsons")
