@@ -115,9 +115,14 @@ def _spark(args):
     return get_spark(cores=args.cores)
 
 
-def _open_inputs(spark, paths, layer=None, bbox=None, where=None):
+def _open_inputs(spark, paths, layer=None, bbox=None, where=None,
+                 dst_crs=None, src_crs="EPSG:4326"):
     """Resolve each input through the driver registry and apply the
-    reference cat/dump option set (`fio/cat.py:58-120`)."""
+    reference cat/dump option set (`fio/cat.py:58-120`), including
+    ``--dst-crs`` reprojection (distributed transform_geom over the
+    ring model, antimeridian cutting like the reference)."""
+    from pyspark.sql import functions as F
+
     from .operators import filters
     from .sources import drivers
     for path in paths:
@@ -130,6 +135,26 @@ def _open_inputs(spark, paths, layer=None, bbox=None, where=None):
             df = filters.filter_bbox(df, bbox)
         if where:
             df = filters.filter_where(df, where)
+        if dst_crs:
+            if "rings_xs" not in df.columns:
+                raise SystemExit(
+                    f"--dst-crs needs geometry columns; {path} has none")
+            from .functions import geometry as gf
+            u = gf.transform_geom_udf(src_crs, dst_crs)
+            df = (df.withColumn("_t", u("rings_xs", "rings_ys"))
+                  .withColumn("rings_xs", F.col("_t.rings_xs"))
+                  .withColumn("rings_ys", F.col("_t.rings_ys"))
+                  .drop("_t")
+                  .withColumn("xs", F.expr("rings_xs[0]"))
+                  .withColumn("ys", F.expr("rings_ys[0]"))
+                  .withColumn("xmin", F.array_min(F.expr(
+                      "transform(rings_xs, r -> array_min(r))")))
+                  .withColumn("ymin", F.array_min(F.expr(
+                      "transform(rings_ys, r -> array_min(r))")))
+                  .withColumn("xmax", F.array_max(F.expr(
+                      "transform(rings_xs, r -> array_max(r))")))
+                  .withColumn("ymax", F.array_max(F.expr(
+                      "transform(rings_ys, r -> array_max(r))"))))
         yield df
 
 
@@ -195,14 +220,16 @@ def cmd_rm(args):
 
 def cmd_cat(args):
     for df in _open_inputs(_spark(args), args.inputs, layer=args.layer,
-                           bbox=args.bbox, where=args.where):
+                           bbox=args.bbox, where=args.where,
+                           dst_crs=args.dst_crs, src_crs=args.src_crs):
         _emit_seq(_rows_to_features(df), args.use_rs, args.indent,
                   sys.stdout)
 
 
 def cmd_dump(args):
     [df] = list(_open_inputs(_spark(args), [args.input],
-                             layer=args.layer))
+                             layer=args.layer,
+                             dst_crs=args.dst_crs, src_crs=args.src_crs))
     feats = list(_rows_to_features(df))
     print(_dump({"type": "FeatureCollection", "features": feats},
                 args.indent))
@@ -368,12 +395,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--layer", default=None)
     sp.add_argument("--bbox", type=_parse_bbox, default=None)
     sp.add_argument("--where", default=None)
+    sp.add_argument("--dst-crs", default=None,
+                    help="reproject geometries (e.g. EPSG:3857 or a "
+                         "+proj= string)")
+    sp.add_argument("--src-crs", default="EPSG:4326")
     sp.add_argument("--use-rs", action="store_true")
     sp.add_argument("--indent", type=int, default=None)
 
     sp = add("dump", cmd_dump, help="dataset -> FeatureCollection")
     sp.add_argument("input")
     sp.add_argument("--layer", default=None)
+    sp.add_argument("--dst-crs", default=None)
+    sp.add_argument("--src-crs", default="EPSG:4326")
     sp.add_argument("--indent", type=int, default=None)
 
     sp = add("collect", cmd_collect,

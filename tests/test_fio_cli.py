@@ -130,6 +130,22 @@ def test_filter_and_calc(spark, gpkg, capsys, monkeypatch):
                f["properties"]["WILDRNP020"] / 2.0 for f in feats)
 
 
+def test_cat_dst_crs(spark, gpkg, capsys):
+    from fiona_spark import transform
+    _, seq = run_cli(["cat", gpkg], capsys=capsys)
+    _, out = run_cli(["cat", gpkg, "--dst-crs", "EPSG:3857"],
+                     capsys=capsys)
+    src = json.loads(seq.splitlines()[0])
+    got = json.loads(out.splitlines()[0])
+    sx = [p[0] for p in src["geometry"]["coordinates"][0]]
+    sy = [p[1] for p in src["geometry"]["coordinates"][0]]
+    wx, wy = transform.transform("EPSG:4326", "EPSG:3857", sx, sy)
+    gx = [p[0] for p in got["geometry"]["coordinates"][0]]
+    gy = [p[1] for p in got["geometry"]["coordinates"][0]]
+    assert gx == pytest.approx(list(wx), abs=1e-6)
+    assert gy == pytest.approx(list(wy), abs=1e-6)
+
+
 def test_map_buffer(spark, gpkg, capsys, monkeypatch):
     import fiona_spark
     _, seq = run_cli(["cat", gpkg], capsys=capsys)
