@@ -30,6 +30,20 @@ def open(spark, path: str, mode: str = "r", driver: str | None = None,
     raise ValueError(f"unsupported mode {mode!r}")
 
 
+def open_collection(spark, path: str, mode: str = "r",
+                    driver: str | None = None, schema: dict | None = None,
+                    crs=None, layer: str | None = None, **opts):
+    """``fiona.open`` returning the reference's file-like Collection
+    object (`fiona/collection.py:41-688`): an iterator of features
+    with schema/crs/bounds introspection, filter/items/keys
+    sub-iterators, FID access, and buffered write/writerecords —
+    code written against the reference ports verbatim.  `open`
+    (above) is the set-oriented fast path returning a DataFrame."""
+    from .collection import Collection
+    return Collection(spark, path, mode=mode, driver=driver,
+                      schema=schema, crs=crs, layer=layer, **opts)
+
+
 def listlayers(path: str) -> list:
     from .sources import catalog
     return catalog.listlayers(path)
