@@ -64,6 +64,30 @@ def supported_drivers() -> dict:
     return drivers.supported_drivers()
 
 
+def prop_width(val: str):
+    """Width of a ``str``-type schema property
+    (`fiona/__init__.py:587-611`): ``'str:25'`` -> 25, bare ``'str'``
+    -> the default 80; None for non-str types."""
+    if val.startswith("str"):
+        return int((val.split(":")[1:] or ["80"])[0])
+    return None
+
+
+def prop_type(text: str) -> type:
+    """Python class for a schema property type string
+    (`fiona/__init__.py:614-635`); temporal types are RFC3339 strings
+    in the engine's model (SURVEY.md section 1.2)."""
+    key = text.split(":")[0]
+    types = {"int": int, "int16": int, "int32": int, "int64": int,
+             "bool": bool, "float": float, "float32": float,
+             "float64": float, "str": str, "bytes": bytes,
+             "List[str]": list, "json": str,
+             "date": str, "time": str, "datetime": str}
+    if key not in types:
+        raise KeyError(f"unknown field type {text!r}")
+    return types[key]
+
+
 def bounds(feature_or_geometry) -> tuple:
     """``fiona.bounds`` analogue over a model Feature/Geometry/dict."""
     from . import model as _m
@@ -74,3 +98,12 @@ def bounds(feature_or_geometry) -> tuple:
     allx = [x for r in rxs for x in r]
     ally = [y for r in rys for y in r]
     return (min(allx), min(ally), max(allx), max(ally))
+
+
+def __getattr__(name):
+    # lazy model re-exports (`fiona/__init__.py:68-79` __all__):
+    # from fiona_spark import Feature / Geometry / Properties
+    if name in ("Feature", "Geometry", "Properties", "Object"):
+        from . import model
+        return getattr(model, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -110,3 +110,26 @@ def test_write_mode_guards(spark, src, tmp_path):
         fiona_spark.open_collection(spark, str(tmp_path / "w.gpkg"), "w")
     with pytest.raises(DriverError):
         src.write({"type": "Feature", "geometry": None, "properties": {}})
+
+
+def test_env_context(spark):
+    """`fiona.Env` parity (`fiona/env.py:64-307`): nestable option
+    stack; credential options map to the public Hadoop S3A keys and
+    restore exactly on exit."""
+    from fiona_spark import env
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert not env.hasenv()
+    with pytest.raises(RuntimeError):
+        env.getenv()
+    prev = hconf.get("fs.s3a.access.key")
+    with env.Env(spark, AWS_ACCESS_KEY_ID="outer", CPL_DEBUG=True):
+        assert env.hasenv()
+        assert hconf.get("fs.s3a.access.key") == "outer"
+        assert env.getenv()["CPL_DEBUG"] is True
+        with env.Env(spark, AWS_ACCESS_KEY_ID="inner"):
+            assert hconf.get("fs.s3a.access.key") == "inner"
+            assert env.getenv()["CPL_DEBUG"] is True   # inherited
+        assert hconf.get("fs.s3a.access.key") == "outer"
+    assert hconf.get("fs.s3a.access.key") == prev
+    assert not env.hasenv()

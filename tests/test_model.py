@@ -6,6 +6,25 @@ import json
 import numpy as np
 import pytest
 
+
+def test_top_level_parity_helpers():
+    """`fiona/__init__.py:68-79` __all__ surface: prop_width/prop_type
+    and the model re-exports."""
+    import fiona_spark as f
+    assert f.prop_width("str:25") == 25
+    assert f.prop_width("str") == 80
+    assert f.prop_width("int") is None
+    assert f.prop_type("int") is int
+    assert f.prop_type("str:25") is str
+    assert f.prop_type("float:24.5") is float
+    assert f.prop_type("date") is str
+    with pytest.raises(KeyError):
+        f.prop_type("complex")
+    from fiona_spark.model import Feature
+    assert f.Feature is Feature and f.Geometry and f.Properties
+    with pytest.raises(AttributeError):
+        f.no_such_name
+
 from fiona_spark import model
 
 
