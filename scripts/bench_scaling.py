@@ -280,7 +280,23 @@ def main() -> None:
             md.append(f"| {name} | {tl:.2f} | {th:.2f} | {thr_lo:,.0f} | "
                       f"{thr_hi:,.0f} | **{eff:.2f}** | **{adj:.2f}** |")
         md.append("")
+    # computed gate summary for the UNSATURATED pair (the north_rule
+    # evidence pair — see the preamble for why the saturated one isn't)
+    lo, hi = pairs[0]
+    gate_rows = [(n, summary_eff.get(f"{n}@{lo}->{hi}"))
+                 for n in JOB_ORDER if f"{n}@{lo}->{hi}" in summary_eff]
+    passing = [f"{n} {e:.2f}" for n, e in gate_rows if e >= 0.8]
+    below = [f"{n} {e:.2f}" for n, e in gate_rows if e < 0.8]
     md += [
+        f"## Gate summary (north_rule >= 0.8, local[{lo}] -> local[{hi}])",
+        "",
+        f"At gate: {', '.join(passing) or 'none'}.  Below: "
+        f"{', '.join(below) or 'none'}."
+        "  `cand` is the staged plan's driver-built broadcast exchange — "
+        "the serial stage the DEFAULT fused plan exists to bypass (its "
+        "`spatial` row is the shipping path); `spatial_staged` inherits "
+        "cand's serial floor and is kept only for stage attribution.",
+        "",
         "## Stage decomposition (spatial job)",
         "",
         "`cells` = codegen'd cell-id + covering explode (pure JVM CPU); "
@@ -322,8 +338,17 @@ def main() -> None:
         "concurrently — CPU contention corrupts the numbers).",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written appendix/notes (everything from the first
+    # "## Appendix" heading) across regenerations — an earlier run
+    # clobbered the isolation-probe appendix by truncate-writing
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        i = prev.find("## Appendix")
+        if i >= 0:
+            tail = "\n" + prev[i:]
     with open(path, "w") as f:
-        f.write("\n".join(md) + "\n")
+        f.write("\n".join(md) + "\n" + tail)
 
     print(json.dumps({"sf": sf, "levels": levels, "efficiency": summary_eff,
                       "raw_seconds": t, "out": path}))
