@@ -22,6 +22,8 @@ subcommand     engine operator (reference behavior source)
 ``bounds``     per-feature bbox               (`fio/bounds.py:16-42`)
 ``filter``     snuggs.filter_features         (`fio/features.py:106-191`)
 ``calc``       snuggs.calc_feature            (`fio/calc.py:19-63`)
+``map``        snuggs constructive pipeline   (`fio/features.py:46-107`)
+``reduce``     aggregates.dissolve_union      (`fio/features.py:210-267`)
 =============  =====================================================
 
 Stream piping matches the reference's RFC 8142 conventions: newline- or

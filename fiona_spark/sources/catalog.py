@@ -125,6 +125,11 @@ def open_any(spark, table_path: str):
         drv = drivers.driver_from_extension(table_path)
     except Exception:
         drv = "parquet"
+    if drv == "parquet" and os.path.isdir(os.path.join(table_path, "_snapshots")):
+        # iceberg_like table root: the manifest dir is not parquet data —
+        # resolve the current snapshot's files instead
+        from . import iceberg_like
+        return iceberg_like.read_table(spark, table_path), "iceberg_like"
     df = (spark.read.parquet(table_path) if drv == "parquet"
           else drivers.open_dataset(spark, table_path, driver=drv))
     return df, drv
@@ -148,4 +153,12 @@ def info(spark, table_path: str) -> dict:
     if {"xmin", "ymin", "xmax", "ymax"} <= cols:
         b = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
         rec["bounds"] = tuple(b)
+    # crs: the recorded iceberg_like table property when present
+    # (reference layers always carry one); geographic default otherwise
+    try:
+        from . import iceberg_like
+        crs = iceberg_like.table_crs(table_path)
+    except Exception:
+        crs = None
+    rec["crs"] = str(crs) if crs else "EPSG:4326"
     return rec

@@ -388,7 +388,21 @@ def _write_dxf(df, path, **opts):
     dxf.write_dxf(df, path)
 
 
+def _read_iceberg_like(spark, path, **opts):
+    from . import iceberg_like
+    return iceberg_like.read_table(spark, path, **opts)
+
+
+def _write_iceberg_like(df, path, mode="overwrite", **opts):
+    from . import iceberg_like
+    if mode == "append":
+        iceberg_like.append_table(df, path)
+    else:
+        iceberg_like.write_table(df, path, **opts)
+
+
 register_driver("parquet", _read_parquet, _write_parquet, "raw")
+register_driver("iceberg_like", _read_iceberg_like, _write_iceberg_like, "raw")
 register_driver("orc", _read_orc, _write_orc, "raw")
 register_driver("csv", _read_csv, _write_csv, "raw")
 register_driver("json", _read_json, _write_json, "raw")

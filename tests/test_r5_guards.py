@@ -344,3 +344,35 @@ def test_shuffled_pip_is_cogrouped_and_join_is_light(spark):
     # the candidate equi-join output never references ring columns
     cand_join = join_lines[-1]          # innermost join = cell equi-join
     assert "xs" not in cand_join and "ys" not in cand_join, cand_join
+
+
+# ---------------------------------------------------------------------------
+# catalog.info / env.insp on iceberg_like table roots (r5)
+# ---------------------------------------------------------------------------
+
+def test_info_opens_iceberg_like_and_reports_crs(spark, tmp_path):
+    """`fio info` on an iceberg_like table root must resolve the current
+    snapshot (the manifest dir is not parquet data — spark.read.parquet
+    on the root raises UNABLE_TO_INFER_SCHEMA) and surface the recorded
+    table CRS; plain parquet defaults to EPSG:4326."""
+    from fiona_spark.sources import catalog, drivers, iceberg_like
+
+    df = spark.range(5).selectExpr(
+        "id", "cast(id as double) as xmin", "cast(id as double) as ymin",
+        "cast(id+1 as double) as xmax", "cast(id+1 as double) as ymax")
+    tbl = str(tmp_path / "t")
+    iceberg_like.write_table(df, tbl, crs="EPSG:32633")
+    rec = catalog.info(spark, tbl)
+    assert rec["crs"] == "EPSG:32633"
+    assert rec["driver"]["driver"] == "iceberg_like"
+    assert rec["count"] == 5 and rec["bounds"] == (0.0, 0.0, 5.0, 5.0)
+
+    pq = str(tmp_path / "p.parquet")
+    df.write.parquet(pq)
+    assert catalog.info(spark, pq)["crs"] == "EPSG:4326"
+
+    # registry surface: write + append + read through the generic API
+    t3 = str(tmp_path / "t3")
+    drivers.write_dataset(df, t3, driver="iceberg_like")
+    drivers.write_dataset(df, t3, driver="iceberg_like", mode="a")
+    assert drivers.open_dataset(spark, t3, driver="iceberg_like").count() == 10
