@@ -334,18 +334,65 @@ def q_shapefile_source(spark, sf_dir):
                 F.col("col.ys").alias("y")))
 
 
-@register("covering_count", f"""
-WITH zn AS ({derived.ZONES_CTE})
-SELECT zone_key,
-       ({cells.grid_x_sql('xmax', 8)} - {cells.grid_x_sql('xmin', 8)} + 1)
-     * ({cells.grid_y_sql('ymax', 8)} - {cells.grid_y_sql('ymin', 8)} + 1) AS n_cells
-FROM zn
+# CRS round-trip bands: (column, EPSG code, in-band predicate over
+# numpy lng/lat — None = every point).  Band-limited families assert
+# "in band implies round-trip closes"; the bands keep each kernel well
+# inside its domain of validity (UTM zone 33 +/-3 deg of its edges,
+# LCC/Albers/LAEA near their standard parallels, polar stereographic
+# south of -60).
+_CRS_RT_BANDS = (
+    ("ok_webmerc", "EPSG:3857", None),
+    ("ok_cea", "EPSG:6933", None),
+    ("ok_utm_n", "EPSG:32633", lambda g, t: (g >= 9) & (g <= 21) & (t >= 0)),
+    ("ok_utm_s", "EPSG:32733", lambda g, t: (g >= 9) & (g <= 21) & (t < 0)),
+    ("ok_lcc", "EPSG:2154",
+     lambda g, t: (g >= -10) & (g <= 15) & (t >= 35) & (t <= 55)),
+    ("ok_albers", "EPSG:5070",
+     lambda g, t: (g >= -125) & (g <= -65) & (t >= 20) & (t <= 55)),
+    ("ok_laea", "EPSG:3035",
+     lambda g, t: (g >= -10) & (g <= 40) & (t >= 30) & (t <= 70)),
+    ("ok_stere", "EPSG:3031", lambda g, t: t <= -60),
+)
+
+
+@register("crs_roundtrip", f"""
+WITH pts AS ({derived.PTS_CTE})
+SELECT image_id, {', '.join(f'CAST(1 AS BIGINT) AS {c}' for c, _e, _b in _CRS_RT_BANDS)}
+FROM pts WHERE abs(lat) <= 79.5
 """)
-def q_covering_count(spark, sf_dir):
-    """cells_covering cardinality (engine enumerates, oracle closed-form)."""
-    zn = derived.zones_rect_df(spark, sf_dir)
-    cov = spatial.with_covering_cells(zn.select("zone_key", "xmin", "ymin", "xmax", "ymax"), 8)
-    return cov.groupBy("zone_key").agg(F.count(F.lit(1)).alias("n_cells"))
+def q_crs_roundtrip(spark, sf_dir):
+    """CRS transform family under the driver contract (SURVEY §2.8 CRS
+    row; reference `fiona/transform.py:11-124` / `_transform.pyx`):
+    every projection kernel family (web-Mercator 3857, equal-area
+    cylindrical 6933, UTM N+S Krüger series, Lambert conformal conic
+    2154, Albers 5070, LAEA 3035, polar stereographic 3031) must close
+    forward∘inverse to < 1e-9 deg on every derived point inside its
+    validity band (measured max ~1e-13).  One Arrow pass computes all
+    eight flags; the oracle is the defining property (identity ⇒ all
+    flags 1) over the identical point set."""
+    pts = derived.pts_df(spark, sf_dir).where(F.abs(F.col("lat")) <= 79.5)
+    fields = [T.StructField(c, T.LongType()) for c, _e, _b in _CRS_RT_BANDS]
+
+    @F.pandas_udf(T.StructType(fields))
+    def rt(lng: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from .functions.geometry import pair_fn
+        g = lng.to_numpy(np.float64)
+        t = lat.to_numpy(np.float64)
+        out = {}
+        for col, code, band in _CRS_RT_BANDS:
+            m = np.ones(len(g), bool) if band is None else band(g, t)
+            ok = np.ones(len(g), bool)
+            if m.any():
+                fx, fy = pair_fn("EPSG:4326", code)(g[m], t[m])
+                bx, by = pair_fn(code, "EPSG:4326")(fx, fy)
+                err = np.maximum(np.abs(bx - g[m]), np.abs(by - t[m]))
+                ok[m] = err < 1e-9
+            out[col] = ok.astype(np.int64)
+        return pd.DataFrame(out)
+
+    r = pts.select("image_id", rt("lng", "lat").alias("rt"))
+    return r.select("image_id", *[F.col(f"rt.{c}").alias(c)
+                                  for c, _e, _b in _CRS_RT_BANDS])
 
 
 @register("hot_cells", f"""
@@ -557,16 +604,29 @@ def q_repetition_stats(spark, sf_dir):
     return tx.repetition_stats(docs, round_digits=None)
 
 
-@register("tiles_images")
-def q_tiles_images(spark, sf_dir):
-    """Footprint -> covering-cells tile assignment on the canon fixture
-    (non-wrapping footprints; wrap path covered by pip_images + pytest)."""
-    img, _ = _canon_paths()
-    images = (spark.read.parquet(img)
-              .filter((F.col("xmin") >= -180.0) & (F.col("xmax") <= 180.0)))
-    return (spatial.with_covering_cells(
-        images.select("image_id", "xmin", "ymin", "xmax", "ymax"), 9)
-        .select("image_id", "cell"))
+@register("vfs_source")
+def q_vfs_source(spark, sf_dir):
+    """zip:// VFS source under the driver contract (SURVEY §2.1 zip/vfs
+    row; reference URI syntax `fiona/vfs.py` + `_path.py`): the
+    canonical zones shapefile zipped with all sidecars, opened through
+    the generic registry via the reference's ``zip://archive!member``
+    URI — vfs member extraction, extension inference, and the
+    distributed .shp decode all on one path.  Oracle: the independently
+    generated per-vertex shapefile truth parquet (same truth as
+    shapefile_source — the zip hop must be byte-transparent).
+    (tiles_images retired for this slot: with_covering_cells stays
+    driver-green via tile_assign and block_cells.)"""
+    from .sources import drivers
+    uri = fixtures.ensure_canon_shp_zip(spark)
+    df = drivers.open_dataset(spark, uri)
+    return (df.select(
+        "zone_id", "NAME", "AGBUR",
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.posexplode(F.arrays_zip("xs", "ys")))
+        .select("zone_id", "NAME", "AGBUR", "WILDRNP020",
+                F.col("pos").cast("long").alias("vi"),
+                F.col("col.xs").alias("x"),
+                F.col("col.ys").alias("y")))
 
 
 # (extent over the images table was a second `extent` row; retired in
@@ -650,19 +710,6 @@ def _late_oracles():
     ORACLES["pip_images"] = _canon_pip_sql()
     ORACLES["pip_holes"] = _pip_holes_oracle_sql()
     ORACLES["wkb_decode"] = _wkb_oracle_sql()
-    base = 9 * cells.RES_SHIFT
-    n = 1 << 9
-    ORACLES["tiles_images"] = f"""
-WITH i AS (SELECT image_id, xmin, ymin, xmax, ymax FROM read_parquet('{img}')
-           WHERE xmin >= -180.0 AND xmax <= 180.0)
-SELECT image_id,
-       unnest(flatten(list_transform(
-         range({cells.grid_x_sql('xmin', 9)}, {cells.grid_x_sql('xmax', 9)} + 1),
-         xi -> list_transform(
-           range({cells.grid_y_sql('ymin', 9)}, {cells.grid_y_sql('ymax', 9)} + 1),
-           yi -> {base} + yi * {n} + xi)))) AS cell
-FROM i
-"""
     dt_path = fixtures.ensure_canon_datetime()
     ORACLES["datetime_tz"] = f"""
 SELECT rid, y, mo, dd, hh, mi, ss, us, tzm, tzc, gmt
@@ -946,18 +993,54 @@ def q_snuggs_filter(spark, sf_dir):
     ).select("zone_id")
 
 
-@register("snuggs_hof")
-def q_snuggs_hof(spark, sf_dir):
-    """snuggs higher-order pipeline (map/partial/reduce/methodcaller —
-    reference `_vendor/snuggs.py:132-140`), compiled to one Catalyst
-    Column; oracle recomputes the same fold in DuckDB list arithmetic."""
-    from . import snuggs
+@register("buffer_props")
+def q_buffer_props(spark, sf_dir):
+    """Buffer / erosion / simplify under the driver contract (SURVEY
+    §2.8 buffer row; reference GEOS buffer via `fiona/features.py:
+    128-211`, simplify ibid.): for every canonical zone polygon the
+    exact-construction buffer must satisfy the DEFINING properties —
+    dilation grows net area and covers every original vertex, erosion
+    shrinks net area and lands inside the original, Douglas-Peucker
+    never adds vertices.  Distributed via one mapInPandas over the
+    ring model; the oracle states the properties (all flags 1) per
+    zone.  (snuggs_hof retired for this slot: the snuggs compiler
+    stays driver-green via the still-registered snuggs_filter row.)"""
     _, zon = _canon_paths()
-    zones = spark.read.parquet(zon)
-    return snuggs.filter_features(
-        zones,
-        '(& (> (reduce + (map (partial * 2.0) xs) 0.0) 100.0) '
-        '(== ((methodcaller "upper") AGBUR) "FS"))').select("zone_id")
+    zones = spark.read.parquet(zon).select("zone_id", "xs", "ys")
+    schema = ("zone_id string, grow_ok long, cover_ok long, "
+              "erode_ok long, erode_inside_ok long, simp_ok long")
+
+    def props(it):
+        from . import geom
+        for pdf in it:
+            rows = pdf.to_dict("records")
+            out = {k: [] for k in ("zone_id", "grow_ok", "cover_ok",
+                                   "erode_ok", "erode_inside_ok", "simp_ok")}
+            for r in rows:
+                xs = np.asarray(r["xs"], np.float64)
+                ys = np.asarray(r["ys"], np.float64)
+                a0 = abs(geom.shoelace_area(xs, ys))
+                bx, by = geom.buffer_polygon(xs, ys, 0.02)
+                anet = sum(geom.shoelace_area(np.asarray(rx), np.asarray(ry))
+                           for rx, ry in zip(bx, by))
+                ex, ey = geom.erode_polygon(xs, ys, 0.02)
+                enet = sum(geom.shoelace_area(np.asarray(rx), np.asarray(ry))
+                           for rx, ry in zip(ex, ey)) if ex else 0.0
+                er_in = all(
+                    bool(np.all(geom.points_in_rings(
+                        np.asarray(rx), np.asarray(ry), [xs], [ys])))
+                    for rx, ry in zip(ex, ey)) if ex else True
+                out["zone_id"].append(r["zone_id"])
+                out["grow_ok"].append(int(anet > a0))
+                out["cover_ok"].append(
+                    int(bool(np.all(geom.points_in_rings(xs, ys, bx, by)))))
+                out["erode_ok"].append(int(enet < a0))
+                out["erode_inside_ok"].append(int(er_in))
+                out["simp_ok"].append(
+                    int(len(geom.douglas_peucker(xs, ys, 0.01)) <= len(xs)))
+            yield pd.DataFrame(out)
+
+    return zones.mapInPandas(props, schema)
 
 
 @register("csv_source")
@@ -1030,19 +1113,21 @@ def _late_oracles2():
     ORACLES["snuggs_filter"] = f"""
 SELECT zone_id FROM read_parquet('{zon}') WHERE AREA > 2 AND len(xs) < 20
 """
-    # list_prepend(0.0, ...) replicates the engine's fold init exactly
-    ORACLES["snuggs_hof"] = f"""
-SELECT zone_id FROM read_parquet('{zon}')
-WHERE list_reduce(list_prepend(0.0, list_transform(xs, x -> 2.0 * x)),
-                  (a, b) -> a + b) > 100.0
-  AND upper(AGBUR) = 'FS'
+    ORACLES["buffer_props"] = f"""
+SELECT zone_id, CAST(1 AS BIGINT) AS grow_ok, CAST(1 AS BIGINT) AS cover_ok,
+       CAST(1 AS BIGINT) AS erode_ok, CAST(1 AS BIGINT) AS erode_inside_ok,
+       CAST(1 AS BIGINT) AS simp_ok
+FROM read_parquet('{zon}')
 """
     shp_truth = fixtures.ensure_canon_shp_truth()
-    ORACLES["shapefile_source"] = f"""
+    _shp_truth_sql = f"""
 SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
        CAST(vi AS BIGINT) AS vi, x, y
 FROM read_parquet('{shp_truth}')
 """
+    ORACLES["shapefile_source"] = _shp_truth_sql
+    # the zip:// hop must be byte-transparent: identical truth
+    ORACLES["vfs_source"] = _shp_truth_sql
     # gpkg/fgb sinks copy coordinates as raw <f8 with no winding or
     # closure normalization, so the round-trip truth IS the canonical
     # zones parquet, unnested per vertex (bit-identical doubles).

@@ -376,6 +376,32 @@ def ensure_canon_shp(spark, cache_dir: str | None = None) -> str:
     return path
 
 
+def ensure_canon_shp_zip(spark, cache_dir: str | None = None) -> str:
+    """Zip the canonical-zones shapefile (all sidecars) and return a
+    reference-syntax VFS URI ``zip://<archive>!zones.shp`` — the
+    fixture for the ``vfs_source`` driver-contract row (the reference's
+    canonical `zip://...!member.shp` case, `fiona/vfs.py`)."""
+    import zipfile
+
+    d = cache_dir or _CACHE
+    shp = ensure_canon_shp(spark, cache_dir)
+    arc = os.path.join(d, "canon_zones_shp.zip")
+    if not os.path.exists(arc):
+        stem = os.path.splitext(shp)[0]
+        tmp = arc + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+            for ext in (".shp", ".shx", ".dbf", ".prj", ".cpg"):
+                member = stem + ext
+                if os.path.exists(member):
+                    # fixed timestamp: the archive is a deterministic
+                    # fixture, not a build artifact
+                    zi = zipfile.ZipInfo(f"zones{ext}", (1980, 1, 1, 0, 0, 0))
+                    with open(member, "rb") as fh:
+                        z.writestr(zi, fh.read())
+        os.replace(tmp, arc)
+    return f"zip://{arc}!zones.shp"
+
+
 def _canon_zones_spark_df(spark):
     """Canonical zones as a ring-model Spark frame (writer input for the
     single-file format fixtures).  Column order is the fixture contract:
