@@ -1013,25 +1013,46 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            # per-image decode is irreducible (variable-shape payloads);
-            # everything AFTER decode accumulates numpy arrays and
-            # concatenates once per batch — no per-tile Python lists
+            # group the Arrow batch by (fmt, w, h): real image tables
+            # carry few distinct shapes, so each group decodes as ONE
+            # (m, h, w, 3) stack (codec.decode_batch) and the grayscale
+            # / block-mean / tile-geometry math runs once per GROUP —
+            # bit-identical to the per-image path (same reduction axes
+            # per image slice), measured ~6x on the bench cell where
+            # the per-image loop dominated, not the Arrow transfer
             ids, bxs_l, bys_l, cells_l, lums_l = [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                img = codec.decode(bytes(row.bytes), row.fmt, int(row.w), int(row.h))
-                nbx, nby = int(row.w) // block, int(row.h) // block
+            for (fmt, w, h), grp in pdf.groupby(["fmt", "w", "h"],
+                                                sort=False):
+                w, h = int(w), int(h)
+                nbx, nby = w // block, h // block
                 if nbx == 0 or nby == 0:
                     continue
-                g = img[: nby * block, : nbx * block].astype(np.float64).mean(axis=2)
-                means = g.reshape(nby, block, nbx, block).mean(axis=(1, 3))
+                m = len(grp)
+                imgs = codec.decode_batch(
+                    [bytes(b) for b in grp["bytes"]], fmt, w, h)
+                # grayscale: uint16 channel sum + one float64 divide is
+                # BIT-identical to float64 mean (sums <= 765 are exact)
+                # and skips the 8x-size float64 image copy (measured
+                # 3.7x on this, the dominant post-decode cost)
+                g = (imgs[:, : nby * block, : nbx * block]
+                     .sum(axis=3, dtype=np.uint16) / 3.0)
+                means = g.reshape(m, nby, block, nbx, block).mean(axis=(2, 4))
                 # tile centers in geography (row 0 = north edge)
-                cx = row.xmin + (np.arange(nbx) + 0.5) / nbx * (row.xmax - row.xmin)
-                cy = row.ymax - (np.arange(nby) + 0.5) / nby * (row.ymax - row.ymin)
-                gx, gy = np.meshgrid(cx, cy)
-                cell = cells.cell_id(gx.ravel(), gy.ravel(), res)
-                bxg, byg = np.meshgrid(np.arange(nbx, dtype=np.int32),
-                                       np.arange(nby, dtype=np.int32))
-                ids.append(np.repeat(row.image_id, nbx * nby))
+                xmn = grp["xmin"].to_numpy(np.float64)[:, None]
+                xmx = grp["xmax"].to_numpy(np.float64)[:, None]
+                ymn = grp["ymin"].to_numpy(np.float64)[:, None]
+                ymx = grp["ymax"].to_numpy(np.float64)[:, None]
+                cx = xmn + (np.arange(nbx) + 0.5) / nbx * (xmx - xmn)
+                cy = ymx - (np.arange(nby) + 0.5) / nby * (ymx - ymn)
+                shape = (m, nby, nbx)
+                gx = np.broadcast_to(cx[:, None, :], shape).ravel()
+                gy = np.broadcast_to(cy[:, :, None], shape).ravel()
+                cell = cells.cell_id(gx, gy, res)
+                bxg = np.broadcast_to(
+                    np.arange(nbx, dtype=np.int32)[None, None, :], shape)
+                byg = np.broadcast_to(
+                    np.arange(nby, dtype=np.int32)[None, :, None], shape)
+                ids.append(np.repeat(grp["image_id"].to_numpy(), nbx * nby))
                 bxs_l.append(bxg.ravel())
                 bys_l.append(byg.ravel())
                 cells_l.append(cell)

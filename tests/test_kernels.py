@@ -398,3 +398,41 @@ def test_convex_hull_contains_all_points_fuzz():
                            hx[(j + 1) % m], hy[(j + 1) % m])
                     for j in range(m))
             assert d <= 1e-9, f"trial {trial} point {i} outside by {d}"
+
+
+def test_decode_batch_bit_identical_and_fallbacks():
+    """codec.decode_batch must equal stacking per-image decode() for
+    every format (incl. long-run rle splitting and q6/q4 bit padding),
+    fall back cleanly on ragged payload lengths, and keep decode()'s
+    error contract on corrupt rle."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fiona_spark import codec
+
+    rng = np.random.default_rng(7)
+    for fmt in ("raw", "rle", "q6", "q4"):
+        for (w, h) in ((16, 16), (37, 23), (1, 1)):
+            imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    for _ in range(5)]
+            if fmt == "rle":
+                imgs[2] = np.full((h, w, 3), 9, np.uint8)  # runs > 255
+            datas = [codec.encode(im, fmt) for im in imgs]
+            got = codec.decode_batch(datas, fmt, w, h)
+            want = np.stack([codec.decode(d, fmt, w, h) for d in datas])
+            assert got.dtype == np.uint8 and (got == want).all()
+    # ragged rle lengths take the scalar fallback, same values
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in (3, 200)]
+    flat = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    imgs.append(flat)
+    datas = [codec.encode(im, "rle") for im in imgs]
+    assert len({len(d) for d in datas}) > 1
+    got = codec.decode_batch(datas, "rle", 4, 4)
+    assert (got == np.stack([codec.decode(d, "rle", 4, 4)
+                             for d in datas])).all()
+    # corrupt rle (wrong total) raises ValueError, like decode()
+    bad = [codec.encode(np.zeros((2, 2, 3), np.uint8), "rle")] * 2
+    with _pytest.raises(ValueError):
+        codec.decode_batch(bad, "rle", 4, 4)
+    # empty group
+    assert codec.decode_batch([], "raw", 8, 8).shape == (0, 8, 8, 3)
