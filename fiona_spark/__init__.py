@@ -15,16 +15,38 @@ __version__ = "0.4.0"          # round-4 build
 
 
 def open(spark, path: str, mode: str = "r", driver: str | None = None,
-         **opts):
+         opener=None, **opts):
     """``fiona.open`` analogue: read returns a DataFrame; pass
-    ``mode='w'``/``'a'`` with ``df=`` to write/append."""
+    ``mode='w'``/``'a'`` with ``df=`` to write/append.
+
+    ``opener``: the reference's Python-opener plugin
+    (`fiona/__init__.py` opener kwarg + `_vsiopener.pyx`) — a callable
+    like ``io.open`` or an fsspec-style filesystem; dataset bytes
+    (and shapefile sidecars) route through it instead of the local FS.
+    """
     from .sources import drivers
     if mode == "r":
+        if opener is not None:
+            from .io import materialize_via_opener
+            path = materialize_via_opener(path, opener)
         return drivers.open_dataset(spark, path, driver, **opts)
     if mode in ("w", "a"):
         df = opts.pop("df", None)
         if df is None:
             raise ValueError("write mode needs df=<DataFrame>")
+        if opener is not None:
+            import os
+            import tempfile
+
+            from .io import materialize_via_opener, publish_via_opener
+            local = os.path.join(tempfile.mkdtemp(prefix="fs_pyopener_w_"),
+                                 os.path.basename(path.rstrip("/")) or "out")
+            if mode == "a":
+                # append needs the existing bytes first
+                local = materialize_via_opener(path, opener)
+            drivers.write_dataset(df, local, driver, mode=mode, **opts)
+            publish_via_opener(local, path, opener)
+            return None
         drivers.write_dataset(df, path, driver, mode=mode, **opts)
         return None
     raise ValueError(f"unsupported mode {mode!r}")
@@ -32,7 +54,7 @@ def open(spark, path: str, mode: str = "r", driver: str | None = None,
 
 def open_collection(spark, path: str, mode: str = "r",
                     driver: str | None = None, schema: dict | None = None,
-                    crs=None, layer: str | None = None, **opts):
+                    crs=None, layer: str | None = None, opener=None, **opts):
     """``fiona.open`` returning the reference's file-like Collection
     object (`fiona/collection.py:41-688`): an iterator of features
     with schema/crs/bounds introspection, filter/items/keys
@@ -40,6 +62,9 @@ def open_collection(spark, path: str, mode: str = "r",
     code written against the reference ports verbatim.  `open`
     (above) is the set-oriented fast path returning a DataFrame."""
     from .collection import Collection
+    if opener is not None and mode == "r":
+        from .io import materialize_via_opener
+        path = materialize_via_opener(path, opener)
     return Collection(spark, path, mode=mode, driver=driver,
                       schema=schema, crs=crs, layer=layer, **opts)
 

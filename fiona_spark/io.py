@@ -18,6 +18,60 @@ import zipfile
 from pyspark.sql import DataFrame
 
 
+def _opener_read(opener, path: str) -> bytes:
+    """Read ``path`` through a Python opener: an fsspec-like filesystem
+    (has ``.open(path, mode)``) or a callable like ``io.open``."""
+    f = opener.open(path, "rb") if hasattr(opener, "open") else opener(path, "rb")
+    with f:
+        return f.read()
+
+
+def materialize_via_opener(path: str, opener) -> str:
+    """The reference's Python-opener VSI plugin (`fiona/_vsiopener.pyx`,
+    `fiona.open(..., opener=)`): pull dataset bytes through a
+    user-supplied opener — ``io.open``, an fsspec filesystem, a tiledb
+    VFS, anything with ``open(path, 'rb')`` — into a scratch directory
+    the registered drivers can read.  Shapefile sidecars are fetched
+    through the same opener, exactly like GDAL requests them through
+    the VSI plugin."""
+    data = _opener_read(opener, path)
+    d = tempfile.mkdtemp(prefix="fs_pyopener_")
+    base = os.path.basename(path.rstrip("/")) or "dataset"
+    local = os.path.join(d, base)
+    with open(local, "wb") as out:
+        out.write(data)
+    if base.lower().endswith(".shp"):
+        stem_remote = path[: -len(".shp")]
+        stem_local = local[: -len(".shp")]
+        for ext in (".shx", ".dbf", ".cpg", ".prj"):
+            for cand in (stem_remote + ext, stem_remote + ext.upper()):
+                try:
+                    side = _opener_read(opener, cand)
+                except Exception:
+                    continue
+                with open(stem_local + ext, "wb") as out:
+                    out.write(side)
+                break
+    return local
+
+
+def publish_via_opener(local_path: str, path: str, opener) -> None:
+    """Write-mode counterpart: copy a locally written single-file
+    dataset (plus shapefile sidecars) back out through the opener."""
+    def _write(src: str, dst: str) -> None:
+        f = (opener.open(dst, "wb") if hasattr(opener, "open")
+             else opener(dst, "wb"))
+        with f, open(src, "rb") as fh:
+            f.write(fh.read())
+    _write(local_path, path)
+    if local_path.lower().endswith(".shp"):
+        stem_local = local_path[: -len(".shp")]
+        stem_remote = path[: -len(".shp")]
+        for ext in (".shx", ".dbf", ".cpg", ".prj"):
+            if os.path.exists(stem_local + ext):
+                _write(stem_local + ext, stem_remote + ext)
+
+
 class MemoryFile:
     """Bytes-backed dataset, readable by any registered driver.
 

@@ -376,3 +376,83 @@ def test_info_opens_iceberg_like_and_reports_crs(spark, tmp_path):
     drivers.write_dataset(df, t3, driver="iceberg_like")
     drivers.write_dataset(df, t3, driver="iceberg_like", mode="a")
     assert drivers.open_dataset(spark, t3, driver="iceberg_like").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Python opener plugin (reference fiona.open(opener=) / _vsiopener.pyx)
+# ---------------------------------------------------------------------------
+
+def test_opener_io_open_geojson(spark, tmp_path):
+    """io.open as opener, like the reference's test_opener_io_open."""
+    import io as _io
+    import json
+
+    import fiona_spark as fs
+
+    p = tmp_path / "g.geojson"
+    p.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature",
+                      "properties": {"name": "grenada"},
+                      "geometry": {"type": "Point",
+                                   "coordinates": [-61.7, 12.1]}}]}))
+    df = fs.open(spark, str(p), opener=_io.open)
+    assert df.count() == 1 and df.first()["name"] == "grenada"
+
+
+class _ZipFS:
+    """fsspec-zip-style opener: members resolve inside an archive."""
+
+    def __init__(self, archive):
+        self.archive = archive
+
+    def open(self, path, mode="rb"):
+        import io as _io
+        import zipfile
+        with zipfile.ZipFile(self.archive) as zf:
+            return _io.BytesIO(zf.read(path.lstrip("/")))
+
+
+def test_opener_zip_fs_shapefile(spark):
+    """Zip-filesystem opener over the reference's zipped coutwildrnp
+    shapefile (test_opener_fsspec_zip_fs shape): sidecars must be
+    fetched through the same opener."""
+    import fiona_spark as fs
+
+    fsys = _ZipFS("/root/reference/tests/data/coutwildrnp.zip")
+    df = fs.open(spark, "coutwildrnp.shp", opener=fsys)
+    assert df.count() == 67
+    assert "AGBUR" in df.columns and df.first()["geom_type"] == "Polygon"
+
+
+def test_opener_write_roundtrip(spark, tmp_path):
+    """Write mode publishes the single-file dataset (and sidecars)
+    back through the opener (reference test_opener_fsspec_fs_write)."""
+    import io as _io
+
+    import fiona_spark as fs
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], 7)],
+        "zone_id string, xs array<double>, ys array<double>, v long")
+    out = tmp_path / "sub" / "z.shp"
+    out.parent.mkdir()
+    fs.open(spark, str(out), mode="w", df=df, opener=_io.open)
+    back = fs.open(spark, str(out), opener=_io.open)
+    assert back.count() == 1 and back.first()["zone_id"] == "a"
+
+
+def test_compound_crs_resolves_horizontal():
+    """COMPD_CS WKT must not crash and must resolve to the horizontal
+    member (reference tests/test_compound_crs.py)."""
+    from fiona_spark.crs import CRS
+
+    w = ('COMPD_CS["unknown",GEOGCS["WGS 84",DATUM["WGS_1984",'
+         'SPHEROID["WGS 84",6378137,298.257223563,'
+         'AUTHORITY["EPSG","7030"]],TOWGS84[0,0,0,0,0,0,0],'
+         'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],'
+         'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]],'
+         'VERT_CS["unknown",VERT_DATUM["unknown",2005],'
+         'UNIT["metre",1.0,AUTHORITY["EPSG","9001"]],AXIS["Up",UP]]]')
+    c = CRS.from_wkt(w)
+    assert isinstance(c, CRS) and c.to_epsg() == 4326
