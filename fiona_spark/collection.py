@@ -39,6 +39,7 @@ class Collection:
         self.path = path
         self.mode = mode
         self.name = layer or os.path.splitext(os.path.basename(path))[0]
+        self._layer = layer
         self._opts = opts
         self._closed = False
         self._buffer: list[dict] = []
@@ -237,7 +238,17 @@ class Collection:
         mode = self.mode if self._df is None else "a"
         fiona_spark.open(self._spark, self.path, mode=mode,
                          driver=self._driver, df=df, **self._opts)
-        self._df = df
+        # read-back APIs (len/bounds/iteration) must reflect the WHOLE
+        # dataset on disk, not just the last buffered batch (r5 advice):
+        # re-open from path after every flush
+        try:
+            kw = dict(self._opts)
+            if self._layer:
+                kw["layer"] = self._layer
+            self._df = fiona_spark.open(self._spark, self.path, mode="r",
+                                        driver=self._driver, **kw)
+        except Exception:
+            self._df = df   # driver without read support: best effort
         self._buffer = []
         if self.mode == "w":
             self.mode = "a"   # subsequent flushes extend, not replace

@@ -40,6 +40,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import tempfile
 
@@ -198,7 +199,8 @@ def cmd_env(args):
 
 def cmd_info(args):
     from .sources import catalog
-    rec = catalog.info(_spark(args), args.path)
+    rec = catalog.info(_spark(args), args.path,
+                       layer=getattr(args, "layer", None))
     for flag in ("count", "bounds", "crs"):
         if getattr(args, flag, False):
             print(rec.get(flag))
@@ -283,18 +285,27 @@ def cmd_map(args):
     df = _read_stdin_df(_spark(args))
     if args.dump_parts:
         # explode multi-part geometries to one single-ring feature per
-        # part (`fio map --dump-parts`, fiona/features.py:61-82)
+        # part (`fio map --dump-parts`, fiona/features.py:61-82); each
+        # part carries the SINGLE-part type of its parent (MultiLine ->
+        # LineString etc.), matching the reference — not a blanket
+        # Polygon stamp (r5 advice)
         df = (df.select("*", F.posexplode("rings_xs").alias("_i", "_rx"))
               .withColumn("_ry", F.expr("rings_ys[_i]"))
               .drop("rings_xs", "rings_ys", "xs", "ys", "_i")
               .withColumnRenamed("_rx", "xs").withColumnRenamed("_ry", "ys")
-              .withColumn("geom_type", F.lit("Polygon")))
+              .withColumn("geom_type", F.regexp_replace(
+                  F.coalesce(F.col("geom_type"), F.lit("Polygon")),
+                  "^Multi", "")))
     col = snuggs.compile_expr(args.pipeline)
     out = (df.withColumn("_g", col)
            .drop("xs", "ys", "rings_xs", "rings_ys")
            .withColumn("xs", F.col("_g.xs"))
-           .withColumn("ys", F.col("_g.ys")).drop("_g")
-           .withColumn("geom_type", F.lit("Polygon")))
+           .withColumn("ys", F.col("_g.ys")).drop("_g"))
+    if re.search(r"\(\s*buffer\b", args.pipeline):
+        # buffer is the one pipeline op that CONSTRUCTS polygon rings
+        # from any input type; everything else (identity, simplify,
+        # set_precision) preserves the input geometry type
+        out = out.withColumn("geom_type", F.lit("Polygon"))
     feats = _rows_to_features(out)
     if args.raw:
         for f in feats:

@@ -112,13 +112,14 @@ def get_tags(path: str, ns: str = "") -> dict:
         return json.load(fh).get(ns, {})
 
 
-def open_any(spark, table_path: str):
+def open_any(spark, table_path: str, layer: str | None = None):
     """Resolve a dataset path through the driver registry and open it.
 
     Returns ``(df, driver_name)``; falls back to parquet when the
     extension is unregistered (the engine's native table layout).
     Shared by :func:`info` and ``env.insp`` so both surfaces open
-    .gpkg/.shp/.gml/... identically.
+    .gpkg/.shp/.gml/... identically.  ``layer`` selects a named layer
+    for multi-layer drivers (gpkg/gpx/gdb/...).
     """
     from . import drivers
     try:
@@ -130,19 +131,22 @@ def open_any(spark, table_path: str):
         # resolve the current snapshot's files instead
         from . import iceberg_like
         return iceberg_like.read_table(spark, table_path), "iceberg_like"
+    opts = {"layer": layer} if layer else {}
     df = (spark.read.parquet(table_path) if drv == "parquet"
-          else drivers.open_dataset(spark, table_path, driver=drv))
+          else drivers.open_dataset(spark, table_path, driver=drv, **opts))
     return df, drv
 
 
-def info(spark, table_path: str) -> dict:
+def info(spark, table_path: str, layer: str | None = None) -> dict:
     """``fio info`` parity: count, bounds (when footprint columns
     exist), schema, plus the driver capability record
-    (`fiona/fio/info.py:42-78`; driver block mirrors fiona/meta.py)."""
+    (`fiona/fio/info.py:42-78`; driver block mirrors fiona/meta.py).
+    ``layer`` reports the named layer of a multi-layer dataset (r5
+    advice: the CLI flag was accepted but silently ignored)."""
     from pyspark.sql import functions as F
 
     from . import meta
-    df, drv = open_any(spark, table_path)
+    df, drv = open_any(spark, table_path, layer=layer)
     rec = {
         "path": table_path,
         "count": df.count(),

@@ -291,6 +291,10 @@ def _hilbert_order(boxes: np.ndarray) -> np.ndarray:
 def _level_num_nodes(n_items: int, node_size: int) -> list[int]:
     """Node counts per level, BOTTOM-UP (leaves first), ending at the
     single root — the spec's generateLevelBounds recurrence."""
+    if n_items < 1:
+        # ceil(0/s) never reaches 1 — the recurrence below would spin
+        # forever.  Callers guard n==0 (empty files are unindexed).
+        raise ValueError("packed R-tree needs n_items >= 1")
     lvls = [n_items]
     while True:                  # do-while like _index_size: a 1-item
         nxt = (lvls[-1] + node_size - 1) // node_size
@@ -705,6 +709,18 @@ def write_flatgeobuf(df: DataFrame, path: str, name: str = "layer",
             boxes.append(bbox if bbox is not None
                          else (np.nan,) * 4)
     n = len(sizes)
+    if n == 0:
+        # empty dataset: an R-tree over zero items is meaningless (and
+        # _hilbert_order/_level_num_nodes assume n >= 1) — emit the
+        # canonical empty unindexed file (features_count=0,
+        # index_node_size=0), which the reader already handles.
+        os.remove(spool)
+        header = _encode_header(name, gt_code, cols, 0, 0)
+        with open(tmp, "wb") as fh:
+            fh.write(MAGIC)
+            fh.write(header)
+        os.replace(tmp, path)
+        return
     sizes = np.asarray(sizes, np.int64)
     boxes = np.asarray(boxes, np.float64).reshape(n, 4)
     has_geom = ~np.isnan(boxes[:, 0])

@@ -250,6 +250,27 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "features",
                 "'http://www.geopackage.org/spec/#extension_rtree', "
                 "'write-only')", (layer,))
             has_rtree = True
+            # Creating the index on an EXISTING layer (append mode to a
+            # table written without one): BACKFILL it from the stored
+            # geometries first, or rtree-routed bbox reads would
+            # silently drop every pre-existing feature (r5 advice).
+            # Mode 'w' just recreated the table, so this scans nothing.
+            for fid, blob in con.execute(
+                    f'SELECT fid, geom FROM "{layer}"'):
+                if blob is None:
+                    continue
+                wkb_bytes, _srs = parse_gpkg_blob(blob)
+                if wkb_bytes is None:
+                    continue
+                _t, bxs, bys = model.rings_from_geometry(
+                    wkb.decode(wkb_bytes))
+                if not bxs:
+                    continue
+                con.execute(
+                    f'INSERT INTO "{rtree}" VALUES (?, ?, ?, ?, ?)',
+                    (fid,
+                     min(min(r) for r in bxs), max(max(r) for r in bxs),
+                     min(min(r) for r in bys), max(max(r) for r in bys)))
         names = [f.name for f in props]
         ph = ", ".join(["?"] * (len(names) + 1))
         collist = ", ".join(["geom"] + [f'"{n}"' for n in names])

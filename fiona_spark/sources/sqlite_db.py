@@ -14,7 +14,8 @@ codec (`fiona_spark/wkb.py`), so round trips are bit-exact.
 Read path: layer rows fetch on the driver (one SQLite file has no
 splittable framing), geometry DECODE runs distributed via one
 ``mapInPandas`` over the blob column — the r4 single-file-format
-convention (CLAUDE.md).  Writer/appender stream ``toLocalIterator``.
+convention (see README module notes).  Writer/appender stream
+``toLocalIterator``.
 
 Modes: r / w / a ("raw", matching the reference row).
 

@@ -24,14 +24,48 @@ prints one JSON line.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import re
+import signal
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Orphan guard (same three layers as bench_scaling.py — see its header):
+# child JVMs run in their own process groups, killed on every exit path,
+# with a total-wall-clock watchdog.
+_LIVE_GROUPS: set[int] = set()
+
+
+def _kill_live_groups(*_a) -> None:
+    for pgid in list(_LIVE_GROUPS):
+        try:
+            os.killpg(pgid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        _LIVE_GROUPS.discard(pgid)
+
+
+def _install_cleanup(max_wall_sec: int) -> None:
+    atexit.register(_kill_live_groups)
+    for sig in (signal.SIGTERM, signal.SIGHUP, signal.SIGINT):
+        def _die(signum, _frame):
+            _kill_live_groups()
+            sys.exit(128 + signum)
+        signal.signal(sig, _die)
+
+    def _watchdog(_s, _f):
+        print(f"# WATCHDOG: exceeded {max_wall_sec}s — killing child JVMs",
+              file=sys.stderr, flush=True)
+        _kill_live_groups()
+        os._exit(75)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(max_wall_sec)
 
 WORKER = r'''
 import json, sys, time
@@ -44,6 +78,8 @@ from fiona_spark.operators import spatial
 cores = int(sys.argv[1]); sf = float(sys.argv[2]); zsf = float(sys.argv[3])
 reps = int(sys.argv[4]); tag = sys.argv[5]
 spark = get_spark(cores=cores, app=f"isolation-{tag}")
+import atexit
+atexit.register(spark.stop)   # orphan guard layer 2
 images = spark.read.parquet(fixtures.images_path(spark, sf)) \
     .repartition(128).cache()
 pts = images.select("image_id", "lng", "lat",
@@ -74,14 +110,27 @@ spark.stop()
 def launch(cpuset: str, cores: int, sf: float, zsf: float, reps: int,
            tag: str) -> subprocess.Popen:
     code = WORKER % {"repo": REPO}
-    return subprocess.Popen(
+    proc = subprocess.Popen(
         ["taskset", "-c", cpuset, sys.executable, "-c", code,
          str(cores), str(sf), str(zsf), str(reps), tag],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True)
+    _LIVE_GROUPS.add(proc.pid)
+    return proc
 
 
 def result_of(proc: subprocess.Popen) -> dict:
-    out, err = proc.communicate(timeout=5400)
+    try:
+        out, err = proc.communicate(timeout=5400)
+    except subprocess.TimeoutExpired:
+        _kill_live_groups()
+        raise RuntimeError("isolation level exceeded 5400s — killed")
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        _LIVE_GROUPS.discard(proc.pid)
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -89,6 +138,8 @@ def result_of(proc: subprocess.Popen) -> dict:
 
 
 def main() -> None:
+    _install_cleanup(int(os.environ.get("SPARK_GRAFT_SCALING_MAX_SEC",
+                                        "7200")))
     sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
     zsf = float(os.environ.get("SPARK_GRAFT_SCALING_ZSF", "0.5"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))

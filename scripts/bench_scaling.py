@@ -29,12 +29,60 @@ Writes BENCH/BASELINE.md and prints one JSON line.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import signal
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# Orphan prevention (r5 verdict ask #1a).  In r5 this script's parent was
+# killed mid-run; the level subprocess (a 48 GB-heap local[32] JVM + 32
+# pyspark daemons) was reparented to pid 1 and kept running for >24 h,
+# contaminating the driver's official BENCH_r05.json capture.  Three
+# layers now guarantee cleanup:
+#   1. every level subprocess runs in its own PROCESS GROUP
+#      (start_new_session=True) and the whole group is SIGKILLed in a
+#      finally/atexit/signal handler — the JVM and pyspark daemons die
+#      with the harness, even on SIGTERM/SIGHUP;
+#   2. the WORKER itself wraps its body in try/finally spark.stop();
+#   3. a total wall-clock WATCHDOG (SIGALRM, default 2 h, override via
+#      SPARK_GRAFT_SCALING_MAX_SEC) aborts the harness — and through
+#      layer 1 its children — if it ever hangs.
+# ---------------------------------------------------------------------------
+
+_LIVE_GROUPS: set[int] = set()
+
+
+def _kill_live_groups(*_a) -> None:
+    for pgid in list(_LIVE_GROUPS):
+        try:
+            os.killpg(pgid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        _LIVE_GROUPS.discard(pgid)
+
+
+def _install_cleanup(max_wall_sec: int) -> None:
+    atexit.register(_kill_live_groups)
+    for sig in (signal.SIGTERM, signal.SIGHUP, signal.SIGINT):
+        def _die(signum, _frame):
+            _kill_live_groups()
+            sys.exit(128 + signum)
+        signal.signal(sig, _die)
+
+    def _watchdog(_s, _f):
+        print(f"# WATCHDOG: exceeded {max_wall_sec}s total wall clock — "
+              "killing child JVMs and aborting", file=sys.stderr, flush=True)
+        _kill_live_groups()
+        os._exit(75)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(max_wall_sec)
 
 WORKER = r'''
 import json, sys, time
@@ -47,6 +95,10 @@ from fiona_spark.operators import spatial
 cores = int(sys.argv[1]); sf = float(sys.argv[2]); zsf = float(sys.argv[3])
 reps = int(sys.argv[4])
 spark = get_spark(cores=cores, app=f"scaling-{cores}")
+# stop the JVM on ANY exit path (exception, sys.exit) — orphan guard
+# layer 2; layer 1 (parent killpg) covers SIGKILL of this process too
+import atexit
+atexit.register(spark.stop)
 # The north-star regime (BASELINE.json input_hint) scales the IMAGE
 # stream, not the polygon layer: zones are held at a fixed realistic
 # layer size while images scale with sf.
@@ -177,17 +229,32 @@ def run_level(cores: int, sf: float, zsf: float, reps: int) -> dict:
     cpuset-for-cpuset (the r2 advisory's pinned-cgroup hardening)."""
     code = WORKER % {"repo": REPO}
     cpuset = f"0-{cores - 1}" if cores > 1 else "0"
-    proc = subprocess.run(["taskset", "-c", cpuset,
-                           sys.executable, "-c", code, str(cores), str(sf),
-                           str(zsf), str(reps)],
-                          capture_output=True, text=True, timeout=5400)
-    for line in proc.stderr.splitlines():
+    proc = subprocess.Popen(["taskset", "-c", cpuset,
+                             sys.executable, "-c", code, str(cores), str(sf),
+                             str(zsf), str(reps)],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, start_new_session=True)
+    _LIVE_GROUPS.add(proc.pid)   # pgid == pid (new session)
+    try:
+        stdout, stderr = proc.communicate(timeout=5400)
+    except subprocess.TimeoutExpired:
+        _kill_live_groups()
+        raise RuntimeError(f"local[{cores}] level exceeded 5400s — killed")
+    finally:
+        # the level is done (or dead): reap any straggler JVM/daemon in
+        # its group so nothing can outlive this call
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        _LIVE_GROUPS.discard(proc.pid)
+    for line in stderr.splitlines():
         if line.startswith("# "):
             print(line, file=sys.stderr, flush=True)
-    for line in proc.stdout.splitlines():
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from local[{cores}]: {proc.stderr[-2000:]}")
+    raise RuntimeError(f"no RESULT from local[{cores}]: {stderr[-2000:]}")
 
 
 JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial",
@@ -195,6 +262,8 @@ JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial",
 
 
 def main() -> None:
+    _install_cleanup(int(os.environ.get("SPARK_GRAFT_SCALING_MAX_SEC",
+                                        "7200")))
     sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
     zsf = float(os.environ.get("SPARK_GRAFT_SCALING_ZSF", "0.5"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))

@@ -103,6 +103,27 @@ def test_write_mode_roundtrip(spark, src, tmp_path):
     assert got == {f["properties"]["NAME"] for f in feats}
 
 
+def test_multi_flush_readback(spark, src, tmp_path):
+    """After several flushes, len()/bounds/iteration reflect the WHOLE
+    dataset written so far, not just the last buffered batch (r5
+    advice)."""
+    out = str(tmp_path / "multi.gpkg")
+    feats = list(src.filter(6))
+    with fiona_spark.open_collection(spark, out, "w", schema=src.schema,
+                                     driver="geopackage") as dst:
+        dst.writerecords(feats[:2])
+        dst.flush()
+        assert len(dst) == 2
+        dst.writerecords(feats[2:5])
+        dst.flush()
+        assert len(dst) == 5           # was 3 (last batch only) pre-fix
+        dst.writerecords(feats[5:6])
+    back = fiona_spark.open_collection(spark, out)
+    assert len(back) == 6
+    assert ({f["properties"]["NAME"] for f in back}
+            == {f["properties"]["NAME"] for f in feats})
+
+
 def test_write_mode_guards(spark, src, tmp_path):
     with pytest.raises(ValueError):
         fiona_spark.open_collection(spark, "x.gpkg", "x")

@@ -162,6 +162,40 @@ def test_map_buffer(spark, gpkg, capsys, monkeypatch):
         assert fout["properties"] == fin["properties"]
 
 
+def test_map_preserves_geometry_type(spark, capsys, monkeypatch):
+    """Non-constructive pipelines (set_precision/simplify) must carry
+    the input geometry type through — r5 advice: everything was being
+    stamped Polygon."""
+    feats = [json.dumps({
+        "type": "Feature", "id": str(i),
+        "geometry": {"type": "LineString",
+                     "coordinates": [[0.12 + i, 0.34], [1.56 + i, 1.78]]},
+        "properties": {"k": i}}) for i in range(3)]
+    seq = "\n".join(feats) + "\n"
+    _, out = run_cli(["map", "(set_precision g 0.25)"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    got = [json.loads(l) for l in out.splitlines() if l]
+    assert len(got) == 3
+    assert all(f["geometry"]["type"] == "LineString" for f in got)
+    # --dump-parts on a MultiLineString explodes to LineString parts
+    mls = json.dumps({
+        "type": "Feature", "id": "m",
+        "geometry": {"type": "MultiLineString",
+                     "coordinates": [[[0.0, 0.0], [1.0, 1.0]],
+                                     [[5.0, 5.0], [6.0, 6.0]]]},
+        "properties": {"k": 9}}) + "\n"
+    _, out = run_cli(["map", "(set_precision g 0.25)", "--dump-parts"],
+                     stdin_text=mls, capsys=capsys, monkeypatch=monkeypatch)
+    parts = [json.loads(l) for l in out.splitlines() if l]
+    assert len(parts) == 2
+    assert all(p["geometry"]["type"] == "LineString" for p in parts)
+    # buffer is constructive: output is Polygon regardless of input
+    _, out = run_cli(["map", "(buffer g 0.5)"], stdin_text=seq,
+                     capsys=capsys, monkeypatch=monkeypatch)
+    got = [json.loads(l) for l in out.splitlines() if l]
+    assert all(f["geometry"]["type"] == "Polygon" for f in got)
+
+
 def test_reduce_union_and_collect(spark, gpkg, capsys, monkeypatch):
     import fiona_spark
     _, seq = run_cli(["cat", gpkg], capsys=capsys)
@@ -204,6 +238,25 @@ def test_info_count_and_insp(spark, gpkg, capsys):
     _, out = run_cli(["insp", gpkg], capsys=capsys)
     rec = json.loads(out)
     assert rec["count"] == n and len(rec["head"]) == 5
+
+
+def test_info_layer_flag(spark, capsys):
+    """`fio info path --layer X --count` must report the REQUESTED
+    layer, not silently the default one (r5 advice)."""
+    gpx = "/root/reference/tests/data/test_gpx.gpx"
+    if not os.path.exists(gpx):
+        pytest.skip("reference gpx fixture unavailable")
+    _, out = run_cli(["info", gpx, "--layer", "track_points", "--count"],
+                     capsys=capsys)
+    n_tp = int(out.strip())
+    _, out = run_cli(["info", gpx, "--layer", "tracks", "--count"],
+                     capsys=capsys)
+    n_tr = int(out.strip())
+    from fiona_spark.sources import drivers
+    want_tp = drivers.open_dataset(spark, gpx, layer="track_points").count()
+    want_tr = drivers.open_dataset(spark, gpx, layer="tracks").count()
+    assert (n_tp, n_tr) == (want_tp, want_tr)
+    assert n_tp != n_tr   # the flag visibly selects different layers
 
 
 def test_rm_requires_yes(tmp_path, capsys):

@@ -1388,6 +1388,23 @@ def test_flatgeobuf_indexed_null_geometry(spark, tmp_path):
     assert got == [2]
 
 
+def test_flatgeobuf_indexed_write_empty(spark, tmp_path):
+    """index_node_size>0 on an EMPTY DataFrame must produce a valid
+    unindexed empty file, not crash in _hilbert_order (r5 advice)."""
+    from fiona_spark.sources import flatgeobuf as fgb
+    df = spark.createDataFrame(
+        [], "k long, geom_type string, rings_xs array<array<double>>,"
+            " rings_ys array<array<double>>")
+    p = str(tmp_path / "empty.fgb")
+    fgb.write_flatgeobuf(df, p, geometry_type="Polygon",
+                         index_node_size=16)
+    assert fgb.read_flatgeobuf(spark, p).count() == 0
+    assert fgb.read_flatgeobuf(spark, p, bbox=(0, 0, 1, 1)).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fgb._level_num_nodes(0, 16)
+
+
 def test_geopackage_rtree_index_and_bbox_read(spark, tmp_path):
     """gpkg_rtree_index extension: write with spatial_index=True, read
     with bbox pruned through the rtree join (oracle: envelope filter of
@@ -1433,3 +1450,35 @@ def test_geopackage_rtree_index_and_bbox_read(spark, tmp_path):
     a = sorted(r["k"] for r in
                gp.read_geopackage(spark, p2, "zones", bbox=bbox).collect())
     assert a == want
+
+
+def test_geopackage_append_index_backfills_existing(spark, tmp_path):
+    """Appending with spatial_index=True to a layer written WITHOUT an
+    rtree backfills the index from the pre-existing geometries — bbox
+    reads must still see the old rows (r5 advice: they were silently
+    dropped)."""
+    import sqlite3
+    from fiona_spark.sources import geopackage as gp
+    schema = ("k long, geom_type string, rings_xs array<array<double>>,"
+              " rings_ys array<array<double>>")
+    old = spark.createDataFrame(
+        [(i, "Polygon",
+          [[float(i), float(i) + 1, float(i) + 1, float(i), float(i)]],
+          [[0.0, 0.0, 1.0, 1.0, 0.0]]) for i in range(5)], schema)
+    p = str(tmp_path / "backfill.gpkg")
+    gp.write_geopackage(old, p, layer="zones")          # no index
+    new = spark.createDataFrame(
+        [(99, "Polygon", [[50.0, 51.0, 51.0, 50.0, 50.0]],
+          [[0.0, 0.0, 1.0, 1.0, 0.0]])], schema)
+    gp.write_geopackage(new, p, layer="zones", mode="a",
+                        spatial_index=True)             # creates rtree now
+    with sqlite3.connect(p) as con:
+        assert con.execute("SELECT count(*) FROM rtree_zones_geom"
+                           ).fetchone()[0] == 6          # 5 old + 1 new
+    # bbox read over the OLD rows goes through the rtree join and must
+    # still return them
+    got = sorted(r["k"] for r in gp.read_geopackage(
+        spark, p, "zones", bbox=(1.5, -1.0, 3.5, 2.0)).collect())
+    assert got == [1, 2, 3]
+    assert [r["k"] for r in gp.read_geopackage(
+        spark, p, "zones", bbox=(49.0, -1.0, 52.0, 2.0)).collect()] == [99]
