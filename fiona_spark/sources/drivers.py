@@ -280,6 +280,12 @@ def _read_gdb(spark, path, layer=None, **opts):
     return openfilegdb.read_openfilegdb(spark, path, layer)
 
 
+def _write_gdb(df, path, mode="w", **opts):
+    from . import openfilegdb
+    openfilegdb.write_openfilegdb(
+        df, path, mode="a" if mode == "append" else mode, **opts)
+
+
 def _read_fgb(spark, path, bbox=None, **opts):
     from . import flatgeobuf
     return flatgeobuf.read_flatgeobuf(spark, path, bbox=bbox)
@@ -415,7 +421,7 @@ register_driver("gml", _read_gml, _write_gml, "rw")
 register_driver("gpx", _read_gpx, _write_gpx, "rw")
 register_driver("kml", _read_kml, _write_kml, "rw")
 register_driver("flatgeobuf", _read_fgb, _write_fgb, "rw")
-register_driver("openfilegdb", _read_gdb, _no_write, "r")
+register_driver("openfilegdb", _read_gdb, _write_gdb, "raw")
 register_driver("geojson_seq", _read_geojson_seq, _write_geojson_seq, "raw")
 register_driver("esrijson", _read_esrijson, _no_write, "r")
 register_driver("bna", _read_bna, _write_bna, "rw")

@@ -1,8 +1,8 @@
-"""OpenFileGDB source — read-only reference parity for the
-OpenFileGDB driver (`fiona/drvsupport.py:47` registers it "raw"; this
-engine implements the read side, like GDAL's OpenFileGDB vs ESRI's
-closed write SDK), implemented directly on the publicly documented
-ESRI File Geodatabase format (the reverse-engineered FGDB spec,
+"""OpenFileGDB source/sink — reference parity for the OpenFileGDB
+driver (`fiona/drvsupport.py:47` registers it "raw": read always,
+write/append since GDAL 3.6; r6 adds the engine's write side),
+implemented directly on the publicly documented ESRI File Geodatabase
+format (the reverse-engineered FGDB spec,
 github.com/rouault/dump_gdbtable/wiki/FGDB-Spec): no GDAL.
 
 Layout per table ``a%08x.gdbtable``: 40-byte header (int32 magic=3,
@@ -195,6 +195,11 @@ def _parse_fields(d: bytes):
                     continue
                 ng = struct.unpack("<i", d[pc + 1:pc + 5])[0]
                 if 1 <= ng <= 3 and pc + 5 + 8 * ng <= end:
+                    # remember where the extent doubles sit so the
+                    # APPEND path can patch xmin/ymin/xmax/ymax in
+                    # place (section size unchanged)
+                    fld["_extent_off"] = p
+                    fld["_extent_ndoubles"] = k
                     p = pc + 5 + 8 * ng
                     break
             else:
@@ -398,3 +403,485 @@ def read_openfilegdb(spark, path: str, layer: str | None = None) -> DataFrame:
                 "transform(rings_xs, r -> array_max(r))")))
             .withColumn("ymax", F.array_max(F.expr(
                 "transform(rings_ys, r -> array_max(r))"))))
+
+
+# ---------------------------------------------------------------------------
+# writer (w/a — the reference's drvsupport.py:47 registers OpenFileGDB
+# "raw" with write/append since GDAL 3.6; this is the engine's write
+# side, authored from the same public FGDB spec as the reader)
+# ---------------------------------------------------------------------------
+
+# GDAL's WGS84 defaults for the coordinate quantization grid; the
+# engine uses an exact 1e9 xyscale (the spec allows any scale) so
+# round((x - xorigin) * xyscale) round-trips doubles to < 1e-9 deg.
+_DEF_SRS = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID['
+            '"WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+            'UNIT["Degree",0.0174532925199433]]')
+_DEF_XYSCALE = 1e9
+_TABLX_TRAILER = bytes.fromhex("00000000010000000100000000000000")
+_FIELDS_END = bytes.fromhex("deadbeef")   # section end marker (fixture)
+
+# layer geometry byte in the field-section header
+_LAYER_GEOM = {"Point": 1, "MultiPoint": 2,
+               "LineString": 3, "MultiLineString": 3,
+               "Polygon": 4, "MultiPolygon": 4}
+# extended-shapefile enum written into geometry blobs (2D forms)
+_SHAPE_OF = {"Point": 1, "MultiPoint": 8,
+             "LineString": 3, "MultiLineString": 3,
+             "Polygon": 5, "MultiPolygon": 5}
+
+_SPARK_FT = {"smallint": FT_INT16, "int": FT_INT32, "bigint": FT_INT32,
+             "long": FT_INT32, "float": FT_FLOAT32, "double": FT_FLOAT64,
+             "string": FT_STRING, "binary": FT_BINARY,
+             "timestamp": FT_DATETIME, "date": FT_DATETIME,
+             "boolean": FT_INT16}
+
+
+def _enc_varuint(v: int) -> bytes:
+    if v < 0:
+        raise DriverError(f"varuint cannot encode negative {v}")
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_varint(v: int) -> bytes:
+    """Inverse of :func:`_varint`: bit 6 of the first byte is the
+    sign, 6 payload bits first byte, 7 per continuation byte."""
+    neg = v < 0
+    v = -v if neg else v
+    first = (0x40 if neg else 0) | (v & 0x3F)
+    v >>= 6
+    out = bytearray()
+    if v:
+        out.append(first | 0x80)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    else:
+        out.append(first)
+    return bytes(out)
+
+
+def _encode_geometry(t: str, rxs, rys, gp: dict) -> bytes:
+    """Ring-model geometry -> varint-packed FGDB blob (inverse of
+    :func:`_decode_geometry`, 2D forms)."""
+    xo, yo, sc = gp["xorigin"], gp["yorigin"], gp["xyscale"]
+    if t == "Point":
+        if not rxs or not rxs[0]:
+            return _enc_varuint(1) + _enc_varuint(0)   # empty sentinel
+        xr = round((rxs[0][0] - xo) * sc) + 1
+        yr = round((rys[0][0] - yo) * sc) + 1
+        if xr <= 0 or yr <= 0:
+            raise DriverError("coordinate below quantization origin")
+        return _enc_varuint(1) + _enc_varuint(xr) + _enc_varuint(yr)
+    st = _SHAPE_OF[t]
+    allx = [x for r in (rxs or []) for x in r]
+    ally = [y for r in (rys or []) for y in r]
+    npts = len(allx)
+    out = bytearray(_enc_varuint(st) + _enc_varuint(npts))
+    if npts == 0:
+        return bytes(out)
+    sx = [round((x - xo) * sc) for x in allx]
+    sy = [round((y - yo) * sc) for y in ally]
+    if min(sx) < 0 or min(sy) < 0:
+        raise DriverError("coordinate below quantization origin")
+    if t != "MultiPoint":
+        out += _enc_varuint(len(rxs))
+    out += (_enc_varuint(min(sx)) + _enc_varuint(min(sy))
+            + _enc_varuint(max(sx) - min(sx))
+            + _enc_varuint(max(sy) - min(sy)))
+    if t != "MultiPoint":
+        for r in rxs[:-1]:
+            out += _enc_varuint(len(r))
+    cx = cy = 0
+    for i in range(npts):
+        out += _enc_varint(sx[i] - cx) + _enc_varint(sy[i] - cy)
+        cx, cy = sx[i], sy[i]
+    return bytes(out)
+
+
+def _encode_value(ft: int, v, fld: dict) -> bytes:
+    if ft == FT_INT16:
+        return struct.pack("<h", int(v))
+    if ft == FT_INT32:
+        iv = int(v)
+        if not -2**31 <= iv < 2**31:
+            raise DriverError(f"int32 overflow writing {v!r} to FGDB")
+        return struct.pack("<i", iv)
+    if ft == FT_FLOAT32:
+        return struct.pack("<f", float(v))
+    if ft == FT_FLOAT64:
+        return struct.pack("<d", float(v))
+    if ft == FT_DATETIME:
+        if isinstance(v, str):
+            v = _dt.datetime.strptime(v[:19], "%Y-%m-%dT%H:%M:%S")
+        elif isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        return struct.pack("<d", (v - _EPOCH).total_seconds() / 86400.0)
+    if ft in (FT_STRING, FT_XML):
+        b = str(v).encode("utf-8")
+        return _enc_varuint(len(b)) + b
+    if ft == FT_BINARY:
+        b = bytes(v)
+        return _enc_varuint(len(b)) + b
+    if ft in (FT_UUID, FT_GLOBALID):
+        return _uuid.UUID(str(v).strip("{}")).bytes_le
+    raise DriverError(f"unsupported field type {ft} for write")
+
+
+def _encode_row(rec: dict, fields: list) -> bytes:
+    """dict with property values + (geom_type, rings_xs, rings_ys) ->
+    row BODY bytes (null bitmap + values; caller prepends int32 size).
+    Unused padding bits in the bitmap are SET, matching what real
+    FGDB writers emit."""
+    nullable = [f for f in fields if f["nullable"]]
+    nb = (len(nullable) + 7) // 8
+    bitmap = bytearray(nb)
+    for i in range(len(nullable), nb * 8):        # padding bits high
+        bitmap[i // 8] |= 1 << (i % 8)
+    vals = bytearray()
+    ni = 0
+    for f in fields:
+        ft = f["ftype"]
+        if ft == FT_OBJECTID:
+            continue
+        if ft == FT_GEOMETRY:
+            v = rec.get("geom_type")
+            null = v is None
+        else:
+            v = rec.get(f["name"])
+            null = v is None
+        if f["nullable"]:
+            if null:
+                bitmap[ni // 8] |= 1 << (ni % 8)
+            ni += 1
+            if null:
+                continue
+        elif null:
+            raise DriverError(f"null value for NOT NULL field "
+                              f"{f['name']!r}")
+        if ft == FT_GEOMETRY:
+            blob = _encode_geometry(rec["geom_type"], rec.get("rings_xs"),
+                                    rec.get("rings_ys"), f)
+            vals += _enc_varuint(len(blob)) + blob
+        else:
+            vals += _encode_value(ft, v, f)
+    return bytes(bitmap) + bytes(vals)
+
+
+def _encode_fields(layer_geom: int, fields: list, feature_table: bool) \
+        -> bytes:
+    """Field list -> the .gdbtable field-descriptor section (starting
+    at the int32 section size, ending with the 0xdeadbeef marker)."""
+    body = bytearray()
+    body += struct.pack("<i", 4)                       # version
+    body += bytes([layer_geom, 3 if feature_table else 1, 0, 0])
+    body += struct.pack("<h", len(fields))
+    for f in fields:
+        name = f["name"]
+        body += bytes([len(name)]) + name.encode("utf-16-le")
+        body += bytes([0])                             # no alias
+        ft = f["ftype"]
+        body += bytes([ft])
+        flag = (1 if f["nullable"] else 0) | 4
+        if ft == FT_OBJECTID:
+            body += bytes([4, 2])
+        elif ft == FT_GEOMETRY:
+            srs = f.get("srs", _DEF_SRS)
+            sb = srs.encode("utf-16-le")
+            body += bytes([0, 7])                      # unknown, flags
+            body += struct.pack("<h", len(sb)) + sb
+            body += bytes([7])                         # z/m flags byte
+            body += struct.pack(
+                "<10d", f["xorigin"], f["yorigin"], f["xyscale"],
+                f.get("morigin", -100000.0), f.get("mscale", 10000.0),
+                f.get("zorigin", -100000.0), f.get("zscale", 10000.0),
+                0.0, 0.001, 0.0)                       # tolerances
+            body += struct.pack("<4d", *f.get(
+                "extent", (0.0, 0.0, 0.0, 0.0)))
+            body += bytes([0]) + struct.pack("<i", 1)  # 1 grid size
+            body += struct.pack("<d", 1.0)
+        elif ft == FT_STRING:
+            body += struct.pack("<i", f.get("width", 65536))
+            body += bytes([flag, 0])                   # zero-len default
+        elif ft in (FT_BINARY, FT_RASTER, FT_UUID, FT_GLOBALID, FT_XML):
+            body += bytes([f.get("width", 0), flag])
+        else:
+            widths = {FT_INT16: 2, FT_INT32: 4, FT_FLOAT32: 4,
+                      FT_FLOAT64: 8, FT_DATETIME: 8}
+            body += bytes([widths[ft], flag, 0])       # zero-len default
+        f.setdefault("width", None)
+    body += _FIELDS_END
+    return struct.pack("<i", len(body)) + bytes(body)
+
+
+def _write_table_files(gdb: str, tno: int, field_sec: bytes,
+                       bodies: list[bytes]) -> None:
+    """Assemble a%08x.gdbtable + .gdbtablx from a field section and
+    encoded row bodies."""
+    rows = bytearray()
+    offsets = []
+    base = 40 + len(field_sec)
+    for b in bodies:
+        offsets.append(base + len(rows))
+        rows += struct.pack("<i", len(b)) + b
+    u3 = max([len(field_sec) - 4] + [len(b) for b in bodies])
+    fsize = 40 + len(field_sec) + len(rows)
+    hdr = struct.pack("<6i", 3, len(bodies), u3, 5, 0, 0)
+    hdr += struct.pack("<q", fsize) + struct.pack("<q", 40)
+    with open(os.path.join(gdb, f"a{tno:08x}.gdbtable"), "wb") as fh:
+        fh.write(hdr + field_sec + rows)
+    _write_tablx(gdb, tno, offsets)
+
+
+def _write_tablx(gdb: str, tno: int, offsets: list[int]) -> None:
+    n = len(offsets)
+    n1024 = max(1, -(-n // 1024))
+    buf = bytearray(struct.pack("<4i", 3, n1024, n, 5))
+    for o in offsets:
+        buf += o.to_bytes(5, "little")
+    buf += b"\x00" * 5 * (n1024 * 1024 - n)
+    buf += _TABLX_TRAILER
+    with open(os.path.join(gdb, f"a{tno:08x}.gdbtablx"), "wb") as fh:
+        fh.write(buf)
+
+
+def _catalog_field_sec() -> bytes:
+    """GDB_SystemCatalog field section: ID (objectid), Name, FileFormat
+    — byte layout mirrored from real gdbs (all NOT NULL, no bitmap)."""
+    fields = [{"name": "ID", "ftype": FT_OBJECTID, "nullable": False},
+              {"name": "Name", "ftype": FT_STRING, "nullable": False,
+               "width": 160},
+              {"name": "FileFormat", "ftype": FT_INT32, "nullable": False}]
+    body = bytearray()
+    body += struct.pack("<i", 4)
+    body += bytes([0, 1, 0, 0])                        # plain table
+    body += struct.pack("<h", len(fields))
+    for f in fields:
+        body += bytes([len(f["name"])]) + f["name"].encode("utf-16-le")
+        body += bytes([0, f["ftype"]])
+        if f["ftype"] == FT_OBJECTID:
+            body += bytes([4, 2])
+        elif f["ftype"] == FT_STRING:
+            body += struct.pack("<i", f["width"]) + bytes([4, 0])
+        else:
+            body += bytes([4, 4, 0])
+    body += _FIELDS_END
+    return struct.pack("<i", len(body)) + bytes(body)
+
+
+def _write_catalog(gdb: str, names: dict[int, str]) -> None:
+    """names: 1-based table number -> table name (must include entry 1
+    = GDB_SystemCatalog).  Gaps are preserved as deleted rows (tablx
+    offset 0) so catalog row id == table file number always holds."""
+    bodies = []
+    hi = max(names)
+    for rid in range(1, hi + 1):
+        if rid in names:
+            nm = names[rid].encode("utf-8")
+            bodies.append(_enc_varuint(len(nm)) + nm
+                          + struct.pack("<i", 0))
+        else:
+            bodies.append(None)
+    sec = _catalog_field_sec()
+    rows = bytearray()
+    offsets = []
+    base = 40 + len(sec)
+    for b in bodies:
+        if b is None:
+            offsets.append(0)
+            continue
+        offsets.append(base + len(rows))
+        rows += struct.pack("<i", len(b)) + b
+    u3 = max([len(sec) - 4] + [len(b) for b in bodies if b is not None])
+    hdr = struct.pack("<6i", 3, sum(b is not None for b in bodies),
+                      u3, 5, 0, 0)
+    hdr += struct.pack("<q", 40 + len(sec) + len(rows))
+    hdr += struct.pack("<q", 40)
+    with open(os.path.join(gdb, "a00000001.gdbtable"), "wb") as fh:
+        fh.write(hdr + sec + rows)
+    _write_tablx(gdb, 1, offsets)
+
+
+def _collect_rows(df: DataFrame):
+    """DataFrame -> (prop fields from the schema, row dicts streamed
+    driver-side — single-file formats are driver-serial by design, the
+    same toLocalIterator convention as shapefile/gpkg)."""
+    skip = {"fid", "geom_type", "rings_xs", "rings_ys", "xs", "ys",
+            "xmin", "ymin", "xmax", "ymax"}
+    props = []
+    for f in df.schema.fields:
+        if f.name in skip:
+            continue
+        t = f.dataType.simpleString()
+        if t not in _SPARK_FT:
+            raise DriverError(f"no FGDB mapping for column {f.name!r} "
+                              f"of type {t}")
+        props.append({"name": f.name, "ftype": _SPARK_FT[t],
+                      "nullable": True})
+    cols = set(df.columns)
+    rows = []
+    for row in df.toLocalIterator():
+        d = row.asDict(recursive=True)
+        if d.get("rings_xs") is None and "xs" in cols \
+                and d.get("xs") is not None:
+            d["rings_xs"], d["rings_ys"] = [d["xs"]], [d["ys"]]
+        rows.append(d)
+    return props, rows
+
+
+def write_openfilegdb(df: DataFrame, path: str, layer: str = "layer",
+                      mode: str = "w", srs: str | None = None,
+                      **_opts) -> None:
+    """Write/append a ring-model DataFrame as one layer of an ESRI
+    File Geodatabase directory (reference `drvsupport.py:47` — GDAL
+    ≥3.6 "raw" w/a; format authored from the public FGDB spec,
+    github.com/rouault/dump_gdbtable/wiki/FGDB-Spec).
+
+    * ``mode='w'``: creates/overwrites ``path`` as a fresh gdb with a
+      real GDB_SystemCatalog (table 1) and this layer as table 2.
+      Other GDB_* system tables are not materialized — the catalog is
+      what layer resolution needs.
+    * ``mode='a'``/``'append'``: appends rows to an EXISTING layer
+      (encoding against its stored field descriptors — works on gdbs
+      authored elsewhere, e.g. the reference test fixture), or adds a
+      NEW layer (next free table number + catalog row) when ``layer``
+      is not present.
+
+    Geometry quantizes on the layer grid (write default: origin -400,
+    xyscale 1e9 -> < 1e-9 deg round-trip error); Z/M are not written
+    (the reader's parse-then-drop convention).  The layer extent in
+    the field section is patched on every append.
+    """
+    if mode in ("a", "append"):
+        _append_openfilegdb(df, path, layer)
+        return
+    if mode != "w":
+        raise DriverError(f"unsupported mode {mode!r}")
+    props, rows = _collect_rows(df)
+    os.makedirs(path, exist_ok=True)
+    # refuse to clobber a non-gdb directory that has unrelated content
+    existing = [f for f in os.listdir(path) if not f.startswith("a")]
+    if existing and not os.path.exists(
+            os.path.join(path, "a00000001.gdbtable")):
+        raise DriverError(f"{path!r} exists and is not a FileGDB")
+    for f in os.listdir(path):
+        if f.startswith("a") and (f.endswith(".gdbtable")
+                                  or f.endswith(".gdbtablx")):
+            os.remove(os.path.join(path, f))
+
+    geom_types = {r.get("geom_type") for r in rows} - {None}
+    bad = geom_types - set(_LAYER_GEOM)
+    if bad:
+        raise DriverError(f"unsupported geometry types {sorted(bad)}")
+    lg = _LAYER_GEOM[next(iter(geom_types))] if geom_types else 4
+    allx = [x for r in rows for ring in (r.get("rings_xs") or [])
+            for x in ring]
+    ally = [y for r in rows for ring in (r.get("rings_ys") or [])
+            for y in ring]
+    ext = ((min(allx), min(ally), max(allx), max(ally)) if allx
+           else (0.0, 0.0, 0.0, 0.0))
+    import math
+    gfield = {"name": "SHAPE", "ftype": FT_GEOMETRY, "nullable": True,
+              "srs": srs or _DEF_SRS,
+              "xorigin": min(-400.0, math.floor(ext[0]) - 1.0),
+              "yorigin": min(-400.0, math.floor(ext[1]) - 1.0),
+              "xyscale": _DEF_XYSCALE, "extent": ext}
+    fields = [gfield,
+              {"name": "OBJECTID", "ftype": FT_OBJECTID,
+               "nullable": False}] + props
+    sec = _encode_fields(lg, fields, feature_table=True)
+    bodies = [_encode_row(r, fields) for r in rows]
+    _write_table_files(path, 2, sec, bodies)
+    _write_catalog(path, {1: "GDB_SystemCatalog", 2: layer})
+
+
+def _append_openfilegdb(df: DataFrame, path: str, layer: str) -> None:
+    cat = _catalog(path)
+    by_name = {n: i for i, n in cat.items()}
+    if layer not in by_name:
+        # NEW layer in an existing gdb: next free table number
+        props, rows = _collect_rows(df)
+        tno = max(cat) + 1
+        geom_types = {r.get("geom_type") for r in rows} - {None}
+        bad = geom_types - set(_LAYER_GEOM)
+        if bad:
+            raise DriverError(f"unsupported geometry types {sorted(bad)}")
+        lg = _LAYER_GEOM[next(iter(geom_types))] if geom_types else 4
+        allx = [x for r in rows for ring in (r.get("rings_xs") or [])
+                for x in ring]
+        ally = [y for r in rows for ring in (r.get("rings_ys") or [])
+                for y in ring]
+        ext = ((min(allx), min(ally), max(allx), max(ally)) if allx
+               else (0.0, 0.0, 0.0, 0.0))
+        import math
+        gfield = {"name": "SHAPE", "ftype": FT_GEOMETRY, "nullable": True,
+                  "srs": _DEF_SRS,
+                  "xorigin": min(-400.0, math.floor(ext[0]) - 1.0),
+                  "yorigin": min(-400.0, math.floor(ext[1]) - 1.0),
+                  "xyscale": _DEF_XYSCALE, "extent": ext}
+        fields = [gfield, {"name": "OBJECTID", "ftype": FT_OBJECTID,
+                           "nullable": False}] + props
+        sec = _encode_fields(lg, fields, feature_table=True)
+        _write_table_files(path, tno, sec,
+                           [_encode_row(r, fields) for r in rows])
+        cat[tno] = layer
+        _write_catalog(path, cat)
+        return
+    # append ROWS to an existing layer, encoding against its stored
+    # field descriptors (works on externally-authored gdbs too)
+    tno = by_name[layer]
+    d = bytearray(_read(path, tno, ".gdbtable"))
+    dx = _read(path, tno, ".gdbtablx")
+    _lg, fields = _parse_fields(d)
+    _props, rows = _collect_rows(df)
+    gf = next((f for f in fields if f["ftype"] == FT_GEOMETRY), None)
+    bodies = [_encode_row(r, fields) for r in rows]
+
+    n_old = struct.unpack("<i", dx[8:12])[0]
+    osz = struct.unpack("<i", dx[12:16])[0]
+    offsets = [int.from_bytes(dx[16 + i * osz:16 + (i + 1) * osz],
+                              "little") for i in range(n_old)]
+    pos = len(d)
+    new = bytearray()
+    for b in bodies:
+        offsets.append(pos + len(new))
+        new += struct.pack("<i", len(b)) + b
+    # header: valid-row count, max chunk size, file size
+    n_valid = struct.unpack("<i", d[4:8])[0] + len(bodies)
+    u3 = max([struct.unpack("<i", d[8:12])[0]] + [len(b) for b in bodies])
+    struct.pack_into("<i", d, 4, n_valid)
+    struct.pack_into("<i", d, 8, u3)
+    struct.pack_into("<q", d, 24, len(d) + len(new))
+    # patch the layer extent doubles in place (fixed-size section)
+    if gf is not None and "_extent_off" in gf and rows:
+        allx = [x for r in rows for ring in (r.get("rings_xs") or [])
+                for x in ring]
+        ally = [y for r in rows for ring in (r.get("rings_ys") or [])
+                for y in ring]
+        if allx:
+            eo = gf["_extent_off"]
+            cur = list(struct.unpack_from("<4d", d, eo))
+            if cur == [0.0, 0.0, 0.0, 0.0] and \
+                    struct.unpack("<i", bytes(d[4:8]))[0] == len(bodies):
+                cur = [min(allx), min(ally), max(allx), max(ally)]
+            else:
+                cur = [min(cur[0], *allx), min(cur[1], *ally),
+                       max(cur[2], *allx), max(cur[3], *ally)]
+            struct.pack_into("<4d", d, eo, *cur)
+    with open(os.path.join(_gdb_dir(path), f"a{tno:08x}.gdbtable"),
+              "wb") as fh:
+        fh.write(bytes(d) + bytes(new))
+    _write_tablx(path, tno, offsets)

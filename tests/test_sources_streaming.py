@@ -1194,7 +1194,7 @@ def test_flatgeobuf_index_skip():
 # ---------------------------------------------------------------------------
 # r5: OpenFileGDB reader against the reference's own fixture
 # (testopenfilegdb.gdb.zip — reference drvsupport.py:47 registers the
-# driver "raw"; read-only here, like GDAL's OpenFileGDB)
+# driver "raw"; r6: read AND write/append, like GDAL >= 3.6)
 # ---------------------------------------------------------------------------
 
 REF_GDB_ZIP = "/root/reference/tests/data/testopenfilegdb.gdb.zip"
@@ -1284,6 +1284,92 @@ def test_gdb_unknown_layer_raises(spark, gdb_dir):
     from fiona_spark.sources.openfilegdb import read_openfilegdb
     with pytest.raises(DriverError, match="no layer"):
         read_openfilegdb(spark, gdb_dir, "nope")
+
+
+def test_gdb_write_read_roundtrip(spark, tmp_path):
+    """r6: engine FGDB write -> read round trip (drvsupport.py:47
+    registers OpenFileGDB 'raw' since GDAL 3.6): polygons with holes,
+    null geometry/properties, every mapped property type."""
+    from fiona_spark.sources import openfilegdb as og
+    rows = [
+        (1, "alpha", 1.5, True, "Polygon",
+         [[0.0, 0.0, 2.0, 2.0, 0.0], [0.5, 0.5, 1.5, 1.5, 0.5]],
+         [[0.0, 2.0, 2.0, 0.0, 0.0], [0.5, 1.5, 1.5, 0.5, 0.5]]),
+        (2, "beta", -3.25, False, "Polygon",
+         [[10.0, 10.0, 11.5, 11.5, 10.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+        (3, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, name string, v double, flag boolean, "
+              "geom_type string, rings_xs array<array<double>>, "
+              "rings_ys array<array<double>>")
+    path = str(tmp_path / "written.gdb")
+    og.write_openfilegdb(df, path, layer="zones")
+    assert og.listlayers_gdb(path) == ["zones"]
+    back = og.read_openfilegdb(spark, path, "zones").orderBy("fid")
+    got = back.collect()
+    assert [r["k"] for r in got] == [1, 2, 3]
+    assert [r["name"] for r in got] == ["alpha", "beta", None]
+    assert [r["v"] for r in got] == [1.5, -3.25, None]
+    assert [r["flag"] for r in got] == [1, 0, None]   # bool -> int16
+    # geometry: exact 1e9 quantization grid -> < 1e-9 deg error
+    assert got[0]["geom_type"] == "Polygon"
+    assert len(got[0]["rings_xs"]) == 2               # hole preserved
+    for a, b in zip(got[0]["rings_xs"][1], [0.5, 0.5, 1.5, 1.5, 0.5]):
+        assert abs(a - b) < 1e-9
+    assert got[2]["geom_type"] is None and got[2]["rings_xs"] is None
+    # the registry round trip (write_dataset / open_dataset, w then a)
+    from fiona_spark.sources import drivers
+    p2 = str(tmp_path / "via_registry.gdb")
+    drivers.write_dataset(df, p2, "openfilegdb", layer="zones")
+    drivers.write_dataset(df.limit(1), p2, "openfilegdb", mode="a",
+                          layer="zones")
+    assert drivers.open_dataset(spark, p2, layer="zones").count() == 4
+
+
+def test_gdb_append_to_reference_fixture(spark, gdb_dir, tmp_path):
+    """r6: append rows to a gdb authored ELSEWHERE (the reference's
+    own fixture) — encode against ITS stored field descriptors and
+    quantization grid; old rows must stay byte-identical."""
+    import shutil
+    from fiona_spark.sources import openfilegdb as og
+    work = str(tmp_path / "ref_append.gdb")
+    shutil.copytree(gdb_dir, work)
+    before = og.read_openfilegdb(spark, work, "point").orderBy("fid") \
+        .collect()
+    more = spark.createDataFrame(
+        [(77, "written", -5, 555, 3.125, "2021-06-01T12:34:56",
+          "{12345678-9ABC-DEF0-1234-56789ABCDEF0}", b"\x01\x02",
+          "Point", [[3.5]], [[4.25]])],
+        "id int, str string, smallint smallint, int int, real double, "
+        "adate string, guid string, binary binary, geom_type string, "
+        "rings_xs array<array<double>>, rings_ys array<array<double>>")
+    og.write_openfilegdb(more, work, layer="point", mode="a")
+    after = og.read_openfilegdb(spark, work, "point").orderBy("fid") \
+        .collect()
+    assert len(after) == len(before) + 1
+    skip_geo = ("xs", "ys", "rings_xs", "rings_ys",
+                "xmin", "ymin", "xmax", "ymax")
+    for old, new in zip(before, after):
+        do, dn = old.asDict(), new.asDict()
+        assert {k: v for k, v in do.items() if k not in skip_geo} \
+            == {k: v for k, v in dn.items() if k not in skip_geo}
+    last = after[-1]
+    assert last["id"] == 77 and last["str"] == "written"
+    assert last["smallint"] == -5 and last["int"] == 555
+    assert last["real"] == 3.125
+    assert last["adate"] == "2021-06-01T12:34:56"
+    assert last["guid"] == "{12345678-9ABC-DEF0-1234-56789ABCDEF0}"
+    assert last["binary"] == b"\x01\x02" and last["nullint"] is None
+    # quantized on the FIXTURE's grid (xyscale ~1e9): < 1e-9 deg error
+    assert abs(last["xs"][0] - 3.5) < 1e-9
+    assert abs(last["ys"][0] - 4.25) < 1e-9
+    # adding a brand-NEW layer to the fixture gdb
+    og.write_openfilegdb(more, work, layer="engine_new", mode="a")
+    assert "engine_new" in og.listlayers_gdb(work)
+    assert og.read_openfilegdb(spark, work, "engine_new").count() == 1
+    # reference layers still resolve after the catalog rewrite
+    assert og.read_openfilegdb(spark, work, "several_polygons").count() == 9
 
 
 def test_flatgeobuf_hilbert_matches_scalar_reference():
