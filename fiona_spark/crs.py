@@ -110,13 +110,25 @@ class CRS:
     @staticmethod
     def from_wkt(wkt: str) -> "CRS":
         m = _WKT_AUTH.search(wkt.strip()) or _WKT2_ID.search(wkt.strip())
-        if not m:
-            # last-resort name sniffing for authority-less WKT
+        if m:
+            return CRS(int(m.group(1)))
+        # name sniffing for authority-less WKT of registered systems —
+        # only the ROOT node's name counts (a nested BASEGEOGCRS["WGS 84"]
+        # must not resolve a projected CRS to 4326)
+        mroot = re.match(r'\s*[A-Za-z_]+\s*[\[(]\s*"([^"]*)"', wkt)
+        if mroot:
             for code, (name, _k, _u, _p) in _REGISTRY.items():
-                if f'"{name}"' in wkt:
+                if mroot.group(1) == name:
                     return CRS(code)
-            raise CRSError("WKT carries no EPSG authority this engine knows")
-        return CRS(int(m.group(1)))
+        # authority-less WKT1/WKT2: lower PROJECTION/METHOD + PARAMETER
+        # nodes into the proj4 families the kernel library implements
+        # (reference crs.pyx from_wkt round-trips these through PROJ)
+        from .crs_wkt import wkt_to_proj4
+        p4 = wkt_to_proj4(wkt)
+        if p4 is not None:
+            return CRS.from_string(p4)
+        raise CRSError("WKT carries no EPSG authority this engine knows "
+                       "and no projection method it implements")
 
     @staticmethod
     def from_string(value: str) -> "CRS":

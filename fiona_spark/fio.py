@@ -119,11 +119,14 @@ def _spark(args):
 
 
 def _open_inputs(spark, paths, layer=None, bbox=None, where=None,
-                 dst_crs=None, src_crs="EPSG:4326"):
+                 dst_crs=None, src_crs="EPSG:4326",
+                 cut_at_antimeridian=False):
     """Resolve each input through the driver registry and apply the
-    reference cat/dump option set (`fio/cat.py:58-120`), including
+    reference cat/dump option set (`fio/cat.py:58-139`), including
     ``--dst-crs`` reprojection (distributed transform_geom over the
-    ring model, antimeridian cutting like the reference)."""
+    ring model) with opt-in ``--cut-at-antimeridian`` WRAPDATELINE
+    cutting, exactly the flag the reference passes through to
+    transform_geom (`fio/cat.py:114-124`)."""
     from pyspark.sql import functions as F
 
     from .operators import filters
@@ -143,7 +146,9 @@ def _open_inputs(spark, paths, layer=None, bbox=None, where=None,
                 raise SystemExit(
                     f"--dst-crs needs geometry columns; {path} has none")
             from .functions import geometry as gf
-            u = gf.transform_geom_udf(src_crs, dst_crs)
+            u = gf.transform_geom_udf(
+                src_crs, dst_crs,
+                antimeridian_cutting=cut_at_antimeridian)
             df = (df.withColumn("_t", u("rings_xs", "rings_ys"))
                   .withColumn("rings_xs", F.col("_t.rings_xs"))
                   .withColumn("rings_ys", F.col("_t.rings_ys"))
@@ -225,7 +230,8 @@ def cmd_rm(args):
 def cmd_cat(args):
     for df in _open_inputs(_spark(args), args.inputs, layer=args.layer,
                            bbox=args.bbox, where=args.where,
-                           dst_crs=args.dst_crs, src_crs=args.src_crs):
+                           dst_crs=args.dst_crs, src_crs=args.src_crs,
+                           cut_at_antimeridian=args.cut_at_antimeridian):
         _emit_seq(_rows_to_features(df), args.use_rs, args.indent,
                   sys.stdout)
 
@@ -412,6 +418,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reproject geometries (e.g. EPSG:3857 or a "
                          "+proj= string)")
     sp.add_argument("--src-crs", default="EPSG:4326")
+    sp.add_argument("--cut-at-antimeridian", action="store_true",
+                    help="cut reprojected geometries at +/-180 (only "
+                         "meaningful with a geographic --dst-crs, like "
+                         "the reference fio cat)")
     sp.add_argument("--use-rs", action="store_true")
     sp.add_argument("--indent", type=int, default=None)
 

@@ -259,11 +259,17 @@ def _kernel_pair(code: str):
     kernel family (geom.kernel_from_proj4)."""
     if code.startswith("+"):
         return geom.kernel_from_proj4(code)
+    from .. import crs as crsmod
     if code.startswith("EPSG:"):
-        from .. import crs as crsmod
         try:
             c = crsmod.CRS.from_epsg(int(code.split(":", 1)[1]))
         except (ValueError, crsmod.CRSError):
+            return None
+        return geom.kernel_from_proj4(c.to_proj4())
+    if "[" in code:   # WKT1/WKT2 (r6): lower to proj4 via the CRS layer
+        try:
+            c = crsmod.CRS.from_wkt(code)
+        except crsmod.CRSError:
             return None
         return geom.kernel_from_proj4(c.to_proj4())
     return None

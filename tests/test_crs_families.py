@@ -214,3 +214,121 @@ def test_transform_udf_proj4_string(spark):
     row = df.select(u("lng", "lat").alias("p")).collect()[0]["p"]
     assert abs(row["x"] - 7255380.79) < 0.01
     assert abs(row["y"] - 7053389.56) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# r6: authority-less WKT1/WKT2 -> kernel dispatch (crs_wkt.wkt_to_proj4)
+# ---------------------------------------------------------------------------
+
+_WKT1_GEOG = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+              'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+              'PRIMEM["Greenwich",0.0],'
+              'UNIT["Degree",0.0174532925199433]]')
+
+
+def _wkt1(method, params):
+    body = ",".join(f'PARAMETER["{k}",{v}]' for k, v in params)
+    return (f'PROJCS["Local",{_WKT1_GEOG},PROJECTION["{method}"],'
+            f'{body},UNIT["Meter",1.0]]')
+
+
+@pytest.mark.parametrize("method,params,p4_twin", [
+    ("Transverse_Mercator",
+     [("False_Easting", 500000), ("False_Northing", 0),
+      ("Central_Meridian", 9), ("Scale_Factor", 0.9996),
+      ("Latitude_Of_Origin", 0)],
+     "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 "
+     "+datum=WGS84"),
+    ("Lambert_Conformal_Conic_2SP",
+     [("Latitude_Of_Origin", 46.5), ("Central_Meridian", 3),
+      ("Standard_Parallel_1", 49), ("Standard_Parallel_2", 44),
+      ("False_Easting", 700000), ("False_Northing", 6600000)],
+     "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+     "+x_0=700000 +y_0=6600000 +datum=WGS84"),
+    ("Albers_Conic_Equal_Area",
+     [("Latitude_Of_Origin", 23), ("Central_Meridian", -96),
+      ("Standard_Parallel_1", 29.5), ("Standard_Parallel_2", 45.5),
+      ("False_Easting", 0), ("False_Northing", 0)],
+     "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+     "+x_0=0 +y_0=0 +datum=WGS84"),
+    ("Lambert_Azimuthal_Equal_Area",
+     [("Latitude_Of_Origin", 52), ("Central_Meridian", 10),
+      ("False_Easting", 4321000), ("False_Northing", 3210000)],
+     "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+     "+datum=WGS84"),
+    ("Polar_Stereographic",
+     [("Standard_Parallel_1", -71), ("Central_Meridian", 0),
+      ("False_Easting", 0), ("False_Northing", 0)],
+     "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+     "+datum=WGS84"),
+])
+def test_from_wkt_authorityless_matches_proj4_kernel(method, params, p4_twin):
+    c = crsmod.CRS.from_wkt(_wkt1(method, params))
+    assert c.to_epsg() is None          # authority-less -> codeless
+    got = geom.kernel_from_proj4(c.to_proj4())
+    want = geom.kernel_from_proj4(p4_twin)
+    assert got is not None and want is not None
+    lng = RNG.uniform(-20, 20, 64)
+    lat = RNG.uniform(-85 if "stere" in p4_twin else -60,
+                      -65 if "stere" in p4_twin else 60, 64)
+    gx, gy = got[0](lng, lat)
+    wx, wy = want[0](lng, lat)
+    np.testing.assert_allclose(gx, wx, atol=1e-6)
+    np.testing.assert_allclose(gy, wy, atol=1e-6)
+    # inverse round trip through the WKT-built kernel
+    bl, bp = got[1](gx, gy)
+    np.testing.assert_allclose(bl, lng, atol=1e-9)
+    np.testing.assert_allclose(bp, lat, atol=1e-9)
+
+
+def test_from_wkt2_conversion_method_nodes():
+    wkt2 = (
+        'PROJCRS["Local LCC",BASEGEOGCRS["WGS 84",DATUM['
+        '"World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,'
+        '298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],'
+        'CONVERSION["unnamed",METHOD["Lambert Conic Conformal (2SP)"],'
+        'PARAMETER["Latitude of false origin",46.5],'
+        'PARAMETER["Longitude of false origin",3],'
+        'PARAMETER["Latitude of 1st standard parallel",49],'
+        'PARAMETER["Latitude of 2nd standard parallel",44],'
+        'PARAMETER["Easting at false origin",700000],'
+        'PARAMETER["Northing at false origin",6600000]],'
+        'CS[Cartesian,2],AXIS["easting (X)",east],'
+        'AXIS["northing (Y)",north],LENGTHUNIT["metre",1]]')
+    c = crsmod.CRS.from_wkt(wkt2)
+    assert c.to_epsg() is None
+    fwd, _ = geom.kernel_from_proj4(c.to_proj4())
+    # false origin lands exactly on (x_0, y_0) — Lambert-93 geometry
+    x, y = fwd(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    # nested BASEGEOGCRS["WGS 84"] must NOT name-sniff to EPSG:4326
+    assert c.is_projected
+
+
+def test_from_wkt_root_name_and_authority_still_resolve_codes():
+    # authority node wins over everything
+    assert crsmod.CRS.from_wkt(crsmod.CRS(2154).to_wkt()).to_epsg() == 2154
+    # authority-less but exactly-named root resolves by registry name
+    w = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+         '298.257223563]],PRIMEM["Greenwich",0],'
+         'UNIT["degree",0.0174532925199433]]')
+    assert crsmod.CRS.from_wkt(w).to_epsg() == 4326
+
+
+def test_from_wkt_unknown_method_raises():
+    w = _wkt1("Robinson", [("Central_Meridian", 0)])
+    with pytest.raises(crsmod.CRSError):
+        crsmod.CRS.from_wkt(w)
+
+
+def test_wkt_transform_pair_with_epsg(spark):
+    # a WKT-built codeless CRS works end-to-end in the Spark UDF path
+    from fiona_spark.functions.geometry import transform_udf
+    w = _wkt1("Transverse_Mercator",
+              [("False_Easting", 500000), ("False_Northing", 0),
+               ("Central_Meridian", 15), ("Scale_Factor", 0.9996),
+               ("Latitude_Of_Origin", 0)])
+    df = spark.createDataFrame([(15.0, 0.0)], "lng double, lat double")
+    u = transform_udf("EPSG:4326", w)
+    row = df.select(u("lng", "lat").alias("p")).collect()[0]["p"]
+    assert abs(row["x"] - 500000.0) < 1e-6 and abs(row["y"]) < 1e-6

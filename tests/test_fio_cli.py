@@ -285,3 +285,40 @@ def test_subprocess_pipe(gpkg, tmp_path):
     assert collect.returncode == 0, collect.stderr[-2000:]
     doc = json.loads(collect.stdout)
     assert doc["type"] == "FeatureCollection" and doc["features"]
+
+
+def test_cat_cut_at_antimeridian(spark, tmp_path, capsys):
+    # a dateline-straddling polygon in the engine's continuous wrap
+    # convention (x past +180), reference fio/cat.py:114-124 flag
+    gj = {"type": "FeatureCollection", "features": [{
+        "type": "Feature", "id": "0",
+        "properties": {"name": "straddler"},
+        "geometry": {"type": "Polygon", "coordinates": [
+            [[175.0, -5.0], [185.0, -5.0], [185.0, 5.0],
+             [175.0, 5.0], [175.0, -5.0]]]}}]}
+    p = tmp_path / "dateline.geojson"
+    p.write_text(json.dumps(gj))
+
+    # without the flag: geometry passes through uncut
+    _, out = run_cli(["cat", str(p), "--dst-crs", "EPSG:4326"],
+                     capsys=capsys)
+    f = json.loads(out.splitlines()[0])
+    assert len(f["geometry"]["coordinates"]) == 1
+    assert max(pt[0] for pt in f["geometry"]["coordinates"][0]) == 185.0
+
+    # with the flag: cut into a west part and an east part wrapped back
+    _, out = run_cli(["cat", str(p), "--dst-crs", "EPSG:4326",
+                      "--cut-at-antimeridian"], capsys=capsys)
+    f = json.loads(out.splitlines()[0])
+    rings = f["geometry"]["coordinates"]
+    assert len(rings) == 2
+    allx = [pt[0] for ring in rings for pt in ring]
+    assert max(allx) <= 180.0 and min(allx) >= -180.0
+    # the wrapped east part sits at the -180 side
+    assert min(allx) == -180.0
+    # library-level twin agrees (same cutter)
+    from fiona_spark import geom
+    xs, ys, was_cut = geom.cut_dateline_rings(
+        [[175.0, 185.0, 185.0, 175.0, 175.0]],
+        [[-5.0, -5.0, 5.0, 5.0, -5.0]])
+    assert was_cut and len(xs) == 2
