@@ -133,15 +133,34 @@ def q_calc_column(spark, sf_dir):
     return out.select("o_orderkey", "o_class")
 
 
-@register("keys_projection", """
-SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0
-""")
-def q_keys_projection(spark, sf_dir):
-    """keys() iterator = id projection with column pruning
-    (fiona/collection.py:439-513; pruning ogrext.pyx:895-922)."""
-    orders = _t(spark, sf_dir, "orders")
-    return filters.ignore_fields(
-        filters.filter_where(orders, "o_totalprice > 300000.0"), include=["o_orderkey"])
+@register("openfilegdb_source")
+def q_openfilegdb_source(spark, sf_dir):
+    """OpenFileGDB end-to-end under the driver contract (r6; fourth
+    format-driver CORRECTNESS row): canonical zones written to a real
+    ESRI File Geodatabase through the .gdbtable/.gdbtablx encoder
+    (`sources/openfilegdb.py`, reference `drvsupport.py:47` — GDAL
+    ≥3.6 "raw" w/a), re-read distributed via ``read_openfilegdb``'s
+    mapInPandas varint decode, exploded to one row per ring vertex.
+    FGDB QUANTIZES coordinates on the layer grid, so the oracle is an
+    INDEPENDENT numpy application of the spec's quantization formula
+    (`fixtures.ensure_canon_gdb_truth`) — the varint delta codec, the
+    null bitmaps, the .gdbtablx offsets, and the field-descriptor
+    round trip must reproduce it bit-for-bit.
+    (keys_projection retired for this slot: it was a pure
+    filter+project composition of the still-registered where_filter
+    row; column pruning keeps its ReadSchema plan assert in
+    test_plan_quality.)"""
+    from .sources import openfilegdb
+    gdb = fixtures.ensure_canon_gdb(spark)
+    df = openfilegdb.read_openfilegdb(spark, gdb, "zones")
+    return (df.select(
+        "zone_id", "NAME", "AGBUR",
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.posexplode(F.arrays_zip("xs", "ys")))
+        .select("zone_id", "NAME", "AGBUR", "WILDRNP020",
+                F.col("pos").cast("long").alias("vi"),
+                F.col("col.xs").alias("x"),
+                F.col("col.ys").alias("y")))
 
 
 # ===========================================================================
@@ -1142,6 +1161,12 @@ FROM e
 """
     ORACLES["gpkg_source"] = _vertex_truth
     ORACLES["fgb_source"] = _vertex_truth
+    gdb_truth = fixtures.ensure_canon_gdb_truth()
+    ORACLES["openfilegdb_source"] = f"""
+SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
+       CAST(vi AS BIGINT) AS vi, x, y
+FROM read_parquet('{gdb_truth}')
+"""
     csv_path = fixtures.ensure_canon_csv()
     ORACLES["csv_source"] = f"""
 SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020

@@ -453,6 +453,73 @@ def ensure_canon_fgb(spark, cache_dir: str | None = None) -> str:
     return path
 
 
+def ensure_canon_gdb(spark, cache_dir: str | None = None) -> str:
+    """Materialize the canonical zones as a real ESRI File Geodatabase
+    directory through the engine's .gdbtable/.gdbtablx encoder and
+    return the gdb path (reference `drvsupport.py:47` — OpenFileGDB
+    "raw" w/a since GDAL 3.6).  Unlike the gpkg/fgb twins the FGDB
+    format QUANTIZES coordinates on the layer grid (varint deltas of
+    ``round((v - origin) * xyscale)``), so the ``openfilegdb_source``
+    oracle is :func:`ensure_canon_gdb_truth` — an INDEPENDENT numpy
+    application of the spec's quantization formula — not the raw
+    zones parquet."""
+    from pyspark.sql import functions as F
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones.gdb")
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "a00000001.gdbtable")):
+        return path
+    from .sources.openfilegdb import write_openfilegdb
+    df = _canon_zones_spark_df(spark).withColumn(
+        "geom_type", F.lit("Polygon"))
+    write_openfilegdb(df, path, layer="zones")
+    return path
+
+
+def ensure_canon_gdb_truth(cache_dir: str | None = None) -> str:
+    """Per-vertex parquet twin of the canonical-zones FileGDB, built
+    INDEPENDENTLY of the engine's .gdbtable codec: pure numpy
+    application of the FGDB spec's coordinate quantization
+    (``round((v - origin) * xyscale) / xyscale + origin`` with the
+    writer's documented grid: origin -400, xyscale 1e9).  This is the
+    ORACLE side of the ``openfilegdb_source`` driver-contract query —
+    the Spark side must reproduce these exact doubles after a full
+    write->read round trip through the varint-delta binary format, so
+    the delta encoder, the null bitmaps, the .gdbtablx offsets, and
+    the field-descriptor round trip are all differentially checked
+    bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "canon_zones_gdb_truth.parquet")
+    if os.path.exists(path):
+        return path
+    zdf = gen_zones_pdf(CANON_N_ZONES)
+    origin, scale = -400.0, 1e9
+    recs = []
+    for _, z in zdf.iterrows():
+        xs = np.asarray(z["xs"], np.float64)
+        ys = np.asarray(z["ys"], np.float64)
+        qx = np.round((xs - origin) * scale) / scale + origin
+        qy = np.round((ys - origin) * scale) / scale + origin
+        for vi, (x, y) in enumerate(zip(qx, qy)):
+            recs.append({"zone_id": z["zone_id"], "NAME": z["NAME"],
+                         "AGBUR": z["AGBUR"],
+                         "WILDRNP020": int(z["WILDRNP020"]),
+                         "vi": vi, "x": float(x), "y": float(y)})
+    tdf = pd.DataFrame(recs)
+    tdf["WILDRNP020"] = tdf["WILDRNP020"].astype("int64")
+    tdf["vi"] = tdf["vi"].astype("int64")
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(tdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_canon_wkb(cache_dir: str | None = None) -> str:
     """WKB interchange fixture: geometry bytes + ground-truth stats.
 

@@ -234,3 +234,26 @@ def test_apply_dedup_broadcasts_losers(spark):
     out = dedup.apply_dedup(docs, groups)
     plan = quality.formatted_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ignore_fields_prunes_scan(spark):
+    """r6: keys_projection's contract slot was retired for
+    openfilegdb_source — this keeps the column-pruning + keys()-shape
+    differential covered: include= projection prunes the parquet
+    ReadSchema to exactly the surviving column, and the row set
+    matches a plain filter+project twin."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = filters.ignore_fields(
+        filters.filter_where(orders, "o_totalprice > 300000.0"),
+        include=["o_orderkey"])
+    read = set(quality.read_schema_columns(q))
+    assert "o_orderkey" in read
+    assert "o_comment" not in read and "o_clerk" not in read
+    want = sorted(r[0] for r in orders
+                  .filter(F.col("o_totalprice") > 300000.0)
+                  .select("o_orderkey").collect())
+    assert sorted(r[0] for r in q.collect()) == want
+    # ignore= drops named columns, keeps the rest in order
+    dropped = filters.ignore_fields(orders, ignore=["o_comment"])
+    assert dropped.columns == [c for c in orders.columns
+                               if c != "o_comment"]
