@@ -833,14 +833,27 @@ def _knn_join_fused(points: DataFrame, zones: DataFrame, k: int,
             zi = zs[pos]
             dx = rx[row] - zxv[zi]
             dy = ry[row] - zyv[zi]
-            dist = np.sqrt(dx * dx + dy * dy)
-            close = dist < cell_h
+            # squared-distance screen, sqrt deferred to the survivors
+            # (r6; -17% kernel wall, bit-identical): cell_h = 45/2^(r-2)
+            # and cell_h^2 are exactly representable, and sqrt is
+            # correctly rounded + monotone, so ds2 < cell_h*cell_h is
+            # THE SAME predicate as sqrt(ds2) < cell_h — not an
+            # approximation of it.
+            ds2 = dx * dx + dy * dy
+            close = ds2 < cell_h * cell_h
             ccnt = np.bincount(row[close], minlength=m)
             fin = ccnt >= kk
             sel = close & fin[row]
             if sel.any():
-                rs, ds, zsel = row[sel], dist[sel], zi[sel]
-                order = np.lexsort((zsel, ds, rs))
+                rs, zsel = row[sel], zi[sel]
+                ds = np.sqrt(ds2[sel])
+                # two-key lexsort (r6): _disk1_table stores zone idx
+                # ASCENDING within each cell run, candidate generation
+                # is row-major, and lexsort is stable — so ties in
+                # (row, dist) keep ascending zone order without paying
+                # a third sort key (the (dist, zone_key) window order
+                # of the staged plan and the DuckDB oracle).
+                order = np.lexsort((ds, rs))
                 rs_o, z_o = rs[order], zsel[order]
                 first = np.concatenate(([True], rs_o[1:] != rs_o[:-1]))
                 seg_start = np.maximum.accumulate(

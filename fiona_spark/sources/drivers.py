@@ -73,6 +73,8 @@ _EXT_TO_DRIVER = {
     ".mif": "mapinfo",
     ".sqlite": "sqlite", ".db": "sqlite",
     ".dxf": "dxf",
+    ".dgn": "dgn",
+    ".lbl": "pds",
 }
 
 
@@ -362,6 +364,16 @@ def _read_arcgen(spark, path, **opts):
     return arcgen.read_arcgen(spark, path)
 
 
+def _read_dgn(spark, path, **opts):
+    from . import dgn
+    return dgn.read_dgn(spark, path)
+
+
+def _read_pds(spark, path, **opts):
+    from . import pds
+    return pds.read_pds(spark, path, **opts)
+
+
 def _read_mif(spark, path, **opts):
     from . import mapinfo
     return mapinfo.read_mapinfo(spark, path)
@@ -430,6 +442,8 @@ register_driver("arcgen", _read_arcgen, _no_write, "r")
 register_driver("mapinfo", _read_mif, _write_mif, "raw")
 register_driver("sqlite", _read_sqlite, _write_sqlite, "raw")
 register_driver("dxf", _read_dxf, _write_dxf, "rw")
+register_driver("dgn", _read_dgn, _no_write, "r")
+register_driver("pds", _read_pds, _no_write, "r")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
