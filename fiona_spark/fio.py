@@ -206,9 +206,13 @@ def cmd_info(args):
     from .sources import catalog
     rec = catalog.info(_spark(args), args.path,
                        layer=getattr(args, "layer", None))
-    for flag in ("count", "bounds", "crs"):
+    # single-member flags, reference fio/info.py:28-39 (--format prints
+    # the driver name, --name the layer name)
+    for flag, key in (("count", "count"), ("bounds", "bounds"),
+                      ("crs", "crs"), ("format", "driver_name"),
+                      ("name", "name")):
         if getattr(args, flag, False):
-            print(rec.get(flag))
+            print(rec.get(key))
             return
     print(json.dumps(rec, indent=args.indent, default=str))
 
@@ -399,6 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print only the extent")
     sp.add_argument("--crs", action="store_true",
                     help="print only the CRS")
+    sp.add_argument("-f", "--format", "--driver", dest="format",
+                    action="store_true",
+                    help="print only the driver name")
+    sp.add_argument("--name", action="store_true",
+                    help="print only the layer name")
 
     sp = add("insp", cmd_insp, help="info + head rows (non-interactive)")
     sp.add_argument("path")

@@ -146,9 +146,16 @@ def info(spark, table_path: str, layer: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from . import meta
+    import os as _os
+
     df, drv = open_any(spark, table_path, layer=layer)
     rec = {
         "path": table_path,
+        # reference src.name: the layer name, or the path stem for
+        # single-layer sources (fiona/collection.py name property)
+        "name": layer or _os.path.splitext(
+            _os.path.basename(table_path.rstrip("/")))[0],
+        "driver_name": drv,
         "count": df.count(),
         "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         "driver": meta.driver_metadata(drv),

@@ -322,3 +322,14 @@ def test_cat_cut_at_antimeridian(spark, tmp_path, capsys):
         [[175.0, 185.0, 185.0, 175.0, 175.0]],
         [[-5.0, -5.0, 5.0, 5.0, -5.0]])
     assert was_cut and len(xs) == 2
+
+
+def test_info_format_and_name_flags(spark, gpkg, capsys):
+    # reference fio/info.py:28-39 single-member flags
+    _, out = run_cli(["info", gpkg, "-f"], capsys=capsys)
+    assert out.strip() == "geopackage"
+    _, out = run_cli(["info", gpkg, "--name"], capsys=capsys)
+    assert out.strip() == "canon_zones"
+    _, out = run_cli(["info", gpkg, "--layer", "zones", "--name"],
+                     capsys=capsys)
+    assert out.strip() == "zones"
