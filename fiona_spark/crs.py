@@ -236,6 +236,13 @@ class CRS:
 
     def to_wkt(self) -> str:
         if self._code is None:
+            # codeless CRS: emit real WKT1 PROJECTION/PARAMETER nodes
+            # that from_wkt lowers back to the same kernel (reference
+            # crs.pyx to_wkt round-trips via PROJ)
+            from .crs_wkt import proj4_to_wkt
+            w = proj4_to_wkt(self.to_dict(), name=self.name)
+            if w is not None:
+                return w
             name, kind, unit = self.name, "projected", "metre"
             if self.is_geographic:
                 kind, unit = "geographic", "degree"

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["wkt_to_proj4", "parse_wkt_node"]
+__all__ = ["wkt_to_proj4", "proj4_to_wkt", "parse_wkt_node"]
 
 
 # -- tokenizer / node tree --------------------------------------------------
@@ -336,3 +336,98 @@ def wkt_to_proj4(wkt: str) -> str | None:
     toks += [f"+x_0={_fmt(p('x_0'))}", f"+y_0={_fmt(p('y_0'))}"]
     toks += ell + ["+units=m", "+no_defs"]
     return " ".join(toks)
+
+
+# -- the inverse: proj4 params -> WKT1 text (reference crs.pyx to_wkt) -------
+
+# family -> (WKT1 PROJECTION name, [(proj4 key, WKT1 PARAMETER name)])
+_EMIT = {
+    "tmerc": ("Transverse_Mercator",
+              [("lat_0", "Latitude_Of_Origin"),
+               ("lon_0", "Central_Meridian"), ("k", "Scale_Factor")]),
+    "merc": ("Mercator_1SP",
+             [("lon_0", "Central_Meridian"), ("k", "Scale_Factor")]),
+    "merc2": ("Mercator_2SP",
+              [("lon_0", "Central_Meridian"),
+               ("lat_ts", "Standard_Parallel_1")]),
+    "cea": ("Cylindrical_Equal_Area",
+            [("lon_0", "Central_Meridian"),
+             ("lat_ts", "Standard_Parallel_1")]),
+    "aea": ("Albers_Conic_Equal_Area",
+            [("lat_0", "Latitude_Of_Origin"), ("lon_0", "Central_Meridian"),
+             ("lat_1", "Standard_Parallel_1"),
+             ("lat_2", "Standard_Parallel_2")]),
+    "lcc": ("Lambert_Conformal_Conic_2SP",
+            [("lat_0", "Latitude_Of_Origin"), ("lon_0", "Central_Meridian"),
+             ("lat_1", "Standard_Parallel_1"),
+             ("lat_2", "Standard_Parallel_2")]),
+    "laea": ("Lambert_Azimuthal_Equal_Area",
+             [("lat_0", "Latitude_Of_Origin"),
+              ("lon_0", "Central_Meridian")]),
+    "stere": ("Polar_Stereographic",
+              [("lat_ts", "Standard_Parallel_1"),
+               ("lon_0", "Central_Meridian")]),
+}
+
+
+def _geogcs(a: float, rf: float) -> str:
+    return ('GEOGCS["GCS_unnamed",DATUM["D_unnamed",'
+            f'SPHEROID["unnamed",{a!r},{rf!r}]],'
+            'PRIMEM["Greenwich",0.0],'
+            'UNIT["Degree",0.0174532925199433]]')
+
+
+def proj4_to_wkt(d: dict, name: str = "unnamed") -> str | None:
+    """proj4 param dict -> WKT1 text whose PROJECTION/PARAMETER nodes
+    :func:`wkt_to_proj4` lowers back to the SAME kernel — the engine's
+    analogue of the reference's PROJ-backed ``to_wkt`` for
+    authority-less CRSs.  None when the family has no WKT1 spelling
+    here (callers keep their generic fallback)."""
+    from . import geom as _geom
+    proj = d.get("proj")
+    ell = _geom._proj4_ellipsoid(d)
+    if ell is None:
+        return None
+    a, f = ell
+    rf = 1.0 / f if f else 0.0
+    if proj == "longlat":
+        return _geogcs(a, rf)
+    fam = proj
+    if proj == "utm" and "zone" in d:
+        zone = int(d["zone"])
+        d = {"lat_0": 0.0, "lon_0": _geom.utm_zone_lon0(zone),
+             "k": 0.9996, "x_0": 500000.0,
+             "y_0": 10000000.0 if "south" in d else 0.0}
+        fam = "tmerc"
+    elif proj in ("etmerc",):
+        fam = "tmerc"
+    elif proj == "webmerc":
+        # spherical Mercator_1SP on the semi-major axis (EPSG:3857 form)
+        d = dict(d, k=1.0)
+        a, rf = a, 0.0
+        fam = "merc"
+    elif proj == "merc" and "lat_ts" in d:
+        fam = "merc2"
+    if fam not in _EMIT:
+        return None
+    meth, params = _EMIT[fam]
+
+    def g(key, default=0.0):
+        v = d.get(key, d.get("k_0", 1.0) if key == "k" else default)
+        return float(v)
+
+    parts = []
+    for key, pname in params:
+        default = 1.0 if key == "k" else 0.0
+        parts.append(f'PARAMETER["{pname}",{g(key, default)!r}]')
+    if fam == "stere":
+        # variant-B spelling: the true-scale parallel carries the pole
+        # sign (wkt_to_proj4 reconstructs lat_0 = +/-90 from it); a
+        # pole-tangent +proj=stere without lat_ts is scale-1 AT the pole
+        lat_ts = float(d.get("lat_ts", d.get("lat_0", 90.0)))
+        parts[0] = f'PARAMETER["Standard_Parallel_1",{lat_ts!r}]'
+    parts.append(f'PARAMETER["False_Easting",{g("x_0")!r}]')
+    parts.append(f'PARAMETER["False_Northing",{g("y_0")!r}]')
+    return (f'PROJCS["{name}",{_geogcs(a, rf)},'
+            f'PROJECTION["{meth}"],' + ",".join(parts)
+            + ',UNIT["Meter",1.0]]')

@@ -332,3 +332,36 @@ def test_wkt_transform_pair_with_epsg(spark):
     u = transform_udf("EPSG:4326", w)
     row = df.select(u("lng", "lat").alias("p")).collect()[0]["p"]
     assert abs(row["x"] - 500000.0) < 1e-6 and abs(row["y"]) < 1e-6
+
+
+@pytest.mark.parametrize("p4", [
+    "+proj=tmerc +lat_0=10 +lon_0=5 +k=0.9996 +x_0=200000 +y_0=100 "
+    "+ellps=GRS80",
+    "+proj=merc +lon_0=10 +k=0.98 +datum=WGS84",
+    "+proj=merc +lon_0=3 +lat_ts=20 +ellps=intl",
+    "+proj=cea +lat_ts=30 +lon_0=0 +datum=WGS84",
+    "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +datum=NAD83",
+    "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 "
+    "+y_0=6600000 +ellps=GRS80",
+    "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84",
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84",
+])
+def test_codeless_to_wkt_round_trips_to_same_kernel(p4):
+    """r6: to_wkt on parameter-built CRSs emits real WKT1
+    PROJECTION/PARAMETER nodes; from_wkt(to_wkt(c)) rebuilds a kernel
+    that agrees with the original everywhere (reference crs.pyx
+    round-trips authority-less CRSs through PROJ the same way)."""
+    c = crsmod.CRS.from_string(p4)
+    assert c.to_epsg() is None
+    c2 = crsmod.CRS.from_wkt(c.to_wkt())
+    k1 = geom.kernel_from_proj4(c.to_proj4())
+    k2 = geom.kernel_from_proj4(c2.to_proj4())
+    south = "-90" in p4
+    lng = RNG.uniform(-10, 10, 48)
+    lat = RNG.uniform(-80, -65, 48) if south else RNG.uniform(20, 70, 48)
+    for i in (0, 1):   # forward and inverse agree
+        a1 = k1[i](*( (lng, lat) if i == 0 else k1[0](lng, lat) ))
+        a2 = k2[i](*( (lng, lat) if i == 0 else k1[0](lng, lat) ))
+        np.testing.assert_allclose(a1[0], a2[0], atol=1e-9)
+        np.testing.assert_allclose(a1[1], a2[1], atol=1e-9)
