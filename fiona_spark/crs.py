@@ -109,6 +109,24 @@ class CRS:
 
     @staticmethod
     def from_wkt(wkt: str) -> "CRS":
+        # compound CRS: resolve to the horizontal member (reference
+        # tests/test_compound_crs.py behavior)
+        mc = re.match(r'\s*(COMPD_CS|COMPOUNDCRS)\s*[\[(]', wkt,
+                      re.IGNORECASE)
+        if mc:
+            mh = re.search(r'\b(PROJCS|GEOGCS|PROJCRS|GEOGCRS)\s*[\[(]',
+                           wkt, re.IGNORECASE)
+            if mh:
+                depth, i = 0, mh.end() - 1
+                open_br, close_br = wkt[i], {"[": "]", "(": ")"}[wkt[i]]
+                for j in range(i, len(wkt)):
+                    if wkt[j] == open_br:
+                        depth += 1
+                    elif wkt[j] == close_br:
+                        depth -= 1
+                        if depth == 0:
+                            return CRS.from_wkt(wkt[mh.start():j + 1])
+            raise CRSError("compound WKT has no horizontal member")
         m = _WKT_AUTH.search(wkt.strip()) or _WKT2_ID.search(wkt.strip())
         if m:
             return CRS(int(m.group(1)))
