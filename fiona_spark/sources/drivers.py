@@ -75,6 +75,8 @@ _EXT_TO_DRIVER = {
     ".dxf": "dxf",
     ".dgn": "dgn",
     ".lbl": "pds",
+    ".sua": "sua",
+    ".segy": "segy", ".sgy": "segy",
 }
 
 
@@ -374,6 +376,16 @@ def _read_pds(spark, path, **opts):
     return pds.read_pds(spark, path, **opts)
 
 
+def _read_sua(spark, path, **opts):
+    from . import sua
+    return sua.read_sua(spark, path)
+
+
+def _read_segy(spark, path, **opts):
+    from . import segy
+    return segy.read_segy(spark, path)
+
+
 def _read_mif(spark, path, **opts):
     from . import mapinfo
     return mapinfo.read_mapinfo(spark, path)
@@ -444,6 +456,8 @@ register_driver("sqlite", _read_sqlite, _write_sqlite, "raw")
 register_driver("dxf", _read_dxf, _write_dxf, "rw")
 register_driver("dgn", _read_dgn, _no_write, "r")
 register_driver("pds", _read_pds, _no_write, "r")
+register_driver("sua", _read_sua, _no_write, "r")
+register_driver("segy", _read_segy, _no_write, "r")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:

@@ -634,3 +634,151 @@ def test_pds_binary_attached_table(spark, tmp_path):
     assert [r["VAL"] for r in got] == [2.5, -0.25]
     assert [r["TAG"] for r in got] == ["AB", "CD"]
     assert "geom_type" not in got[0].asDict()   # no lon/lat columns
+
+
+# ---------------------------------------------------------------------------
+# SUA airspace (r6) — text fixture authored from the format description
+# ---------------------------------------------------------------------------
+
+_SUA_TEXT = """\
+# demo airspace file
+TYPE=DANGER
+TITLE=D123 TEST RANGE
+CLASS=D
+TOPS=5000 FT
+BASE=SFC
+POINT=5530.0N 00230.0W
+POINT=5530.0N 00200.0W
+POINT=5500.0N 00200.0W
+POINT=5500.0N 00230.0W
+END
+
+TYPE=PROHIBITED
+TITLE=P1 CIRCLE ZONE
+TOPS=2000 FT
+BASE=SFC
+CIRCLE RADIUS=3 CENTRE=5520.0N 00215.0W
+END
+"""
+
+
+def test_sua_blocks_and_coordinates(spark, tmp_path):
+    from fiona_spark.sources.sua import read_sua
+    p = tmp_path / "demo.sua"
+    p.write_text(_SUA_TEXT)
+    rows = read_sua(spark, str(p)).orderBy("fid").collect()
+    assert [r["TYPE"] for r in rows] == ["DANGER", "PROHIBITED"]
+    d = rows[0]
+    assert d["TITLE"] == "D123 TEST RANGE" and d["CLASS"] == "D"
+    assert d["TOPS"] == "5000 FT" and d["BASE"] == "SFC"
+    assert d["geom_type"] == "Polygon"
+    # 5530.0N = 55.5, 00230.0W = -2.5; ring closed
+    assert d["xs"][0] == -2.5 and d["ys"][0] == 55.5
+    assert d["xs"][-1] == d["xs"][0] and d["ys"][-1] == d["ys"][0]
+    assert len(d["xs"]) == 5
+    c = rows[1]
+    assert c["geom_type"] == "Polygon" and len(c["xs"]) == 361
+    # circle: radius 3 NM = 0.05 deg around (-2.25, 55.333...)
+    import math
+    cx, cy = -2.25, 55.0 + 20.0 / 60.0
+    for x, y in zip(c["xs"][:10], c["ys"][:10]):
+        assert abs(math.hypot(x - cx, y - cy) - 0.05) < 1e-9
+
+
+def test_sua_arc_linearization(spark, tmp_path):
+    from fiona_spark.sources.sua import read_sua
+    p = tmp_path / "arc.sua"
+    # quarter arc, clockwise about the origin from (1,0)-ish points:
+    # decimal fallback coordinates 'lat lon'
+    p.write_text(
+        "TYPE=DANGER\nTITLE=ARC\n"
+        "POINT=0.0 1.0\n"
+        "CLOCKWISE RADIUS=60 CENTRE=0.0 0.0 TO=-1.0 0.0\n"
+        "POINT=0.0 0.0\n"
+        "END\n")
+    r = read_sua(spark, str(p)).collect()[0]
+    import math
+    # every arc point sits on the unit circle (radius 60 NM = 1 deg)
+    arc = list(zip(r["xs"], r["ys"]))[1:-2]
+    assert all(abs(math.hypot(x, y) - 1.0) < 1e-9 for x, y in arc)
+    # clockwise from (1,0): first arc points have NEGATIVE y
+    assert arc[0][1] < 0
+    assert abs(arc[-1][0]) < 1e-9 and abs(arc[-1][1] + 1.0) < 1e-9
+
+
+def test_sua_registry_read_only(spark, tmp_path):
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import drivers
+    p = tmp_path / "demo.sua"
+    p.write_text(_SUA_TEXT)
+    assert drivers.open_dataset(spark, str(p)).count() == 2
+    with pytest.raises(DriverError):
+        drivers.write_dataset(spark.range(1), str(tmp_path / "o.sua"),
+                              "sua")
+
+
+# ---------------------------------------------------------------------------
+# SEG-Y (r6) — binary fixture authored from the rev1 standard
+# ---------------------------------------------------------------------------
+
+def _build_segy(tmp_path, fmt=5):
+    import struct as st
+    text_hdr = ("C 1 ENGINE TEST LINE".ljust(3200)).encode("cp500")
+    bin_hdr = bytearray(400)
+    bin_hdr[16:18] = st.pack(">H", 2000)       # sample interval (us)
+    bin_hdr[20:22] = st.pack(">H", 4)          # samples per trace
+    bin_hdr[24:26] = st.pack(">H", fmt)        # data format code
+    traces = b""
+    data = [[1.5, -2.25, 0.0, 4.0], [0.5, 0.25, -1.0, 2.0]]
+    coords = [(312345, 5012345), (312400, 5012400)]
+    for i, (samples, (sx, sy)) in enumerate(zip(data, coords), 1):
+        th = bytearray(240)
+        th[0:4] = st.pack(">i", i)             # trace sequence number
+        th[20:24] = st.pack(">i", 100 + i)     # ensemble number
+        th[70:72] = st.pack(">h", -100)        # scalar: divide by 100
+        th[72:76] = st.pack(">i", sx)
+        th[76:80] = st.pack(">i", sy)
+        th[114:116] = st.pack(">H", len(samples))
+        th[116:118] = st.pack(">H", 2000)
+        if fmt == 5:
+            payload = b"".join(st.pack(">f", v) for v in samples)
+        elif fmt == 3:
+            payload = b"".join(st.pack(">h", int(v)) for v in samples)
+        else:
+            raise AssertionError
+        traces += bytes(th) + payload
+    p = tmp_path / "line.sgy"
+    p.write_bytes(text_hdr + bytes(bin_hdr) + traces)
+    return str(p)
+
+
+def test_segy_traces_decode(spark, tmp_path):
+    from fiona_spark.sources.segy import read_segy
+    path = _build_segy(tmp_path, fmt=5)
+    rows = read_segy(spark, path).orderBy("fid").collect()
+    assert [r["TRACE_NUMBER"] for r in rows] == [1, 2]
+    assert [r["ENSEMBLE_NUMBER"] for r in rows] == [101, 102]
+    r0 = rows[0]
+    assert r0["SAMPLES"] == [1.5, -2.25, 0.0, 4.0]
+    assert r0["SAMPLES_COUNT"] == 4 and r0["SAMPLE_INTERVAL"] == 2000
+    # scalar -100 divides: point at (3123.45, 50123.45)
+    assert r0["geom_type"] == "Point"
+    assert r0["xs"] == [3123.45] and r0["ys"] == [50123.45]
+
+
+def test_segy_ibm_float_decode():
+    import numpy as np
+    from fiona_spark.sources.segy import _ibm_to_float
+    # published IBM float examples: 0x42640000 = 100.0,
+    # 0xC2640000 = -100.0, 0x41100000 = 1.0
+    raw = np.array([0x42640000, 0xC2640000, 0x41100000, 0x00000000],
+                   dtype=np.uint32)
+    got = _ibm_to_float(raw)
+    assert got.tolist() == [100.0, -100.0, 1.0, 0.0]
+
+
+def test_segy_registry_and_int16_format(spark, tmp_path):
+    from fiona_spark.sources import drivers
+    path = _build_segy(tmp_path, fmt=3)
+    rows = drivers.open_dataset(spark, path).orderBy("fid").collect()
+    assert rows[0]["SAMPLES"] == [1.0, -2.0, 0.0, 4.0]
