@@ -275,6 +275,19 @@ def _kernel_pair(code: str):
     return None
 
 
+def _is_geographic_crs(code: str) -> bool:
+    """True when the destination is a geographic (degree) CRS — the
+    reference's WRAPDATELINE gate applies to any geographic target
+    (`fiona/_transform.pyx:151-160`), not just the 4326 spelling."""
+    if code == "EPSG:4326":
+        return True
+    from .. import crs as crsmod
+    try:
+        return crsmod.CRS.from_user_input(code).is_geographic
+    except crsmod.CRSError:
+        return False
+
+
 def _forward_fn(src: str, dst: str):
     """Direct transform step, or None.  The preset pairs keep their
     historical closed forms (6933 sphere, 3857 clip); everything else —
@@ -356,7 +369,7 @@ def transform_geom_udf(src: str, dst: str, antimeridian_cutting: bool = True,
     as transform_udf, applied to the flattened ring vertices.
     """
     fn = pair_fn(src, dst)
-    cut = antimeridian_cutting and dst == "EPSG:4326"
+    cut = antimeridian_cutting and _is_geographic_crs(dst)
 
     @F.pandas_udf(_RINGS_T)
     def u(rxs: pd.Series, rys: pd.Series) -> pd.DataFrame:

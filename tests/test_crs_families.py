@@ -365,3 +365,22 @@ def test_codeless_to_wkt_round_trips_to_same_kernel(p4):
         a2 = k2[i](*( (lng, lat) if i == 0 else k1[0](lng, lat) ))
         np.testing.assert_allclose(a1[0], a2[0], atol=1e-9)
         np.testing.assert_allclose(a1[1], a2[1], atol=1e-9)
+
+
+def test_transform_geom_cuts_for_any_geographic_dst(spark):
+    """r6: WRAPDATELINE applies to ANY geographic destination
+    (fiona/_transform.pyx:151-160), not just the 'EPSG:4326'
+    spelling."""
+    from fiona_spark.functions.geometry import transform_geom_udf
+    df = spark.createDataFrame(
+        [([[175.0, 185.0, 185.0, 175.0, 175.0]],
+          [[-5.0, -5.0, 5.0, 5.0, -5.0]])],
+        "rings_xs array<array<double>>, rings_ys array<array<double>>")
+    for dst in ("EPSG:4326", "+proj=longlat +datum=WGS84 +no_defs"):
+        u = transform_geom_udf("EPSG:4326", dst)
+        row = df.select(u("rings_xs", "rings_ys").alias("t")).collect()[0]
+        assert len(row["t"]["rings_xs"]) == 2, dst     # cut into 2 rings
+    # projected destination: no cutting
+    u = transform_geom_udf("EPSG:4326", "EPSG:3857")
+    row = df.select(u("rings_xs", "rings_ys").alias("t")).collect()[0]
+    assert len(row["t"]["rings_xs"]) == 1
