@@ -180,7 +180,16 @@ def _read_stdin_df(spark):
 
 
 def _parse_bbox(txt):
-    parts = [float(p) for p in txt.replace(",", " ").split()]
+    # reference fio cat accepts both 'w,s,e,n' and a JSON array
+    # '[w, s, e, n]' (fio/cat.py:104-107)
+    t = txt.strip()
+    if t.startswith("["):
+        try:
+            parts = [float(p) for p in json.loads(t)]
+        except (ValueError, TypeError) as e:
+            raise argparse.ArgumentTypeError(f"bad JSON bbox: {e}")
+    else:
+        parts = [float(p) for p in t.replace(",", " ").split()]
     if len(parts) != 4:
         raise argparse.ArgumentTypeError("bbox needs 4 numbers")
     return tuple(parts)

@@ -333,3 +333,15 @@ def test_info_format_and_name_flags(spark, gpkg, capsys):
     _, out = run_cli(["info", gpkg, "--layer", "zones", "--name"],
                      capsys=capsys)
     assert out.strip() == "zones"
+
+
+def test_cat_bbox_json_form(spark, gpkg, capsys):
+    # reference fio/cat.py:104-107 accepts a JSON array bbox
+    # note: the comma form needs --bbox=... when west is negative
+    # (argparse would read a leading '-' as an option); the JSON array
+    # form never hits that, one reason the reference supports it
+    _, out_csv = run_cli(["cat", gpkg, "--bbox=0,40,20,50"],
+                         capsys=capsys)
+    _, out_json = run_cli(["cat", gpkg, "--bbox", "[0, 40, 20, 50]"],
+                          capsys=capsys)
+    assert out_json == out_csv and out_csv.strip()
