@@ -233,7 +233,16 @@ def wkt_to_proj4(wkt: str) -> str | None:
         return None
 
     if root.keyword in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
-        return "+proj=longlat +datum=WGS84 +no_defs"
+        # Preserve a non-WGS84 ellipsoid as +a/+rf (like the projected
+        # branch below) instead of silently rebranding it WGS84.  The
+        # longlat kernel itself stays the identity either way — this
+        # engine performs NO datum shifts anywhere (closed-form kernels
+        # w.r.t. the CRS's own ellipsoid) — but the lowered string must
+        # not claim a datum the WKT didn't.
+        ell = _ellipsoid_tokens(root)
+        if ell is None or ell == ["+a=6378137", "+rf=298.257223563"]:
+            return "+proj=longlat +datum=WGS84 +no_defs"
+        return " ".join(["+proj=longlat"] + ell + ["+no_defs"])
     if root.keyword not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
         return None
 

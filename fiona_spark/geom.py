@@ -1612,8 +1612,11 @@ def _clip_halfplane(xs: np.ndarray, ys: np.ndarray, bound: float,
     in1 = x1 <= bound if keep_le else x1 >= bound
     cross = in0 != in1
     with np.errstate(divide="ignore", invalid="ignore"):
+        # cy stays inside the errstate block: t is inf/NaN on the
+        # non-crossing lanes (masked by `cross` below) and multiplying
+        # it would otherwise emit a RuntimeWarning.
         t = (bound - xs) / (x1 - xs)
-    cy = ys + t * (y1 - ys)
+        cy = ys + t * (y1 - ys)
     counts = in0.astype(np.int64) + cross.astype(np.int64)
     total = int(counts.sum())
     out_x = np.empty(total); out_y = np.empty(total)

@@ -430,8 +430,12 @@ _SHAPE_OF = {"Point": 1, "MultiPoint": 8,
              "LineString": 3, "MultiLineString": 3,
              "Polygon": 5, "MultiPolygon": 5}
 
-_SPARK_FT = {"smallint": FT_INT16, "int": FT_INT32, "bigint": FT_INT32,
-             "long": FT_INT32, "float": FT_FLOAT32, "double": FT_FLOAT64,
+# bigint/long lower to FLOAT64, GDAL's pre-Integer64 FGDB convention —
+# the base format has no 64-bit integer field type, and narrowing to
+# INT32 would make large-id datasets unwritable (values are exact up to
+# 2^53; beyond that the format simply cannot carry them losslessly).
+_SPARK_FT = {"smallint": FT_INT16, "int": FT_INT32, "bigint": FT_FLOAT64,
+             "long": FT_FLOAT64, "float": FT_FLOAT32, "double": FT_FLOAT64,
              "string": FT_STRING, "binary": FT_BINARY,
              "timestamp": FT_DATETIME, "date": FT_DATETIME,
              "boolean": FT_INT16}
@@ -715,6 +719,28 @@ def _write_catalog(gdb: str, names: dict[int, str]) -> None:
     _write_tablx(gdb, 1, offsets)
 
 
+def _layer_geom_byte(rows) -> int:
+    """Pick the layer geometry-type byte for a batch of rows.
+
+    An FGDB layer carries ONE geometry type; mixing e.g. Point and
+    Polygon rows must be a loud error, not a nondeterministic pick from
+    a set (readers key on the layer byte to interpret blobs).  Single-
+    vs multi-part variants share a byte (Polygon/MultiPolygon -> 4) and
+    are fine together; an all-NULL-geometry layer defaults to Polygon.
+    """
+    geom_types = {r.get("geom_type") for r in rows} - {None}
+    bad = geom_types - set(_LAYER_GEOM)
+    if bad:
+        raise DriverError(f"unsupported geometry types {sorted(bad)}")
+    bytes_ = {_LAYER_GEOM[t] for t in geom_types}
+    if len(bytes_) > 1:
+        raise DriverError(
+            f"mixed geometry types {sorted(geom_types)} in one FGDB "
+            f"layer — write homogeneous layers (FGDB layers carry a "
+            f"single geometry type)")
+    return bytes_.pop() if bytes_ else 4
+
+
 def _collect_rows(df: DataFrame):
     """DataFrame -> (prop fields from the schema, row dicts streamed
     driver-side — single-file formats are driver-serial by design, the
@@ -782,11 +808,7 @@ def write_openfilegdb(df: DataFrame, path: str, layer: str = "layer",
                                   or f.endswith(".gdbtablx")):
             os.remove(os.path.join(path, f))
 
-    geom_types = {r.get("geom_type") for r in rows} - {None}
-    bad = geom_types - set(_LAYER_GEOM)
-    if bad:
-        raise DriverError(f"unsupported geometry types {sorted(bad)}")
-    lg = _LAYER_GEOM[next(iter(geom_types))] if geom_types else 4
+    lg = _layer_geom_byte(rows)
     allx = [x for r in rows for ring in (r.get("rings_xs") or [])
             for x in ring]
     ally = [y for r in rows for ring in (r.get("rings_ys") or [])
@@ -815,11 +837,7 @@ def _append_openfilegdb(df: DataFrame, path: str, layer: str) -> None:
         # NEW layer in an existing gdb: next free table number
         props, rows = _collect_rows(df)
         tno = max(cat) + 1
-        geom_types = {r.get("geom_type") for r in rows} - {None}
-        bad = geom_types - set(_LAYER_GEOM)
-        if bad:
-            raise DriverError(f"unsupported geometry types {sorted(bad)}")
-        lg = _LAYER_GEOM[next(iter(geom_types))] if geom_types else 4
+        lg = _layer_geom_byte(rows)
         allx = [x for r in rows for ring in (r.get("rings_xs") or [])
                 for x in ring]
         ally = [y for r in rows for ring in (r.get("rings_ys") or [])

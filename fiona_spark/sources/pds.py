@@ -207,12 +207,15 @@ def _resolve_pointer(label: dict, label_path: str):
             second = ptr[1]
             if isinstance(second, tuple):          # ("F.TAB", (5, BYTES))
                 v, units = second
-                offset = v if units == "BYTES" else (v - 1) * record_bytes
+                # ^TABLE byte pointers are 1-based: "601 <BYTES>" means
+                # the object STARTS at byte 601, i.e. file offset 600
+                # (GDAL's pds driver subtracts 1 the same way).
+                offset = (v - 1) if units == "BYTES" else (v - 1) * record_bytes
             else:
                 offset = (second - 1) * record_bytes
         elif len(ptr) == 2 and isinstance(ptr[0], int):
             v, units = ptr                          # 5 <BYTES> form
-            offset = v if units == "BYTES" else (v - 1) * record_bytes
+            offset = (v - 1) if units == "BYTES" else (v - 1) * record_bytes
     elif isinstance(ptr, str):
         fname = ptr
     elif isinstance(ptr, int):

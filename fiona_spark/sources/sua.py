@@ -77,9 +77,13 @@ def _kv(line: str) -> dict:
 def _arc_points(cx, cy, px, py, qx, qy, clockwise: bool):
     """Linearize a circular arc about (cx, cy) from p to q, 5-degree
     steps, endpoints exact."""
-    r = math.hypot(px - cx, py - cy)
-    a0 = math.atan2(py - cy, px - cx)
-    a1 = math.atan2(qy - cy, qx - cx)
+    # GDAL's SUA driver works in a locally-isotropic frame: longitude
+    # offsets are scaled by cos(centre latitude) so the arc is circular
+    # on the ground, not in raw degrees.
+    k = math.cos(math.radians(cy)) or 1.0
+    r = math.hypot((px - cx) * k, py - cy)
+    a0 = math.atan2(py - cy, (px - cx) * k)
+    a1 = math.atan2(qy - cy, (qx - cx) * k)
     if clockwise:
         while a1 >= a0:
             a1 -= 2 * math.pi
@@ -90,7 +94,7 @@ def _arc_points(cx, cy, px, py, qx, qy, clockwise: bool):
     pts = []
     for i in range(1, n):
         a = a0 + (a1 - a0) * i / n
-        pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+        pts.append((cx + r * math.cos(a) / k, cy + r * math.sin(a)))
     pts.append((qx, qy))
     return pts
 
@@ -142,7 +146,11 @@ def read_sua(spark, path: str) -> DataFrame:
             kv = _kv(line[len("CIRCLE"):])
             cx, cy = _parse_coord(kv["CENTRE"])
             r = float(kv["RADIUS"]) * _NM_DEG
-            pts = [(cx + r * math.cos(math.radians(a)),
+            # longitude offset scaled by 1/cos(lat): nautical-mile radius
+            # is a ground distance, so in degrees the circle is wider in
+            # longitude away from the equator (GDAL SUA convention).
+            k = math.cos(math.radians(cy)) or 1.0
+            pts = [(cx + r * math.cos(math.radians(a)) / k,
                     cy + r * math.sin(math.radians(a)))
                    for a in range(360)]
             verts.extend(pts)

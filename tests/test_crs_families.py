@@ -315,6 +315,23 @@ def test_from_wkt_root_name_and_authority_still_resolve_codes():
     assert crsmod.CRS.from_wkt(w).to_epsg() == 4326
 
 
+def test_wkt_geogcs_preserves_non_wgs84_ellipsoid():
+    # a NAD27 (Clarke 1866) GEOGCS must NOT lower to +datum=WGS84 —
+    # the ellipsoid is preserved as +a/+rf (r7; no datum SHIFT is
+    # implied, the engine performs none anywhere)
+    from fiona_spark.crs_wkt import wkt_to_proj4
+    nad27 = ('GEOGCS["GCS_North_American_1927",'
+             'DATUM["D_North_American_1927",'
+             'SPHEROID["Clarke_1866",6378206.4,294.978698213898]],'
+             'PRIMEM["Greenwich",0.0],'
+             'UNIT["Degree",0.0174532925199433]]')
+    p4 = wkt_to_proj4(nad27)
+    assert "+a=6378206.4" in p4 and "+rf=294.978698213898" in p4
+    assert "WGS84" not in p4
+    # while a true-WGS84 ellipsoid still lowers to the datum spelling
+    assert wkt_to_proj4(_WKT1_GEOG) == "+proj=longlat +datum=WGS84 +no_defs"
+
+
 def test_from_wkt_unknown_method_raises():
     w = _wkt1("Robinson", [("Central_Meridian", 0)])
     with pytest.raises(crsmod.CRSError):

@@ -1327,6 +1327,47 @@ def test_gdb_write_read_roundtrip(spark, tmp_path):
     assert drivers.open_dataset(spark, p2, layer="zones").count() == 4
 
 
+def test_gdb_write_mixed_geometry_raises(spark, tmp_path):
+    """r7: an FGDB layer carries ONE geometry type — mixing Point and
+    Polygon rows must be a loud error, not a nondeterministic layer
+    byte (Polygon+MultiPolygon share a byte and remain fine)."""
+    from fiona_spark.errors import DriverError
+    from fiona_spark.sources import openfilegdb as og
+    mixed = spark.createDataFrame(
+        [(1, "Point", [[0.5]], [[0.5]]),
+         (2, "Polygon", [[0.0, 1.0, 1.0, 0.0]], [[0.0, 0.0, 1.0, 0.0]])],
+        "k int, geom_type string, rings_xs array<array<double>>, "
+        "rings_ys array<array<double>>")
+    with pytest.raises(DriverError, match="mixed geometry"):
+        og.write_openfilegdb(mixed, str(tmp_path / "mixed.gdb"),
+                             layer="zones")
+    ok = spark.createDataFrame(
+        [(1, "Polygon", [[0.0, 1.0, 1.0, 0.0]], [[0.0, 0.0, 1.0, 0.0]]),
+         (2, "MultiPolygon", [[5.0, 6.0, 6.0, 5.0]],
+          [[5.0, 5.0, 6.0, 5.0]])],
+        "k int, geom_type string, rings_xs array<array<double>>, "
+        "rings_ys array<array<double>>")
+    p = str(tmp_path / "poly.gdb")
+    og.write_openfilegdb(ok, p, layer="zones")
+    assert og.read_openfilegdb(spark, p, "zones").count() == 2
+
+
+def test_gdb_write_bigint_as_float64(spark, tmp_path):
+    """r7: bigint columns lower to FLOAT64 (GDAL's pre-Integer64 FGDB
+    convention) so large-id datasets are writable; values exact to
+    2^53."""
+    from fiona_spark.sources import openfilegdb as og
+    big = 2**40 + 7
+    df = spark.createDataFrame(
+        [(big, "a", "Point", [[1.0]], [[2.0]])],
+        "doc_id bigint, name string, geom_type string, "
+        "rings_xs array<array<double>>, rings_ys array<array<double>>")
+    p = str(tmp_path / "big.gdb")
+    og.write_openfilegdb(df, p, layer="docs")
+    row = og.read_openfilegdb(spark, p, "docs").first()
+    assert row["doc_id"] == float(big)   # read back as double, exact
+
+
 def test_gdb_append_to_reference_fixture(spark, gdb_dir, tmp_path):
     """r6: append rows to a gdb authored ELSEWHERE (the reference's
     own fixture) — encode against ITS stored field descriptors and

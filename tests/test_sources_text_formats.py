@@ -636,6 +636,51 @@ def test_pds_binary_attached_table(spark, tmp_path):
     assert "geom_type" not in got[0].asDict()   # no lon/lat columns
 
 
+def test_pds_byte_pointer_forms(spark, tmp_path):
+    """^TABLE byte pointers are 1-BASED (spec: '^TABLE = 601 <BYTES>'
+    puts the object AT byte 601 = file offset 600; GDAL subtracts 1):
+    both the attached 'n <BYTES>' and detached '("F.TAB", n <BYTES>)'
+    forms must not read one byte late."""
+    import struct as st
+    from fiona_spark.sources.pds import read_pds
+    body = st.pack(">i", 7) + st.pack(">d", 1.5)
+    col_odl = (
+        "OBJECT = TABLE\r\n"
+        "  INTERCHANGE_FORMAT = BINARY\r\n"
+        "  ROWS = 1\r\n"
+        "  ROW_BYTES = 12\r\n"
+        "  OBJECT = COLUMN\r\n"
+        "    NAME = SEQ\r\n"
+        "    DATA_TYPE = MSB_INTEGER\r\n"
+        "    START_BYTE = 1\r\n"
+        "    BYTES = 4\r\n"
+        "  END_OBJECT = COLUMN\r\n"
+        "  OBJECT = COLUMN\r\n"
+        "    NAME = VAL\r\n"
+        "    DATA_TYPE = IEEE_REAL\r\n"
+        "    START_BYTE = 5\r\n"
+        "    BYTES = 8\r\n"
+        "  END_OBJECT = COLUMN\r\n"
+        "END_OBJECT = TABLE\r\n"
+        "END\r\n")
+    # attached form: data starts AT byte 601 -> offset 600
+    label = ("PDS_VERSION_ID = PDS3\r\n"
+             "RECORD_TYPE = FIXED_LENGTH\r\n"
+             "^TABLE = 601 <BYTES>\r\n" + col_odl)
+    p = tmp_path / "bytes_attached.lbl"
+    p.write_bytes(label.encode("ascii").ljust(600, b" ") + body)
+    got = read_pds(spark, str(p)).collect()
+    assert got[0]["SEQ"] == 7 and got[0]["VAL"] == 1.5
+    # detached form: ("F.TAB", 101 <BYTES>) -> offset 100 in F.TAB
+    label2 = ("PDS_VERSION_ID = PDS3\r\n"
+              "RECORD_TYPE = FIXED_LENGTH\r\n"
+              '^TABLE = ("PTR.TAB", 101 <BYTES>)\r\n' + col_odl)
+    (tmp_path / "bytes_detached.lbl").write_text(label2)
+    (tmp_path / "PTR.TAB").write_bytes(b"\xff" * 100 + body)
+    got2 = read_pds(spark, str(tmp_path / "bytes_detached.lbl")).collect()
+    assert got2[0]["SEQ"] == 7 and got2[0]["VAL"] == 1.5
+
+
 # ---------------------------------------------------------------------------
 # SUA airspace (r6) — text fixture authored from the format description
 # ---------------------------------------------------------------------------
@@ -678,11 +723,16 @@ def test_sua_blocks_and_coordinates(spark, tmp_path):
     assert len(d["xs"]) == 5
     c = rows[1]
     assert c["geom_type"] == "Polygon" and len(c["xs"]) == 361
-    # circle: radius 3 NM = 0.05 deg around (-2.25, 55.333...)
+    # circle: radius 3 NM = 0.05 deg of LATITUDE around (-2.25, 55.33..);
+    # the longitude offset is scaled by 1/cos(lat) (ground circle, GDAL
+    # SUA convention), so measure in the locally-isotropic frame.
     import math
     cx, cy = -2.25, 55.0 + 20.0 / 60.0
+    k = math.cos(math.radians(cy))
     for x, y in zip(c["xs"][:10], c["ys"][:10]):
-        assert abs(math.hypot(x - cx, y - cy) - 0.05) < 1e-9
+        assert abs(math.hypot((x - cx) * k, y - cy) - 0.05) < 1e-9
+    # and it really is wider in raw longitude degrees than in latitude
+    assert (max(c["xs"]) - min(c["xs"])) > (max(c["ys"]) - min(c["ys"])) * 1.5
 
 
 def test_sua_arc_linearization(spark, tmp_path):
