@@ -228,6 +228,26 @@ def cmd_info(args):
 
 def cmd_insp(args):
     from . import env
+    # Reference parity (`fiona/fio/insp.py:29`): interactive `fio insp`
+    # drops into an interpreter with the open collection bound as `src`.
+    # Piped stdin keeps the r4 non-interactive record output so scripts
+    # and the CLI tests see stable JSON.
+    if getattr(args, "interactive", None) is None:
+        interactive = sys.stdin.isatty()
+    else:
+        interactive = args.interactive
+    if interactive:
+        import code as _code
+        from . import __version__, open_collection
+        banner = (
+            "fiona_spark %s Interactive Inspector (Python %s)\n"
+            'Type "src.schema", "next(src)", or "help(src)" '
+            "for more information."
+            % (__version__, ".".join(map(str, sys.version_info[:3])))
+        )
+        with open_collection(_spark(args), args.path) as src:
+            _code.interact(banner, local={"src": src})
+        return
     rec = env.insp(_spark(args), args.path, n=args.n)
     print(json.dumps(rec, indent=2, default=str))
 
@@ -418,9 +438,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--name", action="store_true",
                     help="print only the layer name")
 
-    sp = add("insp", cmd_insp, help="info + head rows (non-interactive)")
+    sp = add("insp", cmd_insp,
+             help="interactive inspector (TTY) / info + head rows (pipe)")
     sp.add_argument("path")
     sp.add_argument("-n", type=int, default=5)
+    sp.add_argument("--interactive", dest="interactive",
+                    action="store_true", default=None,
+                    help="force the interpreter even without a TTY")
+    sp.add_argument("--no-interactive", dest="interactive",
+                    action="store_false",
+                    help="force the JSON record output even on a TTY")
 
     sp = add("rm", cmd_rm, help="remove a dataset/layer")
     sp.add_argument("path")

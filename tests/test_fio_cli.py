@@ -240,6 +240,26 @@ def test_info_count_and_insp(spark, gpkg, capsys):
     assert rec["count"] == n and len(rec["head"]) == 5
 
 
+def test_insp_interactive(spark, gpkg, capsys, monkeypatch):
+    """`fio insp --interactive` drops into code.interact with the open
+    collection bound as `src` (`fiona/fio/insp.py:29` parity); EOF on
+    stdin exits the interpreter cleanly."""
+    rc, out = run_cli(["insp", gpkg, "--interactive"],
+                      stdin_text='print("NROWS=%d" % len(src))\n',
+                      capsys=capsys, monkeypatch=monkeypatch)
+    assert rc == 0
+    _, count_out = run_cli(["info", gpkg, "--count"], capsys=capsys)
+    assert f"NROWS={int(count_out.strip())}" in out
+
+
+def test_insp_no_interactive_flag(spark, gpkg, capsys):
+    """--no-interactive forces the JSON record even if a TTY were
+    attached."""
+    _, out = run_cli(["insp", gpkg, "--no-interactive"], capsys=capsys)
+    rec = json.loads(out)
+    assert "head" in rec and "count" in rec
+
+
 def test_info_layer_flag(spark, capsys):
     """`fio info path --layer X --count` must report the REQUESTED
     layer, not silently the default one (r5 advice)."""
