@@ -42,6 +42,9 @@ def listlayers(path: str) -> list[str]:
     if low.endswith((".sqlite", ".db")):
         from .sqlite_db import listlayers_sqlite
         return listlayers_sqlite(path)
+    if low.endswith(".vrt"):
+        from .vrt import listlayers_vrt
+        return listlayers_vrt(path)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

@@ -77,6 +77,7 @@ _EXT_TO_DRIVER = {
     ".lbl": "pds",
     ".sua": "sua",
     ".segy": "segy", ".sgy": "segy",
+    ".vrt": "vrt",
 }
 
 
@@ -235,6 +236,11 @@ def _write_text(df: DataFrame, path, mode="overwrite", **opts):
 def _read_topojson(spark, path, **opts):
     from . import topojson
     return topojson.read_topojson(spark, path)
+
+
+def _read_vrt(spark, path, layer=None, **opts):
+    from . import vrt
+    return vrt.read_vrt(spark, path, layer=layer)
 
 
 def _no_write(df, path, **opts):
@@ -458,6 +464,7 @@ register_driver("dgn", _read_dgn, _no_write, "r")
 register_driver("pds", _read_pds, _no_write, "r")
 register_driver("sua", _read_sua, _no_write, "r")
 register_driver("segy", _read_segy, _no_write, "r")
+register_driver("vrt", _read_vrt, _no_write, "r")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
