@@ -214,11 +214,31 @@ def q_bounds_grouped(spark, sf_dir):
     return aggregates.bounds_grouped(pts.join(orders, "image_id"), ["o_orderpriority"])
 
 
-@register("distinct_flags", """
-SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-""")
-def q_distinct_flags(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+@register("pds_source")
+def q_pds_source(spark, sf_dir):
+    """PDS3 end-to-end under the driver contract (r7; fifth
+    format-driver CORRECTNESS row): canonical zones authored as an ODL
+    label + DETACHED binary table (`fixtures.ensure_canon_pds`, raw
+    struct packing — independent of the reader), re-read via
+    ``read_pds`` (`sources/pds.py`, reference `drvsupport.py:110-112`).
+    The ``^TABLE`` pointer uses the 1-based ``<BYTES>`` detached form
+    over a header pad, so the r6-advice offset fix stays
+    contract-verified; CHARACTER / MSB_INTEGER / IEEE_REAL decodes are
+    bit-exact pass-throughs, so the oracle is the canonical zones
+    parquet itself (first ring vertex per zone).
+    (distinct_flags retired for this slot: plain dropDuplicates is
+    exercised transitively by dedup_exact and the distinct family in
+    tpch_q1's grouping; the 50-query cap is hard.)"""
+    from .sources import pds
+    lbl = fixtures.ensure_canon_pds()
+    df = pds.read_pds(spark, lbl)
+    return df.select(
+        F.col("ZONE_ID").alias("zone_id"),
+        F.col("NAME"),
+        F.col("AGBUR"),
+        F.col("WILDRNP020").cast("long").alias("WILDRNP020"),
+        F.expr("xs[0]").alias("x"),
+        F.expr("ys[0]").alias("y"))
 
 
 @register("fgb_source")
@@ -232,7 +252,7 @@ def q_fgb_source(spark, sf_dir):
     framing, the <f8 xy interleave, and the property-blob codec must
     reproduce the source frame exactly.
     (union_cat retired for this slot: plain UNION ALL; the concat
-    family stays covered by distinct_flags/tpch_q1 and fio-cat pytest.)"""
+    family stays covered by tpch_q1 and fio-cat pytest.)"""
     from .sources import flatgeobuf
     fgb = fixtures.ensure_canon_fgb(spark)
     df = flatgeobuf.read_flatgeobuf(spark, fgb)
@@ -1161,6 +1181,14 @@ FROM e
 """
     ORACLES["gpkg_source"] = _vertex_truth
     ORACLES["fgb_source"] = _vertex_truth
+    # PDS3 binary table: CHARACTER/MSB_INTEGER/IEEE_REAL round-trip is a
+    # bit-exact pass-through of the source doubles (first ring vertex)
+    fixtures.ensure_canon_pds()
+    ORACLES["pds_source"] = f"""
+SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,
+       xs[1] AS x, ys[1] AS y
+FROM read_parquet('{zon}')
+"""
     gdb_truth = fixtures.ensure_canon_gdb_truth()
     ORACLES["openfilegdb_source"] = f"""
 SELECT zone_id, NAME, AGBUR, CAST(WILDRNP020 AS BIGINT) AS WILDRNP020,

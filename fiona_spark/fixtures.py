@@ -520,6 +520,88 @@ def ensure_canon_gdb_truth(cache_dir: str | None = None) -> str:
     return path
 
 
+def ensure_canon_pds(cache_dir: str | None = None) -> str:
+    """Materialize the canonical zones as a PDS3 product (ODL label +
+    DETACHED binary table) and return the .lbl path — the fixture for
+    the ``pds_source`` driver-contract row (reference
+    `fiona/drvsupport.py:110-112` PDS read rows).
+
+    The table is INTERCHANGE_FORMAT = BINARY: CHARACTER fields are
+    space-padded ASCII, WILDRNP020 an MSB_INTEGER, and LONGITUDE /
+    LATITUDE (each zone's FIRST ring vertex) big-endian IEEE_REAL
+    doubles — a bit-exact pass-through, so the oracle is the canonical
+    zones parquet itself (``xs[1]``/``ys[1]``).  The ``^TABLE`` pointer
+    deliberately uses the detached 1-based ``<BYTES>`` form over a
+    32-byte header pad, keeping the r6-advice offset fix
+    (`sources/pds.py:195`) contract-verified, not just pytest-verified.
+
+    Authored with raw ``struct`` packing, independent of the reader's
+    column slicing/decode paths.
+    """
+    import struct as _struct
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    lbl_path = os.path.join(d, "canon_zones.lbl")
+    tab_path = os.path.join(d, "CANON_ZONES.TAB")
+    if os.path.exists(lbl_path) and os.path.exists(tab_path):
+        return lbl_path
+    zdf = gen_zones_pdf(CANON_N_ZONES)
+    id_w = int(zdf["zone_id"].str.len().max())
+    name_w = int(zdf["NAME"].str.len().max())
+    agbur_w = int(zdf["AGBUR"].str.len().max())
+    pad = 32
+    rows = []
+    for _, z in zdf.iterrows():
+        rec = (z["zone_id"].ljust(id_w).encode("ascii")
+               + z["NAME"].ljust(name_w).encode("ascii")
+               + z["AGBUR"].ljust(agbur_w).encode("ascii")
+               + _struct.pack(">q", int(z["WILDRNP020"]))
+               + _struct.pack(">d", float(z["xs"][0]))
+               + _struct.pack(">d", float(z["ys"][0])))
+        rows.append(rec)
+    row_bytes = len(rows[0])
+    tmp = tab_path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(b"\x00" * pad)
+        fh.writelines(rows)
+    os.replace(tmp, tab_path)
+
+    def col(name, dtype, start, nbytes):
+        return (f"  OBJECT = COLUMN\n"
+                f"    NAME = {name}\n"
+                f"    DATA_TYPE = {dtype}\n"
+                f"    START_BYTE = {start}\n"
+                f"    BYTES = {nbytes}\n"
+                f"  END_OBJECT = COLUMN\n")
+
+    s = 1
+    cols_txt = col("ZONE_ID", "CHARACTER", s, id_w); s += id_w
+    cols_txt += col("NAME", "CHARACTER", s, name_w); s += name_w
+    cols_txt += col("AGBUR", "CHARACTER", s, agbur_w); s += agbur_w
+    cols_txt += col("WILDRNP020", "MSB_INTEGER", s, 8); s += 8
+    cols_txt += col("LONGITUDE", "IEEE_REAL", s, 8); s += 8
+    cols_txt += col("LATITUDE", "IEEE_REAL", s, 8); s += 8
+    label = (
+        "PDS_VERSION_ID = PDS3\n"
+        "RECORD_TYPE = FIXED_LENGTH\n"
+        f"RECORD_BYTES = {row_bytes}\n"
+        f"^TABLE = (\"CANON_ZONES.TAB\", {pad + 1} <BYTES>)\n"
+        "OBJECT = TABLE\n"
+        "  INTERCHANGE_FORMAT = BINARY\n"
+        f"  ROWS = {len(rows)}\n"
+        f"  ROW_BYTES = {row_bytes}\n"
+        f"  COLUMNS = 6\n"
+        f"{cols_txt}"
+        "END_OBJECT = TABLE\n"
+        "END\n")
+    tmp = lbl_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(label)
+    os.replace(tmp, lbl_path)
+    return lbl_path
+
+
 def ensure_canon_wkb(cache_dir: str | None = None) -> str:
     """WKB interchange fixture: geometry bytes + ground-truth stats.
 
