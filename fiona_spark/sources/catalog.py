@@ -45,6 +45,9 @@ def listlayers(path: str) -> list[str]:
     if low.endswith(".vrt"):
         from .vrt import listlayers_vrt
         return listlayers_vrt(path)
+    if low.endswith(".gtm"):
+        from .gpstrackmaker import LAYERS
+        return list(LAYERS)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

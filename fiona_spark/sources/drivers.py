@@ -78,6 +78,7 @@ _EXT_TO_DRIVER = {
     ".sua": "sua",
     ".segy": "segy", ".sgy": "segy",
     ".vrt": "vrt",
+    ".gtm": "gpstrackmaker",
 }
 
 
@@ -241,6 +242,19 @@ def _read_topojson(spark, path, **opts):
 def _read_vrt(spark, path, layer=None, **opts):
     from . import vrt
     return vrt.read_vrt(spark, path, layer=layer)
+
+
+def _read_gtm(spark, path, layer=None, **opts):
+    from . import gpstrackmaker
+    return gpstrackmaker.read_gtm(spark, path, layer or "waypoints")
+
+
+def _write_gtm(df, path, mode="overwrite", **opts):
+    from . import gpstrackmaker
+    if mode == "append":
+        gpstrackmaker.append_gtm(df, path)
+    else:
+        gpstrackmaker.write_gtm(df, path)
 
 
 def _no_write(df, path, **opts):
@@ -465,6 +479,7 @@ register_driver("pds", _read_pds, _no_write, "r")
 register_driver("sua", _read_sua, _no_write, "r")
 register_driver("segy", _read_segy, _no_write, "r")
 register_driver("vrt", _read_vrt, _no_write, "r")
+register_driver("gpstrackmaker", _read_gtm, _write_gtm, "raw")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
