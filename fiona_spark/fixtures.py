@@ -853,3 +853,124 @@ def ensure_canon_datetime(cache_dir: str | None = None) -> str:
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# scaling-corpus fixtures (r7): million-row deduplication inputs for the
+# dedup/LSH lanes of scripts/bench_scaling.py.  All three generate
+# DISTRIBUTED (spark.range + codegen'd xxhash64 arithmetic — no driver
+# loop, so a 10^6..10^9-row corpus materializes at cluster speed) and
+# deterministically (every value is a pure function of seed literals and
+# the row id), then cache as parquet under .fixtures/ like every other
+# fixture.
+# ---------------------------------------------------------------------------
+
+def _scaling_vocab(n_words: int = 4096) -> list:
+    """Deterministic lowercase vocabulary (seed 42, 3-8 letters)."""
+    rng = np.random.default_rng(42)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    return ["".join(letters[rng.integers(0, 26, int(rng.integers(3, 9)))])
+            for _ in range(n_words)]
+
+
+def docs_corpus_path(spark, n_docs: int, dup_frac: float = 0.1,
+                     cache_dir: str | None = None) -> str:
+    """Synthetic document corpus with a known near-duplicate structure.
+
+    The first ``(1-dup_frac)*n`` ids are base documents (12-20 words
+    drawn from a 4096-word vocabulary by codegen'd xxhash64); the rest
+    are near-duplicates — a pseudo-random base with ONE word swapped —
+    so MinHash banding has real pairs to find (3-shingle Jaccard of a
+    dup against its base lands ~0.55-0.85) while ~90% of docs stay
+    unique.  Whole generation is one codegen'd projection over
+    ``spark.range``: the vocabulary rides as an array literal, word
+    indices are xxhash64 of (seed, base, position).
+    """
+    from pyspark.sql import functions as F
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"docs_corpus_{n_docs}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    n_base = n_docs - int(n_docs * dup_frac)
+    vocab_sql = "array(" + ",".join(
+        f"'{w}'" for w in _scaling_vocab()) + ")"
+    base = (f"CASE WHEN id < {n_base} THEN id "
+            f"ELSE pmod(xxhash64('d', id), {n_base}) END")
+    nw = "CAST(pmod(xxhash64('n', _base), 9) + 12 AS INT)"
+    mpos = (f"CASE WHEN id < {n_base} THEN -1 "
+            "ELSE CAST(pmod(xxhash64('m', id), _nw) AS INT) END")
+    widx = ("CASE WHEN i = _mpos THEN pmod(xxhash64('x', id, i), 4096) "
+            "ELSE pmod(xxhash64('w', _base, i), 4096) END")
+    parts = max(32, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "32")))
+    (spark.range(0, n_docs, 1, parts)
+        .withColumn("_base", F.expr(base))
+        .withColumn("_nw", F.expr(nw))
+        .withColumn("_mpos", F.expr(mpos))
+        .select(F.col("id").alias("doc_id"),
+                F.expr(
+                    "array_join(transform(sequence(0, _nw - 1), i -> "
+                    f"element_at({vocab_sql}, CAST({widx} AS INT) + 1)), "
+                    "' ')").alias("text"))
+        .write.mode("overwrite").parquet(path))
+    return path
+
+
+def emb_corpus_path(spark, n_vecs: int, dim: int = 64,
+                    dup_frac: float = 0.1,
+                    cache_dir: str | None = None) -> str:
+    """Synthetic embedding corpus, same dup structure as
+    :func:`docs_corpus_path`: base vectors are uniform in [-1, 1]^dim
+    (xxhash64-derived, exactly quantizable by the engine's floor(x*1000)
+    convention), near-duplicates perturb a base by <=0.005 per axis —
+    cosine ~0.9999 against the base, ~0 against everything else."""
+    from pyspark.sql import functions as F
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"emb_corpus_{n_vecs}_{dim}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    n_base = n_vecs - int(n_vecs * dup_frac)
+    base = (f"CASE WHEN id < {n_base} THEN id "
+            f"ELSE pmod(xxhash64('e', id), {n_base}) END")
+    val = ("(CAST(pmod(xxhash64('v', _base, i), 2001) AS DOUBLE) - 1000.0)"
+           " / 1000.0")
+    pert = (f"CASE WHEN id < {n_base} THEN 0.0 "
+            "ELSE (CAST(pmod(xxhash64('p', id, i), 201) AS DOUBLE) - 100.0)"
+            " / 20000.0 END")
+    parts = max(32, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "32")))
+    (spark.range(0, n_vecs, 1, parts)
+        .withColumn("_base", F.expr(base))
+        .select(F.col("id").alias("vec_id"),
+                F.expr(f"transform(sequence(0, {dim - 1}), "
+                       f"i -> {val} + {pert})").alias("embedding"))
+        .write.mode("overwrite").parquet(path))
+    return path
+
+
+def chain_pairs_path(spark, n_nodes: int, chain_len: int = 16,
+                     cache_dir: str | None = None) -> str:
+    """Edge list of ``n_nodes/chain_len`` disjoint chains — the
+    connected-components scaling input.  Chains give the label
+    propagation real multi-round work (a star graph converges in one
+    round); ``chain_len=16`` needs ~log2(16) pointer-doubling rounds,
+    each a full shuffle over the edge set."""
+    from pyspark.sql import functions as F
+
+    d = cache_dir or _CACHE
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"chain_pairs_{n_nodes}_{chain_len}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    parts = max(32, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "32")))
+    (spark.range(0, n_nodes, 1, parts)
+        .filter(F.expr(f"id % {chain_len} != {chain_len - 1}"))
+        .select(F.col("id").alias("id_a"),
+                (F.col("id") + 1).alias("id_b"))
+        .write.mode("overwrite").parquet(path))
+    return path

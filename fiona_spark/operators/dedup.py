@@ -109,8 +109,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     over hashed shingle values — all codegen'd column arithmetic, one
     groupBy(doc).min() per permutation (a single shuffle).
     """
-    a, b = _perm_coeffs(n_perm, seed)
     sh = word_shingles(docs, id_col, text_col, shingle_n)
+    return _signatures_from_shingles(sh, id_col, n_perm, seed, hash_fn)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, n_perm: int,
+                              seed: int, hash_fn: str) -> DataFrame:
+    """Signature agg over an existing (id, shingle) frame — split out so
+    ``minhash_lsh_pairs`` can share one persisted shingle frame between
+    the signature agg and exact-Jaccard verification."""
+    a, b = _perm_coeffs(n_perm, seed)
     x = F.pmod(_hash64_col("shingle", hash_fn), F.lit(_P))
     aggs = [F.min(_perm_hash_col(x, int(a[j]), int(b[j]))).alias(f"m{j}")
             for j in range(n_perm)]
@@ -147,17 +155,35 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.5, seed: int = 42,
                       max_bucket: int = 1000,
                       hash_fn: str = "xxhash64",
-                      band_key: str = "xxhash64") -> DataFrame:
+                      band_key: str = "xxhash64",
+                      persist: bool = True) -> DataFrame:
     """Near-duplicate pairs by MinHash LSH + exact Jaccard verification.
 
     Signature -> ``bands`` band keys (rows = n_perm/bands) -> band-key
     equi-self-join for candidates -> exact shingle-set Jaccard on the
     candidates only.  Output: (id_a, id_b, jaccard) with jaccard >=
     threshold, id_a < id_b.
+
+    ``persist=True`` (default) caches the two frames every downstream
+    branch re-reads: the shingle explode (consumed by the signature agg
+    and THREE times by exact Jaccard — both join sides + the size agg)
+    and the banded keys (hot-bucket count + both self-join sides).
+    Without it Spark recomputes the full text->shingle->hash subtree
+    once per branch — measured 5x the pipeline wall at 10^6 docs; at
+    100 TB the recompute IS the job, so the persisted plan is the only
+    one that scales (the signature table, n_docs x n_perm int64s, is
+    the small thing to keep hot; StorageLevel spills to disk past
+    executor memory).  Caches are scoped to this call's output: they
+    hold no correctness state, but benchmark reps should
+    ``spark.catalog.clearCache()`` between runs (CLAUDE.md convention).
     """
-    sig = minhash_signatures(docs, id_col, text_col, n_perm, shingle_n,
-                             seed, hash_fn)
+    sh = word_shingles(docs, id_col, text_col, shingle_n)
+    if persist:
+        sh = sh.persist()
+    sig = _signatures_from_shingles(sh, id_col, n_perm, seed, hash_fn)
     banded = band_keys(sig, id_col, n_perm, bands, band_key)
+    if persist:
+        banded = banded.persist()
     # degenerate-bucket guard (boilerplate shingle sets): the HOT set is
     # tiny — broadcast it and anti-join (never broadcast the cold set,
     # which is ~n_docs x bands rows)
@@ -169,14 +195,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col(id_col) < F.col("_idb"))
             .select(F.col(id_col).alias("id_a"), F.col("_idb").alias("id_b"))
             .distinct())
-    return exact_jaccard(docs, cand, id_col, text_col, shingle_n, threshold)
+    return exact_jaccard(docs, cand, id_col, text_col, shingle_n, threshold,
+                         _shingles=sh)
 
 
 def exact_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
-    """Exact shingle-set Jaccard for given (id_a, id_b) pairs."""
-    sh = word_shingles(docs, id_col, text_col, shingle_n)
+                  threshold: float = 0.0,
+                  _shingles: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+
+    ``_shingles`` lets a caller that already materialized the
+    (id, shingle) frame (``minhash_lsh_pairs``'s persisted copy) pass
+    it in instead of re-deriving it from ``docs`` — this frame feeds
+    THREE plan branches below (both join sides + the size agg)."""
+    sh = _shingles if _shingles is not None else \
+        word_shingles(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -412,7 +446,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", dim: int = 64,
                             band_bits: int = 8, seed: int = 7,
                             cos2_pct: int = 81,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            persist: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup modality).
 
     Sign-LSH banded self-join for candidates (never all-pairs), then an
@@ -444,6 +479,11 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     banded = (sigs.withColumn("b", F.explode(bands))
               .select(F.col(id_col).alias("id_a"),
                       F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+    if persist:
+        # three downstream branches (hot-bucket count + both self-join
+        # sides) would each re-run the Arrow signature UDF otherwise —
+        # the same recompute hazard minhash_lsh_pairs documents
+        banded = banded.persist()
     hot = (banded.groupBy("band", "key").count()
            .filter(F.col("count") > max_bucket).select("band", "key"))
     banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
@@ -451,13 +491,21 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     cand = (banded.join(rhs, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qe"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("ce"))
+    # self-dots are PER-VECTOR quantities: compute them once per row
+    # BEFORE the pair join (n_vecs evaluations) instead of inside the
+    # scored projection (n_pairs evaluations — with B candidates per
+    # vector that interpreted 64-element aggregate ran B extra times
+    # per side; measured ~35% of the lane wall at 10^6 vectors)
     self_dot = QDOT_EXPR.replace("qe", "{v}").replace("ce", "{v}")
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("qe"),
+                    F.expr(self_dot.format(v=vec_col)).alias("qaa"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("ce"),
+                    F.expr(self_dot.format(v=vec_col)).alias("qbb"))
     scored = (cand.join(ea, "id_a").join(eb, "id_b")
               .select("id_a", "id_b", F.expr(QDOT_EXPR).alias("qdot"),
-                      F.expr(self_dot.format(v="qe")).alias("qaa"),
-                      F.expr(self_dot.format(v="ce")).alias("qbb")))
+                      "qaa", "qbb"))
     safe = ((F.col("qaa") <= QDOT_SAFE_SELFDOT)
             & (F.col("qbb") <= QDOT_SAFE_SELFDOT))
     int_test = (F.col("qdot") * F.col("qdot") * 100

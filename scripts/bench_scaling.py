@@ -84,6 +84,60 @@ def _install_cleanup(max_wall_sec: int) -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(max_wall_sec)
 
+# Shared worker tail: concurrency-matched calibration + the timed
+# best-of-reps runner.  Each lane's worker defines `cores`, `reps`,
+# `spark` and a JOBS list of (name, fn, reset) before this tail runs.
+WORKER_TAIL = r'''
+def calibrate():
+    """CONCURRENCY-MATCHED host-speed probe: `cores` worker PROCESSES
+    spin the same fixed workload simultaneously; the median per-process
+    best measures the effective PER-CORE speed at this level's
+    parallelism.  A burstable/turbo VM runs 2 busy cores faster than 32
+    busy cores, which systematically depresses sequential N->4N wall
+    ratios; a real 4N-node cluster adds NODES (per-core speed
+    unchanged), so the ratio calib(4N)/calib(N) is exactly the host
+    confound to correct for.  Probes: numpy sqrt+sum over 2e7 doubles
+    (bandwidth-sensitive) and a pure-Python int loop (frequency-
+    sensitive); best of 3 per process, median across processes."""
+    import multiprocessing as mp
+    import statistics
+    ctx = mp.get_context("fork")   # spawn would re-import this -c script
+    with ctx.Pool(cores) as pool:
+        res = pool.map(_calib_one, range(cores))
+    return (statistics.median(r[0] for r in res),
+            statistics.median(r[1] for r in res))
+
+def _calib_one(_i):
+    import numpy as np
+    a = np.arange(20_000_000, dtype=np.float64)
+    def t1(fn):
+        t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
+    t_np = min(t1(lambda: float(np.sqrt(a).sum())) for _ in range(3))
+    t_py = min(t1(lambda: sum(range(5_000_000))) for _ in range(3))
+    return t_np, t_py
+
+out = {}
+c_np0, c_py0 = calibrate()
+for name, fn, reset in JOBS:
+    fn()  # warm (JIT, python workers, page cache)
+    best = float("inf")
+    for rep in range(reps):
+        if reset is not None:
+            reset()
+        t0 = time.perf_counter(); fn()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"# {name} cores={cores} rep={rep} t={dt:.1f}", file=sys.stderr)
+    out[name] = best
+c_np1, c_py1 = calibrate()
+out["calib_np"] = min(c_np0, c_np1)
+out["calib_py"] = min(c_py0, c_py1)
+print(f"# calib cores={cores} np={out['calib_np']:.3f} "
+      f"py={out['calib_py']:.3f}", file=sys.stderr)
+print("RESULT " + json.dumps(out))
+spark.stop()
+'''
+
 WORKER = r'''
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -165,78 +219,88 @@ def knn_reset():
 def decode_job():
     return spatial.block_tiles(images, res=12, block=8).count()
 
-def calibrate():
-    """CONCURRENCY-MATCHED host-speed probe: `cores` worker PROCESSES
-    spin the same fixed workload simultaneously; the median per-process
-    best measures the effective PER-CORE speed at this level's
-    parallelism.  A burstable/turbo VM runs 2 busy cores faster than 32
-    busy cores, which systematically depresses sequential N->4N wall
-    ratios; a real 4N-node cluster adds NODES (per-core speed
-    unchanged), so the ratio calib(4N)/calib(N) is exactly the host
-    confound to correct for.  Probes: numpy sqrt+sum over 2e7 doubles
-    (bandwidth-sensitive) and a pure-Python int loop (frequency-
-    sensitive); best of 3 per process, median across processes."""
-    import multiprocessing as mp
-    import statistics
-    ctx = mp.get_context("fork")   # spawn would re-import this -c script
-    with ctx.Pool(cores) as pool:
-        res = pool.map(_calib_one, range(cores))
-    return (statistics.median(r[0] for r in res),
-            statistics.median(r[1] for r in res))
+JOBS = [("cells", cells_job, None),
+        ("cand", cand_job, None),
+        ("spatial_staged", staged_job, None),
+        ("spatial", spatial_job, None),
+        ("spatial_shuffled", spatial_shuffled_job, None),
+        ("knn", knn_job, knn_reset),
+        ("decode", decode_job, None)]
+''' + WORKER_TAIL
 
-def _calib_one(_i):
-    import numpy as np
-    a = np.arange(20_000_000, dtype=np.float64)
-    def t1(fn):
-        t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
-    t_np = min(t1(lambda: float(np.sqrt(a).sum())) for _ in range(3))
-    t_py = min(t1(lambda: sum(range(5_000_000))) for _ in range(3))
-    return t_np, t_py
+WORKER_DEDUP = r'''
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from fiona_spark.session import get_spark
+from fiona_spark import fixtures
+from fiona_spark.operators import dedup
 
-out = {}
-c_np0, c_py0 = calibrate()
-for name, fn, reset in [("cells", cells_job, None),
-                        ("cand", cand_job, None),
-                        ("spatial_staged", staged_job, None),
-                        ("spatial", spatial_job, None),
-                        ("spatial_shuffled", spatial_shuffled_job, None),
-                        ("knn", knn_job, knn_reset),
-                        ("decode", decode_job, None)]:
-    fn()  # warm (JIT, python workers, page cache)
-    best = float("inf")
-    for rep in range(reps):
-        if reset is not None:
-            reset()
-        t0 = time.perf_counter(); fn()
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(f"# {name} cores={cores} rep={rep} t={dt:.1f}", file=sys.stderr)
-    out[name] = best
-c_np1, c_py1 = calibrate()
-out["calib_np"] = min(c_np0, c_np1)
-out["calib_py"] = min(c_py0, c_py1)
-print(f"# calib cores={cores} np={out['calib_np']:.3f} "
-      f"py={out['calib_py']:.3f}", file=sys.stderr)
-print("RESULT " + json.dumps(out))
-spark.stop()
-'''
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+n_vecs = int(sys.argv[3]); n_nodes = int(sys.argv[4])
+reps = int(sys.argv[5])
+spark = get_spark(cores=cores, app=f"scaling-dedup-{cores}")
+import atexit
+atexit.register(spark.stop)
+# identical input layout at every level (128 partitions, cached); the
+# corpora were materialized by the harness before any level ran, so the
+# timed section holds only the operators
+docs = spark.read.parquet(
+    fixtures.docs_corpus_path(spark, n_docs)).repartition(128).cache()
+emb = spark.read.parquet(
+    fixtures.emb_corpus_path(spark, n_vecs)).repartition(128).cache()
+chains = spark.read.parquet(
+    fixtures.chain_pairs_path(spark, n_nodes)).repartition(128).cache()
+docs.count(); emb.count(); chains.count()
+spark.range(1000).select(F.sum("id")).collect()
+
+def reset():
+    # all three lanes persist intermediates internally (shingles /
+    # banded keys / label frames) — clear them between reps or the
+    # CacheManager serves the previous rep's data (CLAUDE.md convention)
+    spark.catalog.clearCache()
+    docs.cache().count(); emb.cache().count(); chains.cache().count()
+
+def lsh_job():
+    """minhash_lsh_pairs -> exact_jaccard end-to-end: shingle explode,
+    32-permutation signature agg (one shuffle), 8-band self-join with
+    the hot-bucket anti-join guard, exact shingle-set Jaccard on the
+    candidates (three joins over the persisted shingle frame)."""
+    return dedup.minhash_lsh_pairs(docs, n_perm=32, bands=8,
+                                   threshold=0.5).count()
+
+def embed_job():
+    """embedding_neardup_pairs: Arrow sign-LSH signatures, 4x16-bit
+    banded self-join, integer quantized-cosine verify on candidates."""
+    return dedup.embedding_neardup_pairs(emb, band_bits=16).count()
+
+def cc_job():
+    """connected_components_df over the chain corpus: min-id label
+    propagation + pointer doubling, ~log2(chain_len) rounds, each a
+    full shuffle over the symmetric edge set; zero driver state."""
+    return dedup.connected_components_df(chains).count()
+
+JOBS = [("lsh_minhash", lsh_job, reset),
+        ("embed_neardup", embed_job, reset),
+        ("connected_components", cc_job, reset)]
+''' + WORKER_TAIL
 
 
-def run_level(cores: int, sf: float, zsf: float, reps: int) -> dict:
+def run_level(cores: int, worker: str, argv: list, timeout_s: int = 5400) -> dict:
     """One JVM per level, PINNED with taskset to exactly ``cores`` CPUs
     (0..cores-1): the scheduler can no longer migrate a lightly-loaded
     level's threads across the whole socket, so levels are comparable
     cpuset-for-cpuset (the r2 advisory's pinned-cgroup hardening)."""
-    code = WORKER % {"repo": REPO}
+    code = worker % {"repo": REPO}
     cpuset = f"0-{cores - 1}" if cores > 1 else "0"
     proc = subprocess.Popen(["taskset", "-c", cpuset,
-                             sys.executable, "-c", code, str(cores), str(sf),
-                             str(zsf), str(reps)],
+                             sys.executable, "-c", code, str(cores),
+                             *[str(a) for a in argv]],
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                             text=True, start_new_session=True)
     _LIVE_GROUPS.add(proc.pid)   # pgid == pid (new session)
     try:
-        stdout, stderr = proc.communicate(timeout=5400)
+        stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         _kill_live_groups()
         raise RuntimeError(f"local[{cores}] level exceeded 5400s — killed")
@@ -264,6 +328,13 @@ JOB_ORDER = ["cells", "cand", "residual", "spatial_staged", "spatial",
 def main() -> None:
     _install_cleanup(int(os.environ.get("SPARK_GRAFT_SCALING_MAX_SEC",
                                         "7200")))
+    lanes = os.environ.get("SPARK_GRAFT_SCALING_LANES", "spatial")
+    if lanes == "dedup":
+        main_dedup()
+        return
+    if lanes != "spatial":
+        raise SystemExit(f"unknown SPARK_GRAFT_SCALING_LANES={lanes!r} "
+                         "(spatial|dedup)")
     sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
     zsf = float(os.environ.get("SPARK_GRAFT_SCALING_ZSF", "0.5"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
@@ -275,7 +346,7 @@ def main() -> None:
 
     t = {}
     for c in levels:
-        t[c] = run_level(c, sf, zsf, reps)
+        t[c] = run_level(c, WORKER, [sf, zsf, reps])
         # derive the residual stage: full PIP minus candidate generation
         t[c]["residual"] = max(t[c]["spatial_staged"] - t[c]["cand"], 1e-9)
 
@@ -407,20 +478,156 @@ def main() -> None:
         "concurrently — CPU contention corrupts the numbers).",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve hand-written appendix/notes (everything from the first
-    # "## Appendix" heading) across regenerations — an earlier run
-    # clobbered the isolation-probe appendix by truncate-writing
+    # preserve the dedup-lane section and hand-written appendix/notes
+    # (everything from the first such heading) across regenerations —
+    # an earlier run clobbered the isolation-probe appendix by
+    # truncate-writing
     tail = ""
     if os.path.exists(path):
         prev = open(path).read()
-        i = prev.find("## Appendix")
-        if i >= 0:
-            tail = "\n" + prev[i:]
+        marks = [i for i in (prev.find(DEDUP_HEADING),
+                             prev.find("## Appendix")) if i >= 0]
+        if marks:
+            tail = "\n" + prev[min(marks):]
     with open(path, "w") as f:
         f.write("\n".join(md) + "\n" + tail)
 
     print(json.dumps({"sf": sf, "levels": levels, "efficiency": summary_eff,
                       "raw_seconds": t, "out": path}))
+
+
+DEDUP_HEADING = "## Dedup/LSH scaling lanes"
+
+DEDUP_JOB_ORDER = ["lsh_minhash", "embed_neardup", "connected_components"]
+
+
+def main_dedup() -> None:
+    """Dedup/LSH lane mode (r6 verdict ask #1): the same N->4N evidence
+    protocol over the three dedup-family operators the 100 TB
+    training-data pipeline leans on."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    levels = [int(v) for v in os.environ.get(
+        "SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "1000000"))
+    n_vecs = int(os.environ.get("SPARK_GRAFT_SCALING_NVECS", "500000"))
+    n_nodes = int(os.environ.get("SPARK_GRAFT_SCALING_NNODES", "2000000"))
+    chain_len = 16
+    sys.path.insert(0, REPO)
+
+    # materialize the corpora UNPINNED on the full box before any level
+    # runs (generation is untimed fixture work; doing it inside the
+    # 2-core level would waste its wall budget)
+    from fiona_spark import fixtures
+    from fiona_spark.session import get_spark
+    gen = get_spark(cores=os.cpu_count() or 32, app="scaling-dedup-gen")
+    fixtures.docs_corpus_path(gen, n_docs)
+    fixtures.emb_corpus_path(gen, n_vecs)
+    fixtures.chain_pairs_path(gen, n_nodes, chain_len)
+    gen.stop()
+
+    t = {}
+    for c in levels:
+        t[c] = run_level(c, WORKER_DEDUP, [n_docs, n_vecs, n_nodes, reps])
+
+    pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)
+             if levels[i + 1] == 4 * levels[i]]
+    n_edges = n_nodes - n_nodes // chain_len
+    units = {"lsh_minhash": ("docs/s", n_docs),
+             "embed_neardup": ("vecs/s", n_vecs),
+             "connected_components": ("edges/s", n_edges)}
+
+    md = [
+        DEDUP_HEADING + " (r7)",
+        "",
+        "Same protocol as the spatial lanes above (one pinned JVM per "
+        f"level, inputs cached, best of {reps} timed reps after a full "
+        "warm-up pass, concurrency-matched host-speed calibration): the "
+        "three dedup-family operators a 100 TB training-data pipeline is "
+        "dominated by, at corpus sizes that shuffle for real —",
+        "",
+        f"* `lsh_minhash` = `minhash_lsh_pairs` -> `exact_jaccard` over "
+        f"{n_docs:,} synthetic documents (12-20 words, ~10% planted "
+        "near-duplicates; `fixtures.docs_corpus_path`): shingle explode "
+        "(~14M rows), 32-permutation signature agg, 8-band self-join "
+        "with the hot-bucket guard, exact Jaccard verify on candidates.",
+        f"* `embed_neardup` = `embedding_neardup_pairs` over {n_vecs:,} "
+        "64-dim embeddings (~10% planted near-duplicates; "
+        "`fixtures.emb_corpus_path`): Arrow sign-LSH signatures, 4x16-bit "
+        "banded self-join, integer quantized-cosine verify.",
+        f"* `connected_components` = `connected_components_df` over "
+        f"{n_edges:,} edges ({n_nodes // chain_len:,} disjoint "
+        f"{chain_len}-node chains; `fixtures.chain_pairs_path`): min-id "
+        "label propagation + pointer doubling, ~log2(chain_len) rounds, "
+        "each a full shuffle over the symmetric edge set.",
+        "",
+        "| level | calib_np s | calib_py s |", "|---|---|---|",
+        *[f"| local[{c}] | {t[c].get('calib_np', float('nan')):.3f} | "
+          f"{t[c].get('calib_py', float('nan')):.3f} |" for c in levels],
+        "",
+    ]
+    summary_eff = {}
+    for lo, hi in pairs:
+        cal = t[hi].get("calib_py", 1.0) / t[lo].get("calib_py", 1.0)
+        md += [f"### local[{lo}] -> local[{hi}]", "",
+               f"calibration host-speed ratio N/4N: {cal:.2f}", "",
+               "| job | T(N) s | T(4N) s | unit | thr @N | thr @4N | "
+               "efficiency | eff(adj) |", "|---|---|---|---|---|---|---|---|"]
+        for name in DEDUP_JOB_ORDER:
+            if name not in t[lo]:
+                continue
+            unit, n_items = units[name]
+            tl, th = t[lo][name], t[hi][name]
+            thr_lo, thr_hi = n_items / tl, n_items / th
+            eff = (thr_hi / thr_lo) / (hi / lo)
+            adj = eff * cal
+            summary_eff[f"{name}@{lo}->{hi}"] = round(eff, 3)
+            summary_eff[f"{name}@{lo}->{hi}:adj"] = round(adj, 3)
+            md.append(f"| {name} | {tl:.2f} | {th:.2f} | {unit} | "
+                      f"{thr_lo:,.0f} | {thr_hi:,.0f} | **{eff:.2f}** | "
+                      f"**{adj:.2f}** |")
+        md.append("")
+    lo, hi = pairs[0]
+    gate_rows = [(n, summary_eff.get(f"{n}@{lo}->{hi}"))
+                 for n in DEDUP_JOB_ORDER if f"{n}@{lo}->{hi}" in summary_eff]
+    passing = [f"{n} {e:.2f}" for n, e in gate_rows if e >= 0.8]
+    below = [f"{n} {e:.2f}" for n, e in gate_rows if e < 0.8]
+    md += [
+        f"### Dedup gate summary (north_rule >= 0.8, "
+        f"local[{lo}] -> local[{hi}])",
+        "",
+        f"At gate: {', '.join(passing) or 'none'}.  Below: "
+        f"{', '.join(below) or 'none'}.",
+        "",
+        f"Reproduce: `SPARK_GRAFT_SCALING_LANES=dedup "
+        f"SPARK_GRAFT_SCALING_NDOCS={n_docs} python "
+        "scripts/bench_scaling.py` (run NOTHING else concurrently).",
+        "",
+    ]
+
+    # splice this section into BENCH/BASELINE.md: replace a previous
+    # dedup section if present, else insert before the Appendix
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    section = "\n".join(md) + "\n"
+    prev = open(path).read() if os.path.exists(path) else ""
+    start = prev.find(DEDUP_HEADING)
+    if start >= 0:
+        end = prev.find("## Appendix", start)
+        new = prev[:start] + section + \
+            ("\n" + prev[end:] if end >= 0 else "")
+    else:
+        ap = prev.find("## Appendix")
+        if ap >= 0:
+            new = prev[:ap] + section + "\n" + prev[ap:]
+        else:
+            new = prev + ("\n" if prev and not prev.endswith("\n") else "") \
+                + section
+    with open(path, "w") as f:
+        f.write(new)
+
+    print(json.dumps({"lanes": "dedup", "n_docs": n_docs, "n_vecs": n_vecs,
+                      "n_nodes": n_nodes, "levels": levels,
+                      "efficiency": summary_eff, "raw_seconds": t,
+                      "out": path}))
 
 
 if __name__ == "__main__":

@@ -105,7 +105,14 @@ def test_hamming_pairs_vs_bruteforce(spark):
     hashes[9] = hashes[2]                  # distance 0 plant
     pdf = pd.DataFrame({"vid": range(30), "h": hashes})
     df = spark.createDataFrame(pdf)
-    got = dedup.hamming_pairs(df, "vid", "h", max_dist=4, band_bits=16).toPandas()
+    # max_dist=4 with band_bits=16 is DELIBERATELY past the pigeonhole
+    # guarantee (d < 64/16 = 4): the operator must warn — asserted here
+    # so the suite stays green under -W error::RuntimeWarning while the
+    # beyond-guarantee regime keeps its loud signal (r6 verdict ask #5)
+    with pytest.warns(RuntimeWarning, match="does not guarantee"):
+        pairs_df = dedup.hamming_pairs(df, "vid", "h", max_dist=4,
+                                       band_bits=16)
+    got = pairs_df.toPandas()
     got_keys = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
     exp = set()
     for a, b in itertools.combinations(range(30), 2):
