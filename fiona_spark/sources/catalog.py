@@ -48,6 +48,9 @@ def listlayers(path: str) -> list[str]:
     if low.endswith(".gtm"):
         from .gpstrackmaker import LAYERS
         return list(LAYERS)
+    if low.endswith(".000"):
+        from .s57 import listlayers_s57
+        return listlayers_s57(path)
     if os.path.isfile(path) or os.path.exists(os.path.join(path, "_SUCCESS")):
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []

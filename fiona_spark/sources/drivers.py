@@ -79,6 +79,7 @@ _EXT_TO_DRIVER = {
     ".segy": "segy", ".sgy": "segy",
     ".vrt": "vrt",
     ".gtm": "gpstrackmaker",
+    ".000": "s57",
 }
 
 
@@ -242,6 +243,11 @@ def _read_topojson(spark, path, **opts):
 def _read_vrt(spark, path, layer=None, **opts):
     from . import vrt
     return vrt.read_vrt(spark, path, layer=layer)
+
+
+def _read_s57(spark, path, layer=None, **opts):
+    from . import s57
+    return s57.read_s57(spark, path, layer=layer)
 
 
 def _read_gtm(spark, path, layer=None, **opts):
@@ -480,6 +486,7 @@ register_driver("sua", _read_sua, _no_write, "r")
 register_driver("segy", _read_segy, _no_write, "r")
 register_driver("vrt", _read_vrt, _no_write, "r")
 register_driver("gpstrackmaker", _read_gtm, _write_gtm, "raw")
+register_driver("s57", _read_s57, _no_write, "r")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:

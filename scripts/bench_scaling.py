@@ -586,18 +586,22 @@ def main_dedup() -> None:
                       f"{thr_lo:,.0f} | {thr_hi:,.0f} | **{eff:.2f}** | "
                       f"**{adj:.2f}** |")
         md.append("")
-    lo, hi = pairs[0]
-    gate_rows = [(n, summary_eff.get(f"{n}@{lo}->{hi}"))
-                 for n in DEDUP_JOB_ORDER if f"{n}@{lo}->{hi}" in summary_eff]
-    passing = [f"{n} {e:.2f}" for n, e in gate_rows if e >= 0.8]
-    below = [f"{n} {e:.2f}" for n, e in gate_rows if e < 0.8]
+    if pairs:
+        lo, hi = pairs[0]
+        gate_rows = [(n, summary_eff.get(f"{n}@{lo}->{hi}"))
+                     for n in DEDUP_JOB_ORDER
+                     if f"{n}@{lo}->{hi}" in summary_eff]
+        passing = [f"{n} {e:.2f}" for n, e in gate_rows if e >= 0.8]
+        below = [f"{n} {e:.2f}" for n, e in gate_rows if e < 0.8]
+        md += [
+            f"### Dedup gate summary (north_rule >= 0.8, "
+            f"local[{lo}] -> local[{hi}])",
+            "",
+            f"At gate: {', '.join(passing) or 'none'}.  Below: "
+            f"{', '.join(below) or 'none'}.",
+            "",
+        ]
     md += [
-        f"### Dedup gate summary (north_rule >= 0.8, "
-        f"local[{lo}] -> local[{hi}])",
-        "",
-        f"At gate: {', '.join(passing) or 'none'}.  Below: "
-        f"{', '.join(below) or 'none'}.",
-        "",
         f"Reproduce: `SPARK_GRAFT_SCALING_LANES=dedup "
         f"SPARK_GRAFT_SCALING_NDOCS={n_docs} python "
         "scripts/bench_scaling.py` (run NOTHING else concurrently).",
