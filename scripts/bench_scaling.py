@@ -516,14 +516,23 @@ def main_dedup() -> None:
 
     # materialize the corpora UNPINNED on the full box before any level
     # runs (generation is untimed fixture work; doing it inside the
-    # 2-core level would waste its wall budget)
-    from fiona_spark import fixtures
-    from fiona_spark.session import get_spark
-    gen = get_spark(cores=os.cpu_count() or 32, app="scaling-dedup-gen")
-    fixtures.docs_corpus_path(gen, n_docs)
-    fixtures.emb_corpus_path(gen, n_vecs)
-    fixtures.chain_pairs_path(gen, n_nodes, chain_len)
-    gen.stop()
+    # 2-core level would waste its wall budget).  A SUBPROCESS, not an
+    # in-process session: spark.stop() leaves the py4j gateway JVM
+    # alive as long as this harness runs, and even an idle stray JVM
+    # has no business existing next to the pinned levels.
+    gen_code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from fiona_spark.session import get_spark\n"
+        "from fiona_spark import fixtures\n"
+        "import os\n"
+        "spark = get_spark(cores=os.cpu_count() or 32, "
+        "app='scaling-dedup-gen')\n"
+        f"fixtures.docs_corpus_path(spark, {n_docs})\n"
+        f"fixtures.emb_corpus_path(spark, {n_vecs})\n"
+        f"fixtures.chain_pairs_path(spark, {n_nodes}, {chain_len})\n"
+        "spark.stop()\n")
+    subprocess.run([sys.executable, "-c", gen_code], check=True,
+                   timeout=3600)
 
     t = {}
     for c in levels:
@@ -598,7 +607,11 @@ def main_dedup() -> None:
             f"local[{lo}] -> local[{hi}])",
             "",
             f"At gate: {', '.join(passing) or 'none'}.  Below: "
-            f"{', '.join(below) or 'none'}.",
+            f"{', '.join(below) or 'none'}."
+            "  A below-gate connected_components lane is expected at "
+            "this corpus size — see the latency-attribution appendix "
+            "(round-structured fixed cost, vanishes as the corpus "
+            "grows).",
             "",
         ]
     md += [
