@@ -80,6 +80,7 @@ _EXT_TO_DRIVER = {
     ".vrt": "vrt",
     ".gtm": "gpstrackmaker",
     ".000": "s57",
+    ".sql": "pgdump",
 }
 
 
@@ -265,6 +266,16 @@ def _write_gtm(df, path, mode="overwrite", **opts):
 
 def _no_write(df, path, **opts):
     raise DriverError("this driver is read-only")
+
+
+def _no_read(spark, path, **opts):
+    raise DriverError("this driver is write-only (GDAL PGDump parity: "
+                      "the dump loads with psql, not back into the engine)")
+
+
+def _write_pgdump(df, path, mode="overwrite", **opts):
+    from . import pgdump
+    pgdump.write_pgdump(df, path, **opts)
 
 
 def _read_gpkg(spark, path, layer=None, bbox=None, **opts):
@@ -487,6 +498,7 @@ register_driver("segy", _read_segy, _no_write, "r")
 register_driver("vrt", _read_vrt, _no_write, "r")
 register_driver("gpstrackmaker", _read_gtm, _write_gtm, "raw")
 register_driver("s57", _read_s57, _no_write, "r")
+register_driver("pgdump", _no_read, _write_pgdump, "w")
 
 
 def open_dataset(spark, path: str, driver: str | None = None, **opts) -> DataFrame:
