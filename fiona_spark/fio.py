@@ -127,8 +127,6 @@ def _open_inputs(spark, paths, layer=None, bbox=None, where=None,
     ring model) with opt-in ``--cut-at-antimeridian`` WRAPDATELINE
     cutting, exactly the flag the reference passes through to
     transform_geom (`fio/cat.py:114-124`)."""
-    from pyspark.sql import functions as F
-
     from .operators import filters
     from .sources import drivers
     for path in paths:
@@ -146,23 +144,9 @@ def _open_inputs(spark, paths, layer=None, bbox=None, where=None,
                 raise SystemExit(
                     f"--dst-crs needs geometry columns; {path} has none")
             from .functions import geometry as gf
-            u = gf.transform_geom_udf(
-                src_crs, dst_crs,
+            df = gf.reproject_rings(
+                df, src_crs, dst_crs,
                 antimeridian_cutting=cut_at_antimeridian)
-            df = (df.withColumn("_t", u("rings_xs", "rings_ys"))
-                  .withColumn("rings_xs", F.col("_t.rings_xs"))
-                  .withColumn("rings_ys", F.col("_t.rings_ys"))
-                  .drop("_t")
-                  .withColumn("xs", F.expr("rings_xs[0]"))
-                  .withColumn("ys", F.expr("rings_ys[0]"))
-                  .withColumn("xmin", F.array_min(F.expr(
-                      "transform(rings_xs, r -> array_min(r))")))
-                  .withColumn("ymin", F.array_min(F.expr(
-                      "transform(rings_ys, r -> array_min(r))")))
-                  .withColumn("xmax", F.array_max(F.expr(
-                      "transform(rings_xs, r -> array_max(r))")))
-                  .withColumn("ymax", F.array_max(F.expr(
-                      "transform(rings_ys, r -> array_max(r))"))))
         yield df
 
 

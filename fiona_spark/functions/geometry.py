@@ -390,3 +390,29 @@ def transform_geom_udf(src: str, dst: str, antimeridian_cutting: bool = True,
             oys.append([v.tolist() for v in tys])
         return pd.DataFrame({"rings_xs": oxs, "rings_ys": oys})
     return u
+
+
+def reproject_rings(df, src: str, dst: str,
+                    antimeridian_cutting: bool = False):
+    """Reproject a ring-model DataFrame (one distributed
+    ``transform_geom_udf`` pass) and rebuild the derived xs/ys/envelope
+    columns.  Shared by ``fio cat --dst-crs`` and the VRT
+    OGRVRTWarpedLayer."""
+    if "rings_xs" not in df.columns:
+        raise ValueError("reproject_rings needs ring-model geometry columns")
+    u = transform_geom_udf(src, dst,
+                           antimeridian_cutting=antimeridian_cutting)
+    return (df.withColumn("_t", u("rings_xs", "rings_ys"))
+            .withColumn("rings_xs", F.col("_t.rings_xs"))
+            .withColumn("rings_ys", F.col("_t.rings_ys"))
+            .drop("_t")
+            .withColumn("xs", F.expr("rings_xs[0]"))
+            .withColumn("ys", F.expr("rings_ys[0]"))
+            .withColumn("xmin", F.array_min(F.expr(
+                "transform(rings_xs, r -> array_min(r))")))
+            .withColumn("ymin", F.array_min(F.expr(
+                "transform(rings_ys, r -> array_min(r))")))
+            .withColumn("xmax", F.array_max(F.expr(
+                "transform(rings_xs, r -> array_max(r))")))
+            .withColumn("ymax", F.array_max(F.expr(
+                "transform(rings_ys, r -> array_max(r))"))))

@@ -20,6 +20,11 @@ VRT spec (gdal.org "Virtual Format"):
         <OGRVRTLayer name="a">...</OGRVRTLayer>
         <OGRVRTLayer name="b">...</OGRVRTLayer>
       </OGRVRTUnionLayer>
+      <OGRVRTWarpedLayer>
+        <OGRVRTLayer name="zones">...</OGRVRTLayer>
+        <SrcSRS>EPSG:4326</SrcSRS>
+        <TargetSRS>EPSG:3857</TargetSRS>
+      </OGRVRTWarpedLayer>
     </OGRVRTDataSource>
 
 Spark-first mapping: each member layer resolves through the engine's
@@ -83,14 +88,29 @@ def _root(path: str) -> ET.Element:
     return root
 
 
+_LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer", "OGRVRTWarpedLayer")
+
+
+def _node_name(node: ET.Element, fallback: str) -> str:
+    if node.get("name"):
+        return node.get("name")
+    if node.tag == "OGRVRTWarpedLayer":
+        # GDAL: a warped layer takes its source layer's name
+        for child in node:
+            if child.tag in _LAYER_TAGS:
+                return _node_name(child, fallback)
+    return fallback
+
+
 def _layer_nodes(root: ET.Element):
-    """Top-level (name, node) pairs, both plain and union layers."""
+    """Top-level (name, node) pairs: plain, union, and warped layers."""
     out = []
     for node in root:
-        if node.tag in ("OGRVRTLayer", "OGRVRTUnionLayer"):
-            out.append((node.get("name") or f"layer{len(out)}", node))
+        if node.tag in _LAYER_TAGS:
+            out.append((_node_name(node, f"layer{len(out)}"), node))
     if not out:
-        raise DriverError("VRT has no OGRVRTLayer/OGRVRTUnionLayer")
+        raise DriverError(
+            "VRT has no OGRVRTLayer/OGRVRTUnionLayer/OGRVRTWarpedLayer")
     return out
 
 
@@ -247,14 +267,42 @@ def _read_member(spark, vrt_path: str, node: ET.Element) -> DataFrame:
 
 
 def _read_union(spark, vrt_path: str, node: ET.Element) -> DataFrame:
-    members = [m for m in node if m.tag == "OGRVRTLayer"]
+    members = [m for m in node if m.tag in _LAYER_TAGS]
     if not members:
         raise DriverError("OGRVRTUnionLayer has no member layers")
-    dfs = [_read_member(spark, vrt_path, m) for m in members]
+    dfs = [_read_any(spark, vrt_path, m) for m in members]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def _read_warped(spark, vrt_path: str, node: ET.Element) -> DataFrame:
+    """OGRVRTWarpedLayer: reproject the source layer's ring geometry
+    with the engine's distributed transform kernels — one Arrow pass
+    via ``functions.geometry.reproject_rings`` (the same path as
+    ``fio cat --dst-crs``)."""
+    member = next((m for m in node if m.tag in _LAYER_TAGS), None)
+    if member is None:
+        raise DriverError("OGRVRTWarpedLayer has no source layer")
+    target = (node.findtext("TargetSRS") or "").strip()
+    if not target:
+        raise DriverError("OGRVRTWarpedLayer needs <TargetSRS>")
+    src = (node.findtext("SrcSRS") or "EPSG:4326").strip()
+    df = _read_any(spark, vrt_path, member)
+    if "rings_xs" not in df.columns:
+        raise DriverError(
+            "OGRVRTWarpedLayer source has no geometry columns")
+    from ..functions.geometry import reproject_rings
+    return reproject_rings(df, src, target)
+
+
+def _read_any(spark, vrt_path: str, node: ET.Element) -> DataFrame:
+    if node.tag == "OGRVRTUnionLayer":
+        return _read_union(spark, vrt_path, node)
+    if node.tag == "OGRVRTWarpedLayer":
+        return _read_warped(spark, vrt_path, node)
+    return _read_member(spark, vrt_path, node)
 
 
 def read_vrt(spark, path: str, layer: str | None = None) -> DataFrame:
@@ -274,6 +322,4 @@ def read_vrt(spark, path: str, layer: str | None = None) -> DataFrame:
                 f"no layer {layer!r} in {path!r} "
                 f"(have {[n for n, _ in layers]})")
         name, node = match[0]
-    if node.tag == "OGRVRTUnionLayer":
-        return _read_union(spark, path, node)
-    return _read_member(spark, path, node)
+    return _read_any(spark, path, node)

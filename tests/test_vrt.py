@@ -219,6 +219,55 @@ def test_vrt_errors(spark, tmp_path):
         read_vrt(spark, missing_field)
 
 
+def test_vrt_warped_layer(spark, tmp_path):
+    """OGRVRTWarpedLayer reprojects through the engine's transform
+    kernels; differential against fiona_spark.transform.transform on
+    the directly-read coordinates (the kernels themselves carry their
+    own anchored tests)."""
+    from fiona_spark import transform as tr
+    gpkg = ensure_canon_gpkg(spark)
+    vrt = _write(tmp_path, "warp.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTWarpedLayer>
+    <OGRVRTLayer name="zones"><SrcDataSource>{gpkg}</SrcDataSource></OGRVRTLayer>
+    <SrcSRS>EPSG:4326</SrcSRS>
+    <TargetSRS>EPSG:3857</TargetSRS>
+  </OGRVRTWarpedLayer>
+</OGRVRTDataSource>""")
+    assert listlayers_vrt(vrt) == ["zones"]      # name from the source
+    direct = drivers.open_dataset(spark, gpkg)
+    warped = read_vrt(spark, vrt)
+    d = {r["zone_id"]: r for r in direct.collect()}
+    w = {r["zone_id"]: r for r in warped.collect()}
+    assert set(d) == set(w)
+    for zid in list(d)[:5]:
+        ex, ey = tr.transform("EPSG:4326", "EPSG:3857",
+                              d[zid]["xs"], d[zid]["ys"])
+        assert w[zid]["xs"] == pytest.approx(list(ex), abs=1e-6)
+        assert w[zid]["ys"] == pytest.approx(list(ey), abs=1e-6)
+    # envelope columns rebuilt from the warped rings
+    anyz = next(iter(w.values()))
+    assert anyz["xmin"] == min(anyz["xs"])
+
+
+def test_vrt_warped_layer_errors(spark, tmp_path):
+    shp = ensure_canon_shp(spark)
+    no_target = _write(tmp_path, "wt.vrt", f"""
+<OGRVRTDataSource>
+  <OGRVRTWarpedLayer>
+    <OGRVRTLayer name="z"><SrcDataSource>{shp}</SrcDataSource></OGRVRTLayer>
+  </OGRVRTWarpedLayer>
+</OGRVRTDataSource>""")
+    with pytest.raises(DriverError):
+        read_vrt(spark, no_target)
+    empty = _write(tmp_path, "we.vrt", """
+<OGRVRTDataSource>
+  <OGRVRTWarpedLayer><TargetSRS>EPSG:3857</TargetSRS></OGRVRTWarpedLayer>
+</OGRVRTDataSource>""")
+    with pytest.raises(DriverError):
+        read_vrt(spark, empty)
+
+
 def test_vrt_registry_row():
     from fiona_spark.sources.drivers import supported_drivers
     assert supported_drivers()["vrt"] == "r"
