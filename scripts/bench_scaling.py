@@ -608,10 +608,10 @@ def main_dedup() -> None:
             "",
             f"At gate: {', '.join(passing) or 'none'}.  Below: "
             f"{', '.join(below) or 'none'}."
-            "  A below-gate connected_components lane is expected at "
-            "this corpus size — see the latency-attribution appendix "
-            "(round-structured fixed cost, vanishes as the corpus "
-            "grows).",
+            "  Below-gate lanes at this corpus size are expected and "
+            "measured-attributed — see the dedup-lane "
+            "latency-attribution appendix (fixed per-run latency "
+            "that amortizes with corpus size).",
             "",
         ]
     md += [
