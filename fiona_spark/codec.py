@@ -108,11 +108,34 @@ def decode_batch(datas: list, fmt: str, w: int, h: int) -> np.ndarray:
             if not (csum == n).all():
                 return np.stack([decode(d, fmt, w, h) for d in datas])
     elif fmt in ("q6", "q4"):
-        bits = 6 if fmt == "q6" else 4
-        bitarr = np.unpackbits(joined.reshape(m, blen), axis=1,
-                               bitorder="little")[:, : n * bits]
-        q = np.packbits(bitarr.reshape(m * n, bits), axis=1,
-                        bitorder="little")[:, 0]
+        # r8: direct shift/mask extraction of the little-endian bit
+        # stream (3 bytes <-> 4 six-bit samples; 1 byte <-> 2 nibbles)
+        # when the packing is exact — identical q values to the
+        # unpackbits/packbits route without its 8x bool blowup (the
+        # bool intermediate was ~80 MB per 1k-image group and the
+        # dominant decode allocation).  Padded streams (n*bits not a
+        # multiple of 8) keep the generic path.
+        if fmt == "q6" and blen % 3 == 0 and blen * 4 == n * 3:
+            tri = joined.reshape(m, blen // 3, 3)
+            b0, b1, b2 = tri[..., 0], tri[..., 1], tri[..., 2]
+            q = np.empty((m, blen // 3, 4), np.uint8)
+            q[..., 0] = b0 & 0x3F
+            q[..., 1] = (b0 >> 6) | ((b1 & 0x0F) << 2)
+            q[..., 2] = (b1 >> 4) | ((b2 & 0x03) << 4)
+            q[..., 3] = b2 >> 2
+            q = q.reshape(m * n)
+        elif fmt == "q4" and blen * 2 == n:
+            byt = joined.reshape(m, blen)
+            q = np.empty((m, blen, 2), np.uint8)
+            q[..., 0] = byt & 0x0F
+            q[..., 1] = byt >> 4
+            q = q.reshape(m * n)
+        else:
+            bits = 6 if fmt == "q6" else 4
+            bitarr = np.unpackbits(joined.reshape(m, blen), axis=1,
+                                   bitorder="little")[:, : n * bits]
+            q = np.packbits(bitarr.reshape(m * n, bits), axis=1,
+                            bitorder="little")[:, 0]
         if fmt == "q6":
             flat = (q.astype(np.uint16) * 255 // 63).astype(np.uint8)
         else:

@@ -219,6 +219,9 @@ def pack_feature_edges(rings_xs, rings_ys):
     return edge_offs, x0, y0, x1, y1
 
 
+PIP_EDGE_CHUNK = 1 << 20
+
+
 def points_in_edges_packed(px, py, fidx, edge_offs, ex0, ey0, ex1, ey1) -> np.ndarray:
     """Row-aligned even-odd PIP against PACKED EDGES, fully vectorized.
 
@@ -228,6 +231,16 @@ def points_in_edges_packed(px, py, fidx, edge_offs, ex0, ey0, ex1, ey1) -> np.nd
     — the reference's full geometry model (`fiona/model.py:18-115`
     normalizes OGR types to these shapes).  Crossing rule identical to
     points_in_polygon: (y0 > py) != (y1 > py), strict px < x-intersection.
+
+    r8: processed in bounded edge chunks (PIP_EDGE_CHUNK) so peak
+    temporaries stay ~8-16 MB instead of growing with the candidate
+    batch (45+ MB arrays were mmap/munmap'd per batch by glibc; on this
+    VM first-touch of fresh pages is served host-side at ~300 MB/s
+    SERIALIZED, which made the 32-worker first wave ~30-80 s/batch —
+    bounded chunks land on the reused heap and touch no new pages after
+    warmup).  The x-intersection divide runs only where the y-span
+    condition holds (~2/nv of edges) — same divides on the same values,
+    so the result is bit-identical to the unchunked full-width form.
     """
     px = np.asarray(px, np.float64)
     py = np.asarray(py, np.float64)
@@ -236,17 +249,39 @@ def points_in_edges_packed(px, py, fidx, edge_offs, ex0, ey0, ex1, ey1) -> np.nd
     if n == 0:
         return np.zeros(0, dtype=bool)
     cnt = (edge_offs[fidx + 1] - edge_offs[fidx]).astype(np.int64)
-    total = int(cnt.sum())
-    row = np.repeat(np.arange(n, dtype=np.int64), cnt)
-    starts = np.cumsum(cnt) - cnt
-    e = edge_offs[fidx][row] + (np.arange(total, dtype=np.int64) - starts[row])
-    x0, y0, x1, y1 = ex0[e], ey0[e], ex1[e], ey1[e]
-    pye, pxe = py[row], px[row]
-    cond = (y0 > pye) != (y1 > pye)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x0 + (pye - y0) / (y1 - y0) * (x1 - x0)
-    crossing = cond & (pxe < xint)
-    parity = np.bincount(row[crossing], minlength=n)
+    ccum = np.cumsum(cnt)
+    total = int(ccum[-1])
+    feat_start = edge_offs[fidx]
+    parity = np.zeros(n, dtype=np.int64)
+    # split candidate rows into runs of <= PIP_EDGE_CHUNK edges (a single
+    # candidate with more edges than the chunk gets its own run)
+    bounds = [0]
+    while bounds[-1] < n:
+        nxt = int(np.searchsorted(
+            ccum, (ccum[bounds[-1] - 1] if bounds[-1] else 0)
+            + PIP_EDGE_CHUNK, "right"))
+        bounds.append(max(nxt, bounds[-1] + 1))
+    for lo_r, hi_r in zip(bounds[:-1], bounds[1:]):
+        m = hi_r - lo_r
+        ccnt = cnt[lo_r:hi_r]
+        ctot = int(ccnt.sum())
+        if ctot == 0:
+            continue
+        row = np.repeat(np.arange(m, dtype=np.int64), ccnt)
+        starts = np.cumsum(ccnt) - ccnt
+        e = feat_start[lo_r:hi_r][row] + (
+            np.arange(ctot, dtype=np.int64) - starts[row])
+        y0, y1 = ey0[e], ey1[e]
+        pye = py[lo_r:hi_r][row]
+        cond = (y0 > pye) != (y1 > pye)
+        ci = np.flatnonzero(cond)
+        if len(ci):
+            ei = e[ci]
+            x0c, y0c = ex0[ei], y0[ci]
+            pyc = pye[ci]
+            xint = x0c + (pyc - y0c) / (y1[ci] - y0c) * (ex1[ei] - x0c)
+            hit_rows = row[ci[px[lo_r:hi_r][row[ci]] < xint]]
+            parity[lo_r:hi_r] += np.bincount(hit_rows, minlength=m)
     return (parity % 2).astype(bool)
 
 

@@ -344,7 +344,7 @@ def _pip_fused_udf(bc, res: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def matches(px: pd.Series, py: pd.Series) -> pd.Series:
         (cell_sorted, zidx_sorted, edge_offs, ex0, ey0, ex1, ey1,
-         feat_wrap) = bc.value
+         feat_wrap, fxmin, fymin, fxmax, fymax) = bc.value
         pxv = px.to_numpy(np.float64)
         pyv = py.to_numpy(np.float64)
         n = len(pxv)
@@ -360,6 +360,19 @@ def _pip_fused_udf(bc, res: int):
         pos = lo[row] + (np.arange(total, dtype=np.int64) - starts[row])
         zi = zidx_sorted[pos]
         rx, ry = pxv[row], pyv[row]
+        # exact-bbox prefilter (r8): candidates strictly outside the
+        # feature's VERTEX bounds provably get parity 0 from the
+        # even-odd raycast (y: no edge spans py, both comparisons are
+        # strict and rounding-free; x: outside [fxmin, fxmax] every
+        # spanning edge's crossings pair up — the 1e-9 margin covers
+        # x-intersection rounding, which is <= a few 1e-13), so
+        # dropping them BEFORE the ~20x edge expansion is bit-neutral.
+        # Antimeridian features skip the filter: their hits can sit
+        # +/-360 outside the raw bounds (retested below).
+        keep = feat_wrap[zi] | ((ry >= fymin[zi]) & (ry <= fymax[zi])
+                                & (rx >= fxmin[zi] - 1e-9)
+                                & (rx <= fxmax[zi] + 1e-9))
+        row, zi, rx, ry = row[keep], zi[keep], rx[keep], ry[keep]
         hit = geom.points_in_edges_packed(rx, ry, zi, edge_offs,
                                           ex0, ey0, ex1, ey1)
         pend = np.flatnonzero(feat_wrap[zi] & ~hit)
@@ -500,9 +513,25 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int | None = None,
         (zpdf, res, cov_ridx, cov_cell, edge_offs, ex0, ey0, ex1, ey1,
          feat_wrap) = prep
         order = np.argsort(cov_cell, kind="stable")
+        # per-feature vertex bounds FROM THE PACKED EDGES (not the table's
+        # bbox columns) so the UDF's bbox prefilter is provably consistent
+        # with the raycast geometry; empty features get (+inf, -inf) so
+        # every candidate is dropped (no edges -> parity 0 anyway)
+        nf = len(zpdf)
+        fxmin = np.full(nf, np.inf)
+        fymin = np.full(nf, np.inf)
+        fxmax = np.full(nf, -np.inf)
+        fymax = np.full(nf, -np.inf)
+        nonempty = edge_offs[:-1] < edge_offs[1:]
+        if len(ex0) and nonempty.any():
+            seg = edge_offs[:-1][nonempty]
+            fxmin[nonempty] = np.minimum.reduceat(ex0, seg)
+            fxmax[nonempty] = np.maximum.reduceat(ex0, seg)
+            fymin[nonempty] = np.minimum.reduceat(ey0, seg)
+            fymax[nonempty] = np.maximum.reduceat(ey0, seg)
         bc = spark.sparkContext.broadcast(
             (cov_cell[order], cov_ridx[order], edge_offs, ex0, ey0, ex1,
-             ey1, feat_wrap))
+             ey1, feat_wrap, fxmin, fymin, fxmax, fymax))
         matches = _pip_fused_udf(bc, res)
         hits = (points.select(*point_cols, lng, lat)
                 .withColumn("_zidx", F.explode(matches(F.col(lng),
@@ -1024,15 +1053,23 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
 
     out_schema = ("image_id string, bx int, by int, cell long, mean_lum double")
 
+    # bound per-chunk pixel volume so decode temporaries stay ~10-20 MB
+    # (r8): on hosts with expensive first-touch (lazy VM memory) the
+    # previous whole-group stacks (80+ MB per group per batch, fresh
+    # mmaps) made the first wave of workers stall on page-fault service;
+    # bounded chunks land on the reused heap after the first chunk.
+    # Per-image math is unchanged, so results are bit-identical.
+    CHUNK_PX = 2_000_000
+
     def run(batches):
         for pdf in batches:
             # group the Arrow batch by (fmt, w, h): real image tables
-            # carry few distinct shapes, so each group decodes as ONE
-            # (m, h, w, 3) stack (codec.decode_batch) and the grayscale
-            # / block-mean / tile-geometry math runs once per GROUP —
-            # bit-identical to the per-image path (same reduction axes
-            # per image slice), measured ~6x on the bench cell where
-            # the per-image loop dominated, not the Arrow transfer
+            # carry few distinct shapes, so each group decodes as a
+            # bounded sequence of (m, h, w, 3) stacks (codec.decode_batch)
+            # and the grayscale / block-mean / tile-geometry math runs
+            # once per chunk — bit-identical to the per-image path (same
+            # reduction axes per image slice), measured ~6x on the bench
+            # cell where the per-image loop dominated
             ids, bxs_l, bys_l, cells_l, lums_l = [], [], [], [], []
             for (fmt, w, h), grp in pdf.groupby(["fmt", "w", "h"],
                                                 sort=False):
@@ -1040,36 +1077,45 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
                 nbx, nby = w // block, h // block
                 if nbx == 0 or nby == 0:
                     continue
-                m = len(grp)
-                imgs = codec.decode_batch(
-                    [bytes(b) for b in grp["bytes"]], fmt, w, h)
-                # grayscale: uint16 channel sum + one float64 divide is
-                # BIT-identical to float64 mean (sums <= 765 are exact)
-                # and skips the 8x-size float64 image copy (measured
-                # 3.7x on this, the dominant post-decode cost)
-                g = (imgs[:, : nby * block, : nbx * block]
-                     .sum(axis=3, dtype=np.uint16) / 3.0)
-                means = g.reshape(m, nby, block, nbx, block).mean(axis=(2, 4))
-                # tile centers in geography (row 0 = north edge)
-                xmn = grp["xmin"].to_numpy(np.float64)[:, None]
-                xmx = grp["xmax"].to_numpy(np.float64)[:, None]
-                ymn = grp["ymin"].to_numpy(np.float64)[:, None]
-                ymx = grp["ymax"].to_numpy(np.float64)[:, None]
-                cx = xmn + (np.arange(nbx) + 0.5) / nbx * (xmx - xmn)
-                cy = ymx - (np.arange(nby) + 0.5) / nby * (ymx - ymn)
-                shape = (m, nby, nbx)
-                gx = np.broadcast_to(cx[:, None, :], shape).ravel()
-                gy = np.broadcast_to(cy[:, :, None], shape).ravel()
-                cell = cells.cell_id(gx, gy, res)
-                bxg = np.broadcast_to(
-                    np.arange(nbx, dtype=np.int32)[None, None, :], shape)
-                byg = np.broadcast_to(
-                    np.arange(nby, dtype=np.int32)[None, :, None], shape)
-                ids.append(np.repeat(grp["image_id"].to_numpy(), nbx * nby))
-                bxs_l.append(bxg.ravel())
-                bys_l.append(byg.ravel())
-                cells_l.append(cell)
-                lums_l.append(means.ravel())
+                mg = len(grp)
+                step = max(1, CHUNK_PX // (w * h))
+                payloads = grp["bytes"]
+                xmn_g = grp["xmin"].to_numpy(np.float64)
+                xmx_g = grp["xmax"].to_numpy(np.float64)
+                ymn_g = grp["ymin"].to_numpy(np.float64)
+                ymx_g = grp["ymax"].to_numpy(np.float64)
+                ids_g = grp["image_id"].to_numpy()
+                for s in range(0, mg, step):
+                    sl = slice(s, min(s + step, mg))
+                    m = sl.stop - sl.start
+                    imgs = codec.decode_batch(
+                        [bytes(b) for b in payloads.iloc[sl]], fmt, w, h)
+                    # grayscale: uint16 channel sum + one float64 divide
+                    # is BIT-identical to float64 mean (sums <= 765 are
+                    # exact) and skips the 8x-size float64 image copy
+                    g = (imgs[:, : nby * block, : nbx * block]
+                         .sum(axis=3, dtype=np.uint16) / 3.0)
+                    means = g.reshape(m, nby, block, nbx, block).mean(axis=(2, 4))
+                    # tile centers in geography (row 0 = north edge)
+                    xmn = xmn_g[sl][:, None]
+                    xmx = xmx_g[sl][:, None]
+                    ymn = ymn_g[sl][:, None]
+                    ymx = ymx_g[sl][:, None]
+                    cx = xmn + (np.arange(nbx) + 0.5) / nbx * (xmx - xmn)
+                    cy = ymx - (np.arange(nby) + 0.5) / nby * (ymx - ymn)
+                    shape = (m, nby, nbx)
+                    gx = np.broadcast_to(cx[:, None, :], shape).ravel()
+                    gy = np.broadcast_to(cy[:, :, None], shape).ravel()
+                    cell = cells.cell_id(gx, gy, res)
+                    bxg = np.broadcast_to(
+                        np.arange(nbx, dtype=np.int32)[None, None, :], shape)
+                    byg = np.broadcast_to(
+                        np.arange(nby, dtype=np.int32)[None, :, None], shape)
+                    ids.append(np.repeat(ids_g[sl], nbx * nby))
+                    bxs_l.append(bxg.ravel())
+                    bys_l.append(byg.ravel())
+                    cells_l.append(cell)
+                    lums_l.append(means.ravel())
             if not ids:
                 yield pd.DataFrame({"image_id": pd.Series([], dtype=object),
                                     "bx": pd.Series([], dtype=np.int32),

