@@ -181,37 +181,71 @@ def pack_feature_edges(rings_xs, rings_ys):
     Returns (edge_offs, ex0, ey0, ex1, ey1): feature i owns edges
     [edge_offs[i], edge_offs[i+1]).
     """
-    counts = np.empty(len(rings_xs), dtype=np.int64)
-    x0l, y0l, ring_lens = [], [], []
-    for i, (rx_list, ry_list) in enumerate(zip(rings_xs, rings_ys)):
-        n_e = 0
-        for rx, ry in zip(rx_list, ry_list):
-            xs = np.asarray(rx, np.float64)
-            ys = np.asarray(ry, np.float64)
-            if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
-                xs, ys = xs[:-1], ys[:-1]
-            if len(xs) == 0:
-                # A zero-length ring must not reach the packed arrays: its
-                # lens entry of 0 makes ends = starts - 1, which would
-                # overwrite the PREVIOUS ring's closing edge in the global
-                # roll below.
-                continue
-            x0l.append(xs); y0l.append(ys)
-            ring_lens.append(len(xs))
-            n_e += len(xs)
-        counts[i] = n_e
-    edge_offs = np.concatenate(([0], np.cumsum(counts)))
-    if not x0l:
+    # r8: ring-level vectorization — one concatenate + mask-based
+    # closed-ring trim, element-identical to the old per-ring loop.
+    # The flat core also takes Arrow list-offset input directly
+    # (:func:`pack_feature_edges_flat`), which is how `_zone_prep`
+    # avoids materializing 10^5 per-ring object arrays at all.
+    nfeat = len(rings_xs)
+    ring_nx = np.fromiter((len(rl) for rl in rings_xs), np.int64, nfeat)
+    xa = [np.asarray(r, np.float64) for rl in rings_xs for r in rl]
+    ya = [np.asarray(r, np.float64) for rl in rings_ys for r in rl]
+    nr = len(xa)
+    if nr == 0 or sum(len(a) for a in xa) == 0:
+        edge_offs = np.zeros(nfeat + 1, dtype=np.int64)
         z = np.empty(0)
         return edge_offs, z, z, z, z
-    x0 = np.concatenate(x0l)
-    y0 = np.concatenate(y0l)
+    lens0 = np.fromiter((len(a) for a in xa), np.int64, nr)
+    cx = np.concatenate(xa)
+    cy = np.concatenate(ya)
+    return pack_feature_edges_flat(cx, cy, lens0, ring_nx)
+
+
+def pack_feature_edges_flat(cx, cy, ring_lens, ring_nx):
+    """Pack features into flat edge arrays from FLAT ring storage.
+
+    ``cx``/``cy`` hold every ring's vertices concatenated in order;
+    ``ring_lens[j]`` is ring j's vertex count; ``ring_nx[i]`` is the
+    number of rings of feature i.  This is exactly the Arrow list
+    layout, so callers holding `list<double>` columns can pass the
+    value buffer + offset diffs with zero per-ring Python.  Semantics
+    identical to :func:`pack_feature_edges`: explicitly-closed rings
+    drop the duplicate end vertex, empty rings contribute nothing,
+    each ring contributes its closing edge.
+    """
+    cx = np.asarray(cx, np.float64)
+    cy = np.asarray(cy, np.float64)
+    ring_lens = np.asarray(ring_lens, np.int64)
+    ring_nx = np.asarray(ring_nx, np.int64)
+    nfeat = len(ring_nx)
+    nr = len(ring_lens)
+    if nr == 0 or len(cx) == 0:
+        edge_offs = np.zeros(nfeat + 1, dtype=np.int64)
+        z = np.empty(0)
+        return edge_offs, z, z, z, z
+    starts0 = np.cumsum(ring_lens) - ring_lens
+    ends0 = starts0 + ring_lens - 1
+    closed = np.zeros(nr, dtype=bool)
+    multi = ring_lens > 1
+    closed[multi] = ((cx[starts0[multi]] == cx[ends0[multi]])
+                     & (cy[starts0[multi]] == cy[ends0[multi]]))
+    # drop the duplicate end vertex of explicitly-closed rings
+    keep = np.ones(len(cx), dtype=bool)
+    keep[ends0[closed]] = False
+    x0 = cx[keep]
+    y0 = cy[keep]
+    lens_all = ring_lens - closed      # per ring, kept vertex count
+    ring_feat = np.repeat(np.arange(nfeat, dtype=np.int64), ring_nx)
+    counts = np.bincount(ring_feat, weights=lens_all,
+                         minlength=nfeat).astype(np.int64)
+    edge_offs = np.concatenate(([0], np.cumsum(counts)))
     # closing edges via ONE global roll + per-ring boundary fix (a
     # per-ring np.roll pair was ~half the zone-prep driver time at
-    # 10^4 rings)
+    # 10^4 rings); zero-length rings are excluded so their empty span
+    # cannot clobber the previous ring's closing edge
+    lens = lens_all[lens_all > 0]
     x1 = np.roll(x0, -1)
     y1 = np.roll(y0, -1)
-    lens = np.asarray(ring_lens, dtype=np.int64)
     starts = np.cumsum(lens) - lens
     ends = starts + lens - 1
     x1[ends] = x0[starts]

@@ -267,21 +267,31 @@ def _zone_prep(zones: DataFrame, zone_cols, res: int | None,
     ring_cols = ("rings_xs", "rings_ys") if multi else ("xs", "ys")
     sel = zones.select(*zone_cols, *ring_cols,
                        "xmin", "ymin", "xmax", "ymax")
+    # r8: collect via Arrow (one toArrow job) — ring columns arrive as
+    # list arrays (flat value buffer + offsets), so edge packing below
+    # runs with zero per-ring Python instead of materializing 10^5
+    # object ndarrays through toPandas (~0.6 s of serial driver time
+    # per pip_join call at 67k zones).
     if row_guard is not None:
-        zpdf = sel.limit(row_guard + 1).toPandas()
-        if len(zpdf) > row_guard:
+        ztbl = sel.limit(row_guard + 1).toArrow()
+        if ztbl.num_rows > row_guard:
             return None
     else:
-        zpdf = sel.toPandas()
-    if res is None:
-        w = float(np.mean(zpdf["xmax"] - zpdf["xmin"])) if len(zpdf) else 1.0
-        h = float(np.mean(zpdf["ymax"] - zpdf["ymin"])) if len(zpdf) else 1.0
-        res = _res_from_stats(len(zpdf), w, h)
+        ztbl = sel.toArrow()
+    zpdf = ztbl.select(list(zone_cols)).to_pandas()
 
-    xminv = zpdf["xmin"].to_numpy(np.float64)
-    yminv = zpdf["ymin"].to_numpy(np.float64)
-    xmaxv = zpdf["xmax"].to_numpy(np.float64)
-    ymaxv = zpdf["ymax"].to_numpy(np.float64)
+    def _np(name):
+        return np.asarray(ztbl.column(name).combine_chunks().to_numpy(
+            zero_copy_only=False), np.float64)
+
+    xminv = _np("xmin")
+    yminv = _np("ymin")
+    xmaxv = _np("xmax")
+    ymaxv = _np("ymax")
+    if res is None:
+        w = float(np.mean(xmaxv - xminv)) if len(zpdf) else 1.0
+        h = float(np.mean(ymaxv - yminv)) if len(zpdf) else 1.0
+        res = _res_from_stats(len(zpdf), w, h)
     wrap = (xmaxv > 180.0) | (xminv < -180.0)
     parts = []
     if (~wrap).any():
@@ -289,28 +299,71 @@ def _zone_prep(zones: DataFrame, zone_cols, res: int | None,
         ridx, cell = cells.cells_covering_flat(
             xminv[nidx], yminv[nidx], xmaxv[nidx], ymaxv[nidx], res)
         parts.append((nidx[ridx], cell))
-    for i in np.flatnonzero(wrap):
-        if xmaxv[i] > 180.0:
-            boxes = [(xminv[i], yminv[i], 180.0, ymaxv[i]),
-                     (-180.0, yminv[i], xmaxv[i] - 360.0, ymaxv[i])]
-        else:
-            boxes = [(xminv[i] + 360.0, yminv[i], 180.0, ymaxv[i]),
-                     (-180.0, yminv[i], xmaxv[i], ymaxv[i])]
-        cs = np.unique(np.concatenate([
-            cells.cells_covering_flat(np.array([b[0]]), np.array([b[1]]),
-                                      np.array([b[2]]), np.array([b[3]]),
-                                      res)[1] for b in boxes]))
-        parts.append((np.full(len(cs), i, dtype=np.int64), cs))
+    widx = np.flatnonzero(wrap)
+    if len(widx):
+        # r8: antimeridian stradders vectorized — each contributes the
+        # coverings of its east and west sub-boxes in TWO batched calls
+        # (was one tiny cells_covering_flat call per box: ~0.25 s of
+        # serial driver time at 600 wrap zones), deduped per feature.
+        east = xmaxv[widx] > 180.0
+        x0e = np.where(east, xminv[widx], xminv[widx] + 360.0)
+        x1w = np.where(east, xmaxv[widx] - 360.0, xmaxv[widx])
+        r1, c1 = cells.cells_covering_flat(
+            x0e, yminv[widx], np.full(len(widx), 180.0), ymaxv[widx], res)
+        r2, c2 = cells.cells_covering_flat(
+            np.full(len(widx), -180.0), yminv[widx], x1w, ymaxv[widx], res)
+        wr = np.concatenate((widx[r1], widx[r2]))
+        wc = np.concatenate((c1, c2))
+        # dedup (feature, cell) pairs from the two-box overlap; lexsort
+        # gives per-feature ascending cells, same as the per-feature
+        # np.unique of the old loop
+        order = np.lexsort((wc, wr))
+        wr_s, wc_s = wr[order], wc[order]
+        first = np.concatenate(([True], (wr_s[1:] != wr_s[:-1])
+                                | (wc_s[1:] != wc_s[:-1])))
+        parts.append((wr_s[first], wc_s[first]))
     cov_ridx = np.concatenate([p0 for p0, _ in parts]) if parts else np.empty(0, np.int64)
     cov_cell = np.concatenate([c for _, c in parts]) if parts else np.empty(0, np.int64)
 
-    if multi:
-        rings_xs = zpdf["rings_xs"].tolist()
-        rings_ys = zpdf["rings_ys"].tolist()
+    def _flat_rings(name):
+        """(flat_values, ring_lens, ring_nx) from an Arrow list column;
+        None when nulls force the object fallback."""
+        col = ztbl.column(name).combine_chunks()
+        if col.null_count:
+            return None
+        if multi:
+            inner = col.flatten()          # list<double> rings, in order
+            if inner.null_count:
+                return None
+            flat = inner.flatten()
+            if flat.null_count:
+                return None
+            ring_nx = np.diff(col.offsets.to_numpy().astype(np.int64))
+            ring_lens = np.diff(inner.offsets.to_numpy().astype(np.int64))
+        else:
+            flat = col.flatten()
+            if flat.null_count:
+                return None
+            ring_nx = np.ones(len(col), dtype=np.int64)
+            ring_lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+        return (np.asarray(flat.to_numpy(zero_copy_only=False), np.float64),
+                ring_lens, ring_nx)
+
+    fx = _flat_rings(ring_cols[0])
+    fy = _flat_rings(ring_cols[1])
+    if fx is not None and fy is not None:
+        edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges_flat(
+            fx[0], fy[0], fx[1], fx[2])
     else:
-        rings_xs = [[v] for v in zpdf["xs"].tolist()]
-        rings_ys = [[v] for v in zpdf["ys"].tolist()]
-    edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(rings_xs, rings_ys)
+        rpdf = ztbl.select(list(ring_cols)).to_pandas()
+        if multi:
+            rings_xs = rpdf[ring_cols[0]].tolist()
+            rings_ys = rpdf[ring_cols[1]].tolist()
+        else:
+            rings_xs = [[v] for v in rpdf[ring_cols[0]].tolist()]
+            rings_ys = [[v] for v in rpdf[ring_cols[1]].tolist()]
+        edge_offs, ex0, ey0, ex1, ey1 = geom.pack_feature_edges(
+            rings_xs, rings_ys)
     # per-feature wrap flags via segmented reduce (no Python loop)
     feat_wrap = np.zeros(len(zpdf), dtype=bool)
     nonempty = edge_offs[:-1] < edge_offs[1:]
@@ -844,55 +897,81 @@ def _knn_join_fused(points: DataFrame, zones: DataFrame, k: int,
             return pd.Series([], dtype=object)
         out = np.full((n, kk), -1, dtype=np.int64)
         remaining = np.arange(n, dtype=np.int64)
+        # bounded candidate chunks (r8): the per-level expansion built
+        # ~8 arrays of |candidates| (~20 MB each at 10k pts x 234 cand),
+        # which glibc mmap/munmap'd per batch — on hosts with expensive
+        # first-touch that stalled the worker fleet (same pathology as
+        # the PIP raycast).  Chunks split on point boundaries, so the
+        # per-point math (screen, lexsort ranks) is unchanged and the
+        # output is bit-identical.
+        KNN_CAND_CHUNK = 1 << 19
         for (r, cell_h, cs, zs) in lts:
             if not len(remaining):
                 break
-            rx, ry = pxv[remaining], pyv[remaining]
-            pc = cells.cell_id(rx, ry, r)
-            lo = np.searchsorted(cs, pc, "left")
-            hi = np.searchsorted(cs, pc, "right")
-            cnt = hi - lo
-            total = int(cnt.sum())
-            if total == 0:
+            rx_a, ry_a = pxv[remaining], pyv[remaining]
+            pc = cells.cell_id(rx_a, ry_a, r)
+            lo_a = np.searchsorted(cs, pc, "left")
+            hi_a = np.searchsorted(cs, pc, "right")
+            cnt_a = hi_a - lo_a
+            ccum = np.cumsum(cnt_a)
+            if int(ccum[-1]) == 0:
                 continue
-            m = len(remaining)
-            row = np.repeat(np.arange(m, dtype=np.int64), cnt)
-            starts = np.cumsum(cnt) - cnt
-            pos = lo[row] + (np.arange(total, dtype=np.int64) - starts[row])
-            zi = zs[pos]
-            dx = rx[row] - zxv[zi]
-            dy = ry[row] - zyv[zi]
-            # squared-distance screen, sqrt deferred to the survivors
-            # (r6; -17% kernel wall, bit-identical): cell_h = 45/2^(r-2)
-            # and cell_h^2 are exactly representable, and sqrt is
-            # correctly rounded + monotone, so ds2 < cell_h*cell_h is
-            # THE SAME predicate as sqrt(ds2) < cell_h — not an
-            # approximation of it.
-            ds2 = dx * dx + dy * dy
-            close = ds2 < cell_h * cell_h
-            ccnt = np.bincount(row[close], minlength=m)
-            fin = ccnt >= kk
-            sel = close & fin[row]
-            if sel.any():
-                rs, zsel = row[sel], zi[sel]
-                ds = np.sqrt(ds2[sel])
-                # two-key lexsort (r6): _disk1_table stores zone idx
-                # ASCENDING within each cell run, candidate generation
-                # is row-major, and lexsort is stable — so ties in
-                # (row, dist) keep ascending zone order without paying
-                # a third sort key (the (dist, zone_key) window order
-                # of the staged plan and the DuckDB oracle).
-                order = np.lexsort((ds, rs))
-                rs_o, z_o = rs[order], zsel[order]
-                first = np.concatenate(([True], rs_o[1:] != rs_o[:-1]))
-                seg_start = np.maximum.accumulate(
-                    np.where(first, np.arange(len(rs_o)), 0))
-                rank = np.arange(len(rs_o)) - seg_start
-                topk = rank < kk
-                out[remaining[rs_o[topk]], rank[topk]] = z_o[topk]
-            remaining = remaining[~fin]
-        # exact fallback for the sparse tail, bounded chunks
-        CH = 128
+            mm = len(remaining)
+            fin_all = np.zeros(mm, dtype=bool)
+            bounds = [0]
+            while bounds[-1] < mm:
+                nxt = int(np.searchsorted(
+                    ccum, (ccum[bounds[-1] - 1] if bounds[-1] else 0)
+                    + KNN_CAND_CHUNK, "right"))
+                bounds.append(max(nxt, bounds[-1] + 1))
+            for lo_r, hi_r in zip(bounds[:-1], bounds[1:]):
+                m = hi_r - lo_r
+                cnt = cnt_a[lo_r:hi_r]
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                rx, ry = rx_a[lo_r:hi_r], ry_a[lo_r:hi_r]
+                row = np.repeat(np.arange(m, dtype=np.int64), cnt)
+                starts = np.cumsum(cnt) - cnt
+                pos = lo_a[lo_r:hi_r][row] + (
+                    np.arange(total, dtype=np.int64) - starts[row])
+                zi = zs[pos]
+                dx = rx[row] - zxv[zi]
+                dy = ry[row] - zyv[zi]
+                # squared-distance screen, sqrt deferred to the survivors
+                # (r6; -17% kernel wall, bit-identical): cell_h = 45/2^(r-2)
+                # and cell_h^2 are exactly representable, and sqrt is
+                # correctly rounded + monotone, so ds2 < cell_h*cell_h is
+                # THE SAME predicate as sqrt(ds2) < cell_h — not an
+                # approximation of it.
+                ds2 = dx * dx + dy * dy
+                close = ds2 < cell_h * cell_h
+                ccnt = np.bincount(row[close], minlength=m)
+                fin = ccnt >= kk
+                sel = close & fin[row]
+                if sel.any():
+                    rs, zsel = row[sel], zi[sel]
+                    ds = np.sqrt(ds2[sel])
+                    # two-key lexsort (r6): _disk1_table stores zone idx
+                    # ASCENDING within each cell run, candidate generation
+                    # is row-major, and lexsort is stable — so ties in
+                    # (row, dist) keep ascending zone order without paying
+                    # a third sort key (the (dist, zone_key) window order
+                    # of the staged plan and the DuckDB oracle).
+                    order = np.lexsort((ds, rs))
+                    rs_o, z_o = rs[order], zsel[order]
+                    first = np.concatenate(([True], rs_o[1:] != rs_o[:-1]))
+                    seg_start = np.maximum.accumulate(
+                        np.where(first, np.arange(len(rs_o)), 0))
+                    rank = np.arange(len(rs_o)) - seg_start
+                    topk = rank < kk
+                    out[remaining[lo_r + rs_o[topk]], rank[topk]] = z_o[topk]
+                fin_all[lo_r:hi_r] = fin
+            remaining = remaining[~fin_all]
+        # exact fallback for the sparse tail, bounded chunks (row count
+        # adapted to the zone count so the (rows x nz) distance matrix
+        # stays ~4M elements)
+        CH = max(1, min(128, 4_000_000 // max(nz, 1)))
         for s in range(0, len(remaining), CH):
             idx = remaining[s:s + CH]
             dx = pxv[idx][:, None] - zxv[None, :]
