@@ -85,15 +85,61 @@ def decode_batch(datas: list, fmt: str, w: int, h: int) -> np.ndarray:
         return np.empty((0, h, w, 3), np.uint8)
     blen = len(datas[0])
     if any(len(d) != blen for d in datas):
+        if fmt == "rle":
+            # r8: ragged RLE batches (run counts are content-dependent,
+            # so RLE groups are almost always ragged) decode in ONE
+            # np.repeat over the concatenated run pairs instead of one
+            # scalar decode per image; per-image totals are validated so
+            # runs cannot bleed across images (fallback = scalar path,
+            # which raises the same errors for corrupt payloads)
+            chunks = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+            out = _rle_decode_ragged(chunks, n)
+            if out is not None:
+                return out.reshape(m, h, w, 3)
         return np.stack([decode(d, fmt, w, h) for d in datas])
     joined = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    return decode_batch_matrix(joined.reshape(m, blen), fmt, w, h)
+
+
+def _rle_decode_ragged(chunks: list, n: int):
+    """Vectorized RLE decode of variable-length payloads -> (m, n) or
+    None when a payload is malformed (caller falls back to the scalar
+    path for identical error behavior)."""
+    if any(len(c) % 2 for c in chunks):
+        return None
+    cat = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+    lens = cat[0::2].astype(np.int64)
+    vals = cat[1::2]
+    flat = np.repeat(vals, lens)
+    m = len(chunks)
+    if flat.size != m * n:
+        return None
+    # per-image totals must each be n, or runs bled across images
+    pair_counts = np.fromiter((len(c) // 2 for c in chunks), np.int64, m)
+    bounds = np.cumsum(pair_counts) - pair_counts
+    if m > 1 or (m == 1 and pair_counts[0] > 0):
+        sums = np.add.reduceat(lens, bounds)
+        if not (sums == n).all():
+            return None
+    return flat.reshape(m, n)
+
+
+def decode_batch_matrix(mat: np.ndarray, fmt: str, w: int, h: int) -> np.ndarray:
+    """Vectorized decode of a SAME-(fmt,w,h) group already gathered as
+    an (m, blen) uint8 matrix — the core of :func:`decode_batch`, also
+    fed directly from Arrow binary buffers (no per-row bytes objects).
+    """
+    m, blen = mat.shape
+    n = w * h * 3
+    joined = np.ascontiguousarray(mat).reshape(-1)
     if fmt == "raw":
         if blen < n:
             raise ValueError(f"raw payload {blen} bytes < {n}")
         flat = joined.reshape(m, blen)[:, :n]
     elif fmt == "rle":
         if blen % 2:
-            return np.stack([decode(d, fmt, w, h) for d in datas])
+            return np.stack([decode(mat[i].tobytes(), fmt, w, h)
+                             for i in range(m)])
         pairs = joined.reshape(m, blen)
         lens = pairs[:, 0::2].astype(np.int64).ravel()
         vals = pairs[:, 1::2].ravel()
@@ -106,7 +152,8 @@ def decode_batch(datas: list, fmt: str, w: int, h: int) -> np.ndarray:
         if m > 1:
             csum = np.cumsum(lens.reshape(m, -1), axis=1)[:, -1]
             if not (csum == n).all():
-                return np.stack([decode(d, fmt, w, h) for d in datas])
+                return np.stack([decode(mat[i].tobytes(), fmt, w, h)
+                                 for i in range(m)])
     elif fmt in ("q6", "q4"):
         # r8: direct shift/mask extraction of the little-endian bit
         # stream (3 bytes <-> 4 six-bit samples; 1 byte <-> 2 nibbles)

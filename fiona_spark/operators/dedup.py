@@ -379,13 +379,37 @@ def _qdot_udf():
     UDF on the 16M-candidate verify stage at 500k vectors, with
     BIT-IDENTICAL int64 output (both sides floor the same doubles and
     sum the same int64 products), so oracle rows stay exact."""
+    def _qdot_arrays(qv: np.ndarray, cv: np.ndarray) -> pd.Series:
+        try:
+            af = np.stack(qv).astype(np.float64) * 1000.0
+            bf = np.stack(cv).astype(np.float64) * 1000.0
+        except (ValueError, TypeError):
+            # a NULL array on either side: SQL null-propagates, so the
+            # twin must too (r7 ADVICE) — mask the null rows, stack the
+            # valid remainder
+            valid = np.array([q is not None and c is not None
+                              for q, c in zip(qv, cv)], bool)
+            out = np.full(len(qv), None, dtype=object)
+            if valid.any():
+                out[valid] = np.asarray(
+                    _qdot_arrays(qv[valid], cv[valid]).to_numpy(), object)
+            return pd.Series(out)
+        a = np.floor(af).astype(np.int64)
+        b = np.floor(bf).astype(np.int64)
+        s = (a * b).sum(axis=1)
+        # NaN elements: the SQL expression null-propagates to a NULL
+        # qdot, while floor(nan).astype(int64) is platform garbage that
+        # would pass downstream threshold filters (r7 ADVICE)
+        bad = np.isnan(af).any(axis=1) | np.isnan(bf).any(axis=1)
+        if bad.any():
+            out = s.astype(object)
+            out[bad] = None
+            return pd.Series(out)
+        return pd.Series(s)
+
     @F.pandas_udf(T.LongType())
     def qdot(qe: pd.Series, ce: pd.Series) -> pd.Series:
-        a = np.floor(np.stack(qe.to_numpy(object))
-                     .astype(np.float64) * 1000.0).astype(np.int64)
-        b = np.floor(np.stack(ce.to_numpy(object))
-                     .astype(np.float64) * 1000.0).astype(np.int64)
-        return pd.Series((a * b).sum(axis=1))
+        return _qdot_arrays(qe.to_numpy(object), ce.to_numpy(object))
     return qdot
 
 

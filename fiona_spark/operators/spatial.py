@@ -53,15 +53,42 @@ def with_point_cell(df: DataFrame, res: int, lng: str = "lng", lat: str = "lat",
 
 
 def with_covering_cells(df: DataFrame, res: int, out: str = "cell",
-                        bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> DataFrame:
+                        bbox_cols=("xmin", "ymin", "xmax", "ymax"),
+                        jvm: bool = True) -> DataFrame:
     """Explode each bbox row into its covering cells at ``res``.
 
-    Covering enumeration is data-dependent-length -> one vectorized
-    pandas UDF producing an array column, then a JVM-side explode.
-    Boxes reaching past +/-180 (antimeridian stradders) contribute the
-    wrapped coverings of both parts.
+    r8 default (``jvm=True``): pure Catalyst — two nested
+    explode(sequence(...)) generators over the grid ranges, with the
+    antimeridian handled by an UNCLAMPED x range + pmod (the pmod of
+    the raw index range enumerates exactly the east+west split boxes
+    of the python path; a least() span clamp keeps full-circle boxes
+    distinct).  No Python worker, no Arrow transfer; codegen end to
+    end.  Differentially tested against the UDF path on boundary and
+    stradder boxes (test_spatial_ops).
+
+    ``jvm=False`` keeps the r1-r7 vectorized pandas-UDF enumeration
+    (one array column + one explode).
     """
     x0, y0, x1, y1 = bbox_cols
+    if jvm:
+        n = 1 << res
+        base = res * cells.RES_SHIFT
+        xi0u = f"CAST(floor(({x0} + 180.0D) / 360.0D * {n}) AS BIGINT)"
+        xi1u = f"CAST(floor(({x1} + 180.0D) / 360.0D * {n}) AS BIGINT)"
+        xi0 = (f"(CASE WHEN {x0} < -180.0D THEN {xi0u} "
+               f"ELSE least(greatest({xi0u}, 0L), {n - 1}L) END)")
+        xi1 = (f"(CASE WHEN {x1} > 180.0D THEN {xi1u} "
+               f"ELSE least(greatest({xi1u}, 0L), {n - 1}L) END)")
+        xhi = f"least({xi1}, {xi0} + {n - 1}L)"
+        yi0 = cells.grid_y_sql(y0, res)
+        yi1 = cells.grid_y_sql(y1, res)
+        return (df.withColumn("_cov_yi", F.explode(F.expr(
+                    f"sequence({yi0}, {yi1})")))
+                .withColumn("_cov_xi", F.explode(F.expr(
+                    f"sequence({xi0}, {xhi})")))
+                .withColumn(out, F.expr(
+                    f"{base}L + _cov_yi * {n}L + pmod(_cov_xi, {n}L)"))
+                .drop("_cov_yi", "_cov_xi"))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def covering(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
@@ -1140,35 +1167,97 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
     # Per-image math is unchanged, so results are bit-identical.
     CHUNK_PX = 2_000_000
 
+    # r8: mapInArrow instead of mapInPandas — payloads are sliced
+    # straight out of the Arrow binary value buffer (offsets + one
+    # uint8 view; no per-row Python bytes objects, no pandas object
+    # column), and image ids reach the output via a single Arrow
+    # ``take`` (C-level, no per-string Python).  Decode math identical
+    # (codec.decode_batch_matrix is the same kernel decode_batch used).
     def run(batches):
-        for pdf in batches:
-            # group the Arrow batch by (fmt, w, h): real image tables
-            # carry few distinct shapes, so each group decodes as a
-            # bounded sequence of (m, h, w, 3) stacks (codec.decode_batch)
-            # and the grayscale / block-mean / tile-geometry math runs
-            # once per chunk — bit-identical to the per-image path (same
-            # reduction axes per image slice), measured ~6x on the bench
-            # cell where the per-image loop dominated
-            ids, bxs_l, bys_l, cells_l, lums_l = [], [], [], [], []
-            for (fmt, w, h), grp in pdf.groupby(["fmt", "w", "h"],
-                                                sort=False):
-                w, h = int(w), int(h)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            m_all = rb.num_rows
+            if m_all == 0:
+                continue
+            fmt_a = rb.column(2)          # fmt (select order below)
+            w_a, h_a = rb.column(3), rb.column(4)
+            if (fmt_a.null_count or w_a.null_count or h_a.null_count
+                    or rb.column(1).null_count):
+                # null group keys / payloads: rare degenerate input —
+                # keep the old pandas-groupby semantics (null keys drop)
+                mask = pc.and_(
+                    pc.and_(fmt_a.is_valid(), w_a.is_valid()),
+                    pc.and_(h_a.is_valid(), rb.column(1).is_valid()))
+                rb = rb.filter(mask)
+                m_all = rb.num_rows
+                if m_all == 0:
+                    continue
+                fmt_a = rb.column(2)
+                w_a, h_a = rb.column(3), rb.column(4)
+            by_a = rb.column(1)
+            off_dtype = (np.int64 if pa.types.is_large_binary(by_a.type)
+                         else np.int32)
+            offs = np.frombuffer(by_a.buffers()[1], off_dtype)[
+                by_a.offset: by_a.offset + m_all + 1].astype(np.int64)
+            data = np.frombuffer(by_a.buffers()[2], np.uint8)
+            fmt_np = np.asarray(fmt_a.to_numpy(zero_copy_only=False),
+                                dtype=object)
+            w_np = np.asarray(w_a.to_numpy(zero_copy_only=False), np.int64)
+            h_np = np.asarray(h_a.to_numpy(zero_copy_only=False), np.int64)
+            xmn_b = np.asarray(rb.column(5).to_numpy(zero_copy_only=False),
+                               np.float64)
+            ymn_b = np.asarray(rb.column(6).to_numpy(zero_copy_only=False),
+                               np.float64)
+            xmx_b = np.asarray(rb.column(7).to_numpy(zero_copy_only=False),
+                               np.float64)
+            ymx_b = np.asarray(rb.column(8).to_numpy(zero_copy_only=False),
+                               np.float64)
+
+            fmts, fmt_inv = np.unique(fmt_np.astype(str), return_inverse=True)
+            code = (fmt_inv.astype(np.int64) << 40) + (w_np << 20) + h_np
+            order = np.argsort(code, kind="stable")
+            bnd = np.flatnonzero(np.concatenate(
+                ([True], code[order][1:] != code[order][:-1])))
+            bnd = np.append(bnd, m_all)
+
+            take_l, bxs_l, bys_l, cells_l, lums_l = [], [], [], [], []
+            for g0, g1 in zip(bnd[:-1], bnd[1:]):
+                idx = order[g0:g1]
+                w = int(w_np[idx[0]])
+                h = int(h_np[idx[0]])
+                fmt = str(fmts[fmt_inv[idx[0]]])
                 nbx, nby = w // block, h // block
                 if nbx == 0 or nby == 0:
                     continue
-                mg = len(grp)
+                n_px = w * h * 3
                 step = max(1, CHUNK_PX // (w * h))
-                payloads = grp["bytes"]
-                xmn_g = grp["xmin"].to_numpy(np.float64)
-                xmx_g = grp["xmax"].to_numpy(np.float64)
-                ymn_g = grp["ymin"].to_numpy(np.float64)
-                ymx_g = grp["ymax"].to_numpy(np.float64)
-                ids_g = grp["image_id"].to_numpy()
-                for s in range(0, mg, step):
-                    sl = slice(s, min(s + step, mg))
-                    m = sl.stop - sl.start
-                    imgs = codec.decode_batch(
-                        [bytes(b) for b in payloads.iloc[sl]], fmt, w, h)
+                for s in range(0, len(idx), step):
+                    rows = idx[s:s + step]
+                    m = len(rows)
+                    starts = offs[rows]
+                    lens = offs[rows + 1] - starts
+                    if (lens == lens[0]).all():
+                        matq = np.empty((m, int(lens[0])), np.uint8)
+                        for j in range(m):
+                            matq[j] = data[starts[j]:starts[j] + lens[j]]
+                        imgs = codec.decode_batch_matrix(matq, fmt, w, h)
+                    elif fmt == "rle":
+                        chunks = [data[starts[j]:starts[j] + lens[j]]
+                                  for j in range(m)]
+                        rag = codec._rle_decode_ragged(chunks, n_px)
+                        if rag is not None:
+                            imgs = rag.reshape(m, h, w, 3)
+                        else:
+                            imgs = np.stack([
+                                codec.decode(c.tobytes(), fmt, w, h)
+                                for c in chunks])
+                    else:
+                        imgs = np.stack([
+                            codec.decode(
+                                data[starts[j]:starts[j] + lens[j]].tobytes(),
+                                fmt, w, h) for j in range(m)])
                     # grayscale: uint16 channel sum + one float64 divide
                     # is BIT-identical to float64 mean (sums <= 765 are
                     # exact) and skips the 8x-size float64 image copy
@@ -1176,10 +1265,10 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
                          .sum(axis=3, dtype=np.uint16) / 3.0)
                     means = g.reshape(m, nby, block, nbx, block).mean(axis=(2, 4))
                     # tile centers in geography (row 0 = north edge)
-                    xmn = xmn_g[sl][:, None]
-                    xmx = xmx_g[sl][:, None]
-                    ymn = ymn_g[sl][:, None]
-                    ymx = ymx_g[sl][:, None]
+                    xmn = xmn_b[rows][:, None]
+                    xmx = xmx_b[rows][:, None]
+                    ymn = ymn_b[rows][:, None]
+                    ymx = ymx_b[rows][:, None]
                     cx = xmn + (np.arange(nbx) + 0.5) / nbx * (xmx - xmn)
                     cy = ymx - (np.arange(nby) + 0.5) / nby * (ymx - ymn)
                     shape = (m, nby, nbx)
@@ -1190,23 +1279,21 @@ def block_tiles(images: DataFrame, res: int, block: int = 8) -> DataFrame:
                         np.arange(nbx, dtype=np.int32)[None, None, :], shape)
                     byg = np.broadcast_to(
                         np.arange(nby, dtype=np.int32)[None, :, None], shape)
-                    ids.append(np.repeat(ids_g[sl], nbx * nby))
+                    take_l.append(np.repeat(rows, nbx * nby))
                     bxs_l.append(bxg.ravel())
                     bys_l.append(byg.ravel())
                     cells_l.append(cell)
                     lums_l.append(means.ravel())
-            if not ids:
-                yield pd.DataFrame({"image_id": pd.Series([], dtype=object),
-                                    "bx": pd.Series([], dtype=np.int32),
-                                    "by": pd.Series([], dtype=np.int32),
-                                    "cell": pd.Series([], dtype=np.int64),
-                                    "mean_lum": pd.Series([], dtype=np.float64)})
+            if not take_l:
                 continue
-            yield pd.DataFrame({"image_id": np.concatenate(ids),
-                                "bx": np.concatenate(bxs_l),
-                                "by": np.concatenate(bys_l),
-                                "cell": np.concatenate(cells_l),
-                                "mean_lum": np.concatenate(lums_l)})
+            ids = rb.column(0).take(pa.array(np.concatenate(take_l)))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(np.concatenate(bxs_l), type=pa.int32()),
+                 pa.array(np.concatenate(bys_l), type=pa.int32()),
+                 pa.array(np.concatenate(cells_l), type=pa.int64()),
+                 pa.array(np.concatenate(lums_l), type=pa.float64())],
+                names=["image_id", "bx", "by", "cell", "mean_lum"])
 
     cols = ["image_id", "bytes", "fmt", "w", "h", "xmin", "ymin", "xmax", "ymax"]
-    return images.select(*cols).mapInPandas(run, out_schema)
+    return images.select(*cols).mapInArrow(run, out_schema)

@@ -212,7 +212,13 @@ def _ts_to_wdate(val) -> int:
     if isinstance(val, _dt.datetime):
         if val.tzinfo is None:
             val = val.replace(tzinfo=_dt.timezone.utc)
-        return max(0, int(val.timestamp()) - GTM_EPOCH)
+        ts = int(val.timestamp()) - GTM_EPOCH
+        if ts < 0:
+            # 0 means "unset" in GTM, so clamping would silently turn a
+            # real pre-1990 datetime into None on read-back (r7 ADVICE)
+            raise DriverError(
+                f"GTM cannot store timestamps before 1989-12-31: {val!r}")
+        return ts
     raise DriverError(f"unsupported GTM time value {val!r}")
 
 
@@ -324,7 +330,12 @@ def append_gtm(df: DataFrame, path: str) -> None:
     old = _parse(path)
     wpt, nwpts, tck, ntcks, tk, ntk, bounds = _encode_rows(df)
     ob = old["bounds"]
-    if old["waypoints"] or old["trackpoints"]:
+    if nwpts == 0 and ntcks == 0:
+        # nothing appended: keep the old envelope verbatim — merging the
+        # writer's (0,0,0,0) placeholder would wrongly grow it to the
+        # origin (r7 ADVICE)
+        bounds = ob
+    elif old["waypoints"] or old["trackpoints"]:
         bounds = (min(bounds[0], ob[0]), max(bounds[1], ob[1]),
                   min(bounds[2], ob[2]), max(bounds[3], ob[3]))
     _emit(path,

@@ -96,9 +96,16 @@ def _copy_value(val, spark_type: str) -> str:
     if spark_type == "binary":
         return "\\\\x" + bytes(val).hex()
     if spark_type.startswith("array<"):
-        inner = ",".join("NULL" if v is None else _copy_escape(str(v))
-                         for v in val)
-        return "{" + inner + "}"
+        # each element is double-quoted per the Postgres array-literal
+        # rules (backslash and double-quote escaped inside), THEN the
+        # assembled literal is COPY-escaped — an element containing a
+        # comma/brace/quote/space would otherwise split or break the
+        # array on restore (r7 ADVICE)
+        inner = ",".join(
+            "NULL" if v is None else
+            '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+            for v in val)
+        return _copy_escape("{" + inner + "}")
     return _copy_escape(str(val))
 
 

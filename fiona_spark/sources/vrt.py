@@ -48,6 +48,7 @@ source coordinates).
 from __future__ import annotations
 
 import os
+import threading
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, functions as F
@@ -305,12 +306,32 @@ def _read_any(spark, vrt_path: str, node: ET.Element) -> DataFrame:
     return _read_member(spark, vrt_path, node)
 
 
+_ACTIVE_VRTS = threading.local()
+
+
 def read_vrt(spark, path: str, layer: str | None = None) -> DataFrame:
     """Open a VRT layer as a ring-model DataFrame.
 
     ``layer`` selects by name; default is the first layer, matching the
-    engine's other multi-layer readers.
+    engine's other multi-layer readers.  Nested VRTs are followed; a
+    VRT whose SrcDataSource points (directly or transitively) back at
+    an ancestor raises DriverError instead of recursing forever.
     """
+    seen = getattr(_ACTIVE_VRTS, "paths", None)
+    if seen is None:
+        seen = _ACTIVE_VRTS.paths = []
+    ap = os.path.abspath(path)
+    if ap in seen:
+        raise DriverError(
+            "circular VRT reference: " + " -> ".join([*seen, ap]))
+    seen.append(ap)
+    try:
+        return _read_vrt_inner(spark, path, layer)
+    finally:
+        seen.pop()
+
+
+def _read_vrt_inner(spark, path: str, layer: str | None = None) -> DataFrame:
     root = _root(path)
     layers = _layer_nodes(root)
     if layer is None:

@@ -159,3 +159,27 @@ def test_gtm_rejects_polygons_and_bad_files(spark, tmp_path):
         read_gtm(spark, str(bad))
     with pytest.raises(DriverError):
         read_gtm(spark, str(bad), layer="nope")
+
+
+def test_gtm_pre_epoch_timestamp_raises(spark, tmp_path):
+    """r8 (r7 ADVICE): 0 means 'unset' in GTM, so a pre-1990 datetime
+    must raise instead of silently round-tripping as None."""
+    src = [("Point", [1.0], [2.0], "old", "", 7,
+            dt.datetime(1980, 1, 1, 0, 0, 0))]
+    with pytest.raises(DriverError, match="before 1989-12-31"):
+        write_gtm(_wpt_df(spark, src), str(tmp_path / "old.gtm"))
+
+
+def test_gtm_empty_append_keeps_bounds(spark, tmp_path):
+    """r8 (r7 ADVICE): appending zero features must not merge the
+    writer's (0,0,0,0) placeholder into the existing envelope."""
+    p = str(tmp_path / "b.gtm")
+    src = [("Point", [30.0], [40.0], "only", "", 7, None)]
+    write_gtm(_wpt_df(spark, src), p)
+
+    from fiona_spark.sources.gpstrackmaker import _parse
+    before = _parse(p)["bounds"]
+    append_gtm(_wpt_df(spark, []), p)
+    after = _parse(p)["bounds"]
+    assert after == before
+    assert read_gtm(spark, p, "waypoints").count() == 1

@@ -62,7 +62,7 @@ def test_pgdump_polygon_roundtrip_and_script_shape(spark, tmp_path):
 def test_pgdump_point_and_types(spark, tmp_path):
     df = spark.createDataFrame(
         [("Point", [[1.5]], [[-2.5]], True, bytearray(b"\x01\xff"),
-          ["a", "b"])],
+          ["a", "b", 'he said "hi, {pal}" \\ bye'])],
         schema="geom_type string, rings_xs array<array<double>>, "
                "rings_ys array<array<double>>, flag boolean, "
                "payload binary, tags array<string>")
@@ -80,7 +80,11 @@ def test_pgdump_point_and_types(spark, tmp_path):
     assert g["coordinates"][:2] == [1.5, -2.5]
     assert rows[0][1] == "t"
     assert rows[0][2] == "\\\\x01ff"
-    assert rows[0][3] == "{a,b}"
+    # elements are double-quoted per the Postgres array-literal rules
+    # (r8: a comma/quote/brace/backslash inside an element must not split
+    # or corrupt the literal), with COPY escaping applied on top
+    assert rows[0][3] == ('{"a","b","he said \\\\"hi, {pal}\\\\" '
+                          '\\\\\\\\ bye"}')
 
 
 def test_pgdump_attribute_only_and_registry(spark, tmp_path):

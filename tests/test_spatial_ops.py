@@ -167,6 +167,59 @@ def test_block_tiles(spark, images, images_pdf):
     assert (sub.mean_lum >= 0).all() and (sub.mean_lum <= 255).all()
 
 
+def test_covering_cells_jvm_matches_udf(spark):
+    """r8 guard: the pure-Catalyst covering enumeration (sequence +
+    explode + pmod wrap) must match the vectorized pandas-UDF path on
+    boundary values, antimeridian stradders and full-circle boxes."""
+    rows, rid = [], 0
+    for xmin in (-180.0, -179.9999, -0.5, 0.0, 179.9999, 180.0):
+        for wdt in (0.0, 0.001, 0.7, 25.0):
+            rows.append((f"r{rid}", xmin, -45.3, xmin + wdt, -44.1)); rid += 1
+    for xmin in (179.0, 179.99, 180.0):          # east stradders
+        rows.append((f"r{rid}", xmin, -10.0, xmin + 0.8, -9.0)); rid += 1
+    for xmax in (-179.0, -179.99, -180.0):       # west stradders
+        rows.append((f"r{rid}", xmax - 0.8, 60.0, xmax, 61.0)); rid += 1
+    rows.append((f"r{rid}", 10.0, 89.5, 11.0, 90.0)); rid += 1
+    rows.append((f"r{rid}", -180.0, 0.0, 180.0, 1.0)); rid += 1
+    rows.append((f"r{rid}", -179.0, 0.0, 181.0, 1.0)); rid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "xmin", "ymin", "xmax", "ymax"]),
+        schema="id string, xmin double, ymin double, xmax double, ymax double")
+    for res in (3, 9):
+        old = sorted(map(tuple, spatial.with_covering_cells(
+            df, res, jvm=False).select("id", "cell").collect()))
+        new = sorted(map(tuple, spatial.with_covering_cells(
+            df, res, jvm=True).select("id", "cell").collect()))
+        assert old == new
+
+
+def test_block_tiles_matches_scalar_reference(spark, images, images_pdf):
+    """r8 guard: the mapInArrow block_tiles (Arrow-buffer payload slices,
+    vectorized ragged-RLE decode, chunked groups) must match a
+    per-image scalar reference on every format/shape in the fixture."""
+    from fiona_spark import codec
+
+    out = spatial.block_tiles(images, res=12, block=8).toPandas()
+    got = {(r.image_id, r.bx, r.by): (r.cell, r.mean_lum)
+           for r in out.itertuples()}
+    n_exp = 0
+    for row in images_pdf.itertuples():
+        img = codec.decode(row.bytes, row.fmt, row.w, row.h)
+        nbx, nby = row.w // 8, row.h // 8
+        g = img.astype(np.float64).mean(axis=2)
+        for by in range(nby):
+            for bx in range(nbx):
+                n_exp += 1
+                lum = g[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].mean()
+                cxv = row.xmin + (bx + 0.5) / nbx * (row.xmax - row.xmin)
+                cyv = row.ymax - (by + 0.5) / nby * (row.ymax - row.ymin)
+                cell = int(cells.cell_id(np.array([cxv]), np.array([cyv]), 12)[0])
+                gcell, glum = got[(row.image_id, bx, by)]
+                assert gcell == cell
+                assert abs(glum - lum) < 1e-9
+    assert len(got) == n_exp
+
+
 # --- filters / aggregates (Fiona parity semantics) -------------------------
 
 def test_filter_bbox_and_where(spark, images, images_pdf):

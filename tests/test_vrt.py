@@ -271,3 +271,20 @@ def test_vrt_warped_layer_errors(spark, tmp_path):
 def test_vrt_registry_row():
     from fiona_spark.sources.drivers import supported_drivers
     assert supported_drivers()["vrt"] == "r"
+
+
+def test_vrt_circular_reference_raises(spark, tmp_path):
+    """r8 (r7 ADVICE): a VRT whose SrcDataSource points back at itself
+    (directly or transitively) raises DriverError, not RecursionError."""
+    a = tmp_path / "a.vrt"
+    b = tmp_path / "b.vrt"
+    a.write_text(f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="z"><SrcDataSource relativeToVRT="1">b.vrt</SrcDataSource></OGRVRTLayer>
+</OGRVRTDataSource>""")
+    b.write_text(f"""
+<OGRVRTDataSource>
+  <OGRVRTLayer name="z"><SrcDataSource relativeToVRT="1">a.vrt</SrcDataSource></OGRVRTLayer>
+</OGRVRTDataSource>""")
+    with pytest.raises(DriverError, match="circular VRT"):
+        read_vrt(spark, str(a))
