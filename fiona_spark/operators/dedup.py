@@ -855,21 +855,26 @@ def connected_components_df(pairs: DataFrame, a_col: str = "id_a",
         nbr = (sym.join(labels.select(F.col("id").alias(v),
                                       F.col("lbl").alias("_nl")), v)
                .groupBy(u).agg(F.min("_nl").alias("_nm")))
+        # carry the pre-round label through the propagation (r8): the
+        # convergence check below then reads the ALREADY-materialized
+        # checkpoint blocks instead of re-joining l2 against the old
+        # labels — one full shuffle join per round removed (the r7
+        # scaling appendix's 'piggyback the changed-count' fix).
         l1 = (labels.join(nbr, labels["id"] == nbr[u], "left")
               .select(labels["id"],
+                      labels["lbl"].alias("_old"),
                       F.least(F.col("lbl"),
                               F.coalesce("_nm", "lbl")).alias("lbl")))
         par = l1.select(F.col("id").alias("_pid"),
                         F.col("lbl").alias("_plbl"))
         l2 = (l1.join(par, l1["lbl"] == par["_pid"], "left")
-              .select(l1["id"],
+              .select(l1["id"], l1["_old"],
                       F.least(l1["lbl"],
                               F.coalesce("_plbl", l1["lbl"])).alias("lbl")))
         l2 = _cut(l2)
-        changed = (l2.join(labels.withColumnRenamed("lbl", "_old"), "id")
-                   .filter(F.col("lbl") != F.col("_old"))
+        changed = (l2.filter(F.col("lbl") != F.col("_old"))
                    .limit(1).count())
-        labels = l2
+        labels = l2.select("id", "lbl")
         if changed == 0:
             break
     sym.unpersist()
