@@ -29,6 +29,11 @@ LOSSLESS = {"raw", "rle"}
 LOSSY = {"q6", "q4"}
 FORMATS = LOSSLESS | LOSSY
 
+# dequantization tables: the same integer expressions the scalar decode
+# evaluates per sample, precomputed over the 6-/4-bit domains
+_Q6_LUT = (np.arange(64, dtype=np.uint16) * 255 // 63).astype(np.uint8)
+_Q4_LUT = (np.arange(16, dtype=np.uint16) * 17).astype(np.uint8)
+
 
 # ---------------------------------------------------------------------------
 # Encode / decode (single image: (h, w, 3) uint8)
@@ -183,10 +188,10 @@ def decode_batch_matrix(mat: np.ndarray, fmt: str, w: int, h: int) -> np.ndarray
                                    bitorder="little")[:, : n * bits]
             q = np.packbits(bitarr.reshape(m * n, bits), axis=1,
                             bitorder="little")[:, 0]
-        if fmt == "q6":
-            flat = (q.astype(np.uint16) * 255 // 63).astype(np.uint8)
-        else:
-            flat = (q.astype(np.uint16) * 17).astype(np.uint8)
+        # dequantize via a 64/16-entry LUT built with the exact same
+        # integer formula (r8) — a table gather replaces the per-sample
+        # widen/multiply/divide chain, bit-identical by construction
+        flat = (_Q6_LUT if fmt == "q6" else _Q4_LUT)[q]
         flat = flat.reshape(m, n)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
